@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see SURVEY.md §7 + the builder prompt.
+  *
+  * Each key in [[queries]] is one operator/query from the SURVEY.md §2
+  * inventory; [[oracleSql]] carries DuckDB-runnable ANSI SQL computing
+  * the same result on the same parquet tables (omitted only for
+  * genuinely non-SQL-expressible ops — ML training, approx sketches —
+  * which the driver then checks rows-only).
+  *
+  * Determinism rules (SURVEY.md §5.1): every oracle-checked query ends
+  * in a total ORDER BY (key tie-breakers), floating aggregates are
+  * rounded in-query, column names are identical on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Kpis.tripsPerHour(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Kpis.queries ++ Relational.queries ++ Text.queries ++
+      Dedup.queries ++ Similarity.queries ++ MlQueries.queries ++
+      StreamingQueries.queries
+
+  def oracleSql: Map[String, String] =
+    Kpis.oracles ++ Relational.oracles ++ Text.oracles ++
+      Dedup.oracles ++ Similarity.oracles
 }

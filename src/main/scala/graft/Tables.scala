@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver's deterministic parquet test tables
+  * (TESTDATA.md / FIXTURES.md §B). One loader per table; explicit
+  * normalization where parquet physical types need it (the `events.ts`
+  * column is TIMESTAMP(NANOS) which Spark only reads as a raw long —
+  * see [[Tables.events]]).
+  *
+  * All loaders take the scale-factor directory so the same code path
+  * serves smoke (sf0.001), oracle (sf0.01) and bench (sf0.1) runs.
+  */
+object Tables {
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+
+  /** `events` carries a TIMESTAMP(NANOS) column. Spark (4.x) has no
+    * nanosecond timestamp type; with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` the column surfaces as
+    * a LongType of epoch-nanos. We truncate (integer-divide) to
+    * microseconds — the same semantics DuckDB applies when casting
+    * TIMESTAMP_NS → TIMESTAMP — and expose a proper TimestampType `ts`
+    * so downstream hour/date derivations match the oracle exactly.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = read(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(col("ts") / lit(1000L) cast "long"))
+      case _ => raw // already a timestamp (micros/millis parquet)
+    }
+  }
+
+  /** Session factory used by tests and local mains. Verify/Bench build
+    * their own sessions (driver contract) — keep these configs in sync.
+    */
+  def session(appName: String, cores: String = "*"): SparkSession =
+    configure(
+      SparkSession.builder().master(s"local[$cores]").appName(appName)
+    ).getOrCreate()
+
+  /** Shared session tuning: UTC for oracle parity, shuffle partitions
+    * sized for local core counts (not the 200 default), AQE on (skew
+    * joins + partition coalescing are the 100 TB posture), and the
+    * nanos-as-long escape hatch for the events table.
+    */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.ui.enabled", "false")
+}
