@@ -39,7 +39,9 @@ object Tables {
     val raw = read(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(col("ts") / lit(1000L) cast "long"))
+        // integer div, NOT `/`: Column `/` is double division and
+        // epoch-nanos (~1.7e18) exceed 2^53 → off-by-a-microsecond
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw // already a timestamp (micros/millis parquet)
     }
   }

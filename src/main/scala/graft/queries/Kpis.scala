@@ -1,23 +1,39 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.Row
+import scala.jdk.CollectionConverters._
 
-/** KPI queries — the reference's named query inventory (SURVEY.md §2.12
-  * Q1–Q19) re-expressed over the driver's `events` table (events ≈
-  * trips: ts→pickup, user_id→vendor, value→fare, event_type→payment).
+/** KPI queries — the reference's named query inventory (SURVEY.md
+  * §2.12 Q1–Q19) over the driver's `events` table via the
+  * events≈trips mapping in [[Features]].
   *
-  * Every query is a pure `(SparkSession, sfDir) => DataFrame` — a lazy
-  * logical plan; Catalyst handles pushdown/pruning. Aggregates are
-  * rounded in-query (reference rounds KPIs to 2–4 dp, e.g.
-  * spark_jobs/02d_sql_aggs.py:57-58) and ordered totally for the
-  * DuckDB-oracle hash compare.
+  * Every query is a lazy `(SparkSession, sfDir) => DataFrame` plan;
+  * aggregates are rounded in-query (reference rounds KPIs to 2–4 dp)
+  * and every oracle-checked query ends in a total ORDER BY with key
+  * tie-breakers so the DuckDB hash compare is stable.
   */
 object Kpis {
 
-  /** Q2 trips_per_hour (spark_jobs/02d_sql_aggs.py:64-67): count per
-    * pickup hour. Scan → derive hour → partial/final hash agg → sort.
-    */
+  /** events + full trips-analog feature set. */
+  def trips(spark: SparkSession, dir: String): DataFrame =
+    Features.enrich(Tables.events(spark, dir))
+
+  private val fc = Features.oracleCte // WITH feats/trips/trips2 CTEs
+
+  // ---------------------------------------------------------------
+  // Q1 trips_per_day (spark_jobs/02d_sql_aggs.py:54-60)
+  def tripsPerDay(spark: SparkSession, dir: String): DataFrame =
+    trips(spark, dir)
+      .groupBy(col("pickup_day").as("day"))
+      .agg(count(lit(1)).as("trips"),
+        Exact.avgMoney(col("trip_distance")).as("avg_distance"),
+        Exact.avgMoney(col("fare_amount")).as("avg_fare"))
+      .orderBy("day")
+
+  // Q2 trips_per_hour (02d:64-67)
   def tripsPerHour(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .filter(col("ts").isNotNull)
@@ -25,14 +41,334 @@ object Kpis {
       .agg(count(lit(1)).as("trips"))
       .orderBy("hour")
 
+  // Q3 payment_dist (02d:71-74, 05a:30-39)
+  def paymentDist(spark: SparkSession, dir: String): DataFrame =
+    trips(spark, dir)
+      .groupBy(col("event_type").as("payment"))
+      .agg(count(lit(1)).as("trips"),
+        Exact.avgMoney(col("fare_amount")).as("avg_fare"),
+        Exact.avgMoney(col("total_amount")).as("avg_total"))
+      .orderBy(desc("trips"), col("payment"))
+
+  // Q4 distance_buckets, variant A (02d:78-94)
+  def distanceBuckets(spark: SparkSession, dir: String): DataFrame =
+    trips(spark, dir)
+      .withColumn("bucket", Buckets.bucketA(col("trip_distance")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("trips"),
+        Exact.avgMoney(col("fare_amount")).as("avg_fare"))
+      .orderBy(desc("trips"), col("bucket"))
+
+  // ---------------------------------------------------------------
+  // Q5/Q6 — the reference's single join (J1): a 5-row payment-label
+  // dim, broadcast-hinted, left-outer on the string key. 'error' is
+  // deliberately absent → exercises the null path (coalesced to
+  // 'Unknown' on both sides for order stability).
+  private val lookupRows = Seq(
+    ("click", "Click-through"), ("view", "Impression"),
+    ("signup", "Signup"), ("purchase", "Purchase"), ("refund", "Refund"))
+
+  def paymentLookup(spark: SparkSession): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_type", StringType, nullable = false),
+      StructField("payment_label", StringType, nullable = false)))
+    spark.createDataFrame(
+      lookupRows.map { case (t, l) => Row(t, l) }.asJava, schema)
+  }
+
+  private val lookupValuesSql =
+    lookupRows.map { case (t, l) => s"('$t','$l')" }.mkString(", ")
+
+  /** Q5 payment_join_agg (spark_jobs/02e_join_lookup.py:57-67). */
+  def paymentJoinAgg(spark: SparkSession, dir: String): DataFrame =
+    trips(spark, dir)
+      .join(broadcast(paymentLookup(spark)), Seq("event_type"), "left")
+      .withColumn("payment_label", coalesce(col("payment_label"), lit("Unknown")))
+      .groupBy("payment_label")
+      .agg(count(lit(1)).as("trips"),
+        Exact.avgMoney(col("fare_amount")).as("avg_fare"))
+      .orderBy(desc("trips"), col("payment_label"))
+
+  /** Q6 payment_bucket_agg (02e:70-81) — join + bucket variant B. */
+  def paymentBucketAgg(spark: SparkSession, dir: String): DataFrame =
+    trips(spark, dir)
+      .join(broadcast(paymentLookup(spark)), Seq("event_type"), "left")
+      .withColumn("payment_label", coalesce(col("payment_label"), lit("Unknown")))
+      .withColumn("bucket", Buckets.bucketB(col("trip_distance")))
+      .groupBy("payment_label", "bucket")
+      .agg(count(lit(1)).as("trips"),
+        Exact.avgMoney(col("fare_amount")).as("avg_fare"))
+      .orderBy("payment_label", "bucket")
+
+  // ---------------------------------------------------------------
+  // Q7 weekend_vs_weekday (05a:55-66)
+  def weekendVsWeekday(spark: SparkSession, dir: String): DataFrame =
+    trips(spark, dir)
+      .groupBy("is_weekend")
+      .agg(count(lit(1)).as("trips"),
+        Exact.avgMoney(col("total_amount")).as("avg_total"),
+        round(avg("tip_rate"), 3).as("avg_tip_rate"))
+      .orderBy(desc("is_weekend"))
+
+  // Q8 hour_dow_top10 (05a:69-81): HAVING + top-k; tie-broken on
+  // (dow, hour) after the headline sort so LIMIT is deterministic.
+  def hourDowTop10(spark: SparkSession, dir: String): DataFrame =
+    trips(spark, dir)
+      .groupBy(col("pickup_dow").as("dow"), col("pickup_hour").as("hour"))
+      .agg(count(lit(1)).as("trips"),
+        Exact.avgMoney(col("total_amount")).as("avg_total"))
+      .filter(col("trips") > 50)
+      .orderBy(desc("avg_total"), col("dow"), col("hour"))
+      .limit(10)
+
+  // Q9 heatmap_dow_hour (05c:122-129)
+  def heatmapDowHour(spark: SparkSession, dir: String): DataFrame =
+    trips(spark, dir)
+      .groupBy(col("pickup_dow_iso").as("dow"), col("pickup_hour").as("hour"))
+      .agg(count(lit(1)).as("trips"),
+        Exact.avgMoney(col("total_amount")).as("avg_total"))
+      .orderBy("dow", "hour")
+
+  // Q10 tip_rate_by_payment (05a:109-117) — variant-B denominator
+  // (tip/total, 05c:75-80) to keep both ⚠2 variants exercised.
+  def tipRateByPayment(spark: SparkSession, dir: String): DataFrame =
+    trips(spark, dir)
+      .groupBy(col("event_type").as("payment"))
+      .agg(count(lit(1)).as("trips"),
+        round(avg("tip_rate_total"), 4).as("avg_tip_rate"))
+      .orderBy(desc("avg_tip_rate"), col("payment"))
+
+  // ---------------------------------------------------------------
+  // Q11 clean_pipeline (02_clean_eda.py:29-70 strict variant):
+  // filters + dedup, projected onto the dedup key so DISTINCT
+  // semantics are oracle-exact.
+  def cleanPipeline(spark: SparkSession, dir: String): DataFrame =
+    Clean.strict(trips(spark, dir))
+      .select("pickup_ts", "dropoff_ts", "user_id", "event_type",
+        "fare_amount", "tip_amount", "total_amount", "trip_distance")
+      .orderBy("pickup_ts", "user_id", "event_type")
+
+  // Q12 feature_pipeline (03a:38-78): per-row derived columns.
+  // Raw doubles are deterministic here (identical IEEE ops on both
+  // engines); only aggregates need rounding.
+  def featurePipeline(spark: SparkSession, dir: String): DataFrame =
+    trips(spark, dir)
+      .select(col("event_id"), col("k"), col("trip_distance"),
+        col("tip_amount"), col("total_amount"), col("duration_min"),
+        col("avg_speed_mph"), col("pickup_hour"), col("pickup_dow"),
+        col("pickup_dow_iso"), col("is_weekend"), col("night_flag"),
+        col("tip_rate"), col("label_tip"))
+      .orderBy("event_id")
+
+  // Q13 null_counts (02:77-78 single-pass form — one job, not N)
+  def nullCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).agg(
+      count(when(col("event_id").isNull, 1)).as("event_id_nulls"),
+      count(when(col("ts").isNull, 1)).as("ts_nulls"),
+      count(when(col("user_id").isNull, 1)).as("user_id_nulls"),
+      count(when(col("event_type").isNull, 1)).as("event_type_nulls"),
+      count(when(col("value").isNull, 1)).as("value_nulls"),
+      count(when(col("props").isNull, 1)).as("props_nulls"))
+
+  // Q14 quantiles — exact percentile() (linear interpolation, same
+  // as DuckDB quantile_cont), one row per column. The reference's
+  // approxQuantile (Greenwald-Khanna) is exposed separately in
+  // Relational as a non-oracle query.
+  def quantiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    def qrow(c: String): DataFrame = li.agg(
+      lit(c).as("col_name"),
+      round(expr(s"percentile($c, 0.05)"), 4).as("p05"),
+      round(expr(s"percentile($c, 0.5)"), 4).as("p50"),
+      round(expr(s"percentile($c, 0.95)"), 4).as("p95"))
+    qrow("l_quantity").union(qrow("l_extendedprice")).union(qrow("l_discount"))
+      .orderBy("col_name")
+  }
+
+  // Q15 describe_stats (02:84-86) as explicit aggregates
+  def describeStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    def srow(c: String): DataFrame = li.agg(
+      lit(c).as("col_name"), count(col(c)).as("n"),
+      Exact.mean4(col(c)).as("mean"),
+      Exact.stddev4(col(c)).as("std"),
+      min(col(c)).as("min"), max(col(c)).as("max"))
+    srow("l_quantity").union(srow("l_extendedprice"))
+      .union(srow("l_discount")).union(srow("l_tax"))
+      .orderBy("col_name")
+  }
+
+  // Q16 dup_check (02c:69-72): key-groups with >1 row
+  def dupCheck(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey", "l_partkey", "l_suppkey")
+      .count()
+      .filter(col("count") > 1)
+      .agg(count(lit(1)).as("dup_groups"))
+
+  // Q17 rdd_metrics (01_ingest.py:40-47) as declarative aggregates —
+  // the RDD map/filter/reduce forms are codegen barriers; same
+  // semantics, one scan.
+  def rddMetrics(spark: SparkSession, dir: String): DataFrame =
+    trips(spark, dir).agg(
+      count(lit(1)).as("total_rows"),
+      count(when(col("trip_distance") > 10, 1)).as("long_trips"),
+      Exact.sumMoney(col("fare_amount")).as("sum_fares"),
+      Exact.maxMoney(col("tip_amount")).as("max_tip"),
+      countDistinct("user_id").as("vendors"))
+
+  // Q18 global_summary (app5.py:250-258)
+  def globalSummary(spark: SparkSession, dir: String): DataFrame =
+    trips(spark, dir).agg(
+      count(lit(1)).as("rows"),
+      Exact.avgMoney(col("fare_amount")).as("avg_fare"),
+      Exact.avgMoney(col("total_amount")).as("avg_total"),
+      round(avg("tip_rate"), 4).as("avg_tip_rate"))
+
+  // Q19 arbitrary SQL surface (app5.py:263-276): register temp view,
+  // run user SQL text through the Catalyst parser.
+  val q19Sql: String =
+    """SELECT event_type AS payment, COUNT(*) AS trips,
+      |       ROUND(AVG(value), 2) AS avg_fare
+      |FROM taxi WHERE value > 50
+      |GROUP BY event_type
+      |ORDER BY trips DESC, payment""".stripMargin
+
+  def sqlSurface(spark: SparkSession, dir: String): DataFrame =
+    SqlSurface.run(spark, Tables.events(spark, dir), "taxi", q19Sql)
+
+  // ---------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q02_trips_per_hour" -> ((s, d) => tripsPerHour(s, d))
+    "q01_trips_per_day" -> tripsPerDay _,
+    "q02_trips_per_hour" -> tripsPerHour _,
+    "q03_payment_dist" -> paymentDist _,
+    "q04_distance_buckets" -> distanceBuckets _,
+    "q05_payment_join_agg" -> paymentJoinAgg _,
+    "q06_payment_bucket_agg" -> paymentBucketAgg _,
+    "q07_weekend_vs_weekday" -> weekendVsWeekday _,
+    "q08_hour_dow_top10" -> hourDowTop10 _,
+    "q09_heatmap_dow_hour" -> heatmapDowHour _,
+    "q10_tip_rate_by_payment" -> tipRateByPayment _,
+    "q11_clean_pipeline" -> cleanPipeline _,
+    "q12_feature_pipeline" -> featurePipeline _,
+    "q13_null_counts" -> nullCounts _,
+    "q14_quantiles" -> quantiles _,
+    "q15_describe_stats" -> describeStats _,
+    "q16_dup_check" -> dupCheck _,
+    "q17_rdd_metrics" -> rddMetrics _,
+    "q18_global_summary" -> globalSummary _,
+    "q19_sql_surface" -> sqlSurface _
   )
 
   def oracles: Map[String, String] = Map(
+    "q01_trips_per_day" ->
+      s"""$fc SELECT pickup_day AS day, COUNT(*) AS trips,
+         |floor(SUM(CAST(floor((trip_distance) * 100 + 0.5) AS BIGINT)) / COUNT(*) + 0.5) / 100.0 AS avg_distance,
+         |floor(SUM(CAST(floor((fare_amount) * 100 + 0.5) AS BIGINT)) / COUNT(*) + 0.5) / 100.0 AS avg_fare
+         |FROM trips2 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q02_trips_per_hour" ->
       """SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hour, COUNT(*) AS trips
         |FROM events WHERE ts IS NOT NULL
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q03_payment_dist" ->
+      s"""$fc SELECT event_type AS payment, COUNT(*) AS trips,
+         |floor(SUM(CAST(floor((fare_amount) * 100 + 0.5) AS BIGINT)) / COUNT(*) + 0.5) / 100.0 AS avg_fare,
+         |floor(SUM(CAST(floor((total_amount) * 100 + 0.5) AS BIGINT)) / COUNT(*) + 0.5) / 100.0 AS avg_total
+         |FROM trips2 GROUP BY 1 ORDER BY trips DESC, payment""".stripMargin,
+    "q04_distance_buckets" ->
+      s"""$fc SELECT ${Buckets.bucketASql} AS bucket, COUNT(*) AS trips,
+         |floor(SUM(CAST(floor((fare_amount) * 100 + 0.5) AS BIGINT)) / COUNT(*) + 0.5) / 100.0 AS avg_fare
+         |FROM trips2 GROUP BY 1 ORDER BY trips DESC, bucket""".stripMargin,
+    "q05_payment_join_agg" ->
+      s"""$fc SELECT COALESCE(l.payment_label, 'Unknown') AS payment_label,
+         |COUNT(*) AS trips, floor(SUM(CAST(floor((t.fare_amount) * 100 + 0.5) AS BIGINT)) / COUNT(*) + 0.5) / 100.0 AS avg_fare
+         |FROM trips2 t LEFT JOIN (VALUES $lookupValuesSql)
+         |  AS l(event_type, payment_label) ON t.event_type = l.event_type
+         |GROUP BY 1 ORDER BY trips DESC, payment_label""".stripMargin,
+    "q06_payment_bucket_agg" ->
+      s"""$fc SELECT COALESCE(l.payment_label, 'Unknown') AS payment_label,
+         |${Buckets.bucketBSql} AS bucket,
+         |COUNT(*) AS trips, floor(SUM(CAST(floor((t.fare_amount) * 100 + 0.5) AS BIGINT)) / COUNT(*) + 0.5) / 100.0 AS avg_fare
+         |FROM trips2 t LEFT JOIN (VALUES $lookupValuesSql)
+         |  AS l(event_type, payment_label) ON t.event_type = l.event_type
+         |GROUP BY 1, 2 ORDER BY payment_label, bucket""".stripMargin,
+    "q07_weekend_vs_weekday" ->
+      s"""$fc SELECT is_weekend, COUNT(*) AS trips,
+         |floor(SUM(CAST(floor((total_amount) * 100 + 0.5) AS BIGINT)) / COUNT(*) + 0.5) / 100.0 AS avg_total,
+         |round(avg(tip_rate), 3) AS avg_tip_rate
+         |FROM trips2 GROUP BY 1 ORDER BY is_weekend DESC""".stripMargin,
+    "q08_hour_dow_top10" ->
+      s"""$fc SELECT pickup_dow AS dow, pickup_hour AS hour,
+         |COUNT(*) AS trips, floor(SUM(CAST(floor((total_amount) * 100 + 0.5) AS BIGINT)) / COUNT(*) + 0.5) / 100.0 AS avg_total
+         |FROM trips2 GROUP BY 1, 2 HAVING COUNT(*) > 50
+         |ORDER BY avg_total DESC, dow, hour LIMIT 10""".stripMargin,
+    "q09_heatmap_dow_hour" ->
+      s"""$fc SELECT pickup_dow_iso AS dow, pickup_hour AS hour,
+         |COUNT(*) AS trips, floor(SUM(CAST(floor((total_amount) * 100 + 0.5) AS BIGINT)) / COUNT(*) + 0.5) / 100.0 AS avg_total
+         |FROM trips2 GROUP BY 1, 2 ORDER BY dow, hour""".stripMargin,
+    "q10_tip_rate_by_payment" ->
+      s"""$fc SELECT event_type AS payment, COUNT(*) AS trips,
+         |round(avg(tip_rate_total), 4) AS avg_tip_rate
+         |FROM trips2 GROUP BY 1 ORDER BY avg_tip_rate DESC, payment""".stripMargin,
+    "q11_clean_pipeline" ->
+      s"""$fc SELECT DISTINCT pickup_ts, dropoff_ts, user_id, event_type,
+         |fare_amount, tip_amount, total_amount, trip_distance
+         |FROM trips2 WHERE ${Clean.strictWhereSql}
+         |ORDER BY pickup_ts, user_id, event_type""".stripMargin,
+    "q12_feature_pipeline" ->
+      s"""$fc SELECT event_id, k, trip_distance, tip_amount, total_amount,
+         |duration_min, avg_speed_mph, pickup_hour, pickup_dow,
+         |pickup_dow_iso, is_weekend, night_flag, tip_rate, label_tip
+         |FROM trips2 ORDER BY event_id""".stripMargin,
+    "q13_null_counts" ->
+      """SELECT COUNT(CASE WHEN event_id IS NULL THEN 1 END) AS event_id_nulls,
+        |COUNT(CASE WHEN ts IS NULL THEN 1 END) AS ts_nulls,
+        |COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS user_id_nulls,
+        |COUNT(CASE WHEN event_type IS NULL THEN 1 END) AS event_type_nulls,
+        |COUNT(CASE WHEN value IS NULL THEN 1 END) AS value_nulls,
+        |COUNT(CASE WHEN props IS NULL THEN 1 END) AS props_nulls
+        |FROM events""".stripMargin,
+    "q14_quantiles" ->
+      """SELECT col_name,
+        |round(quantile_cont(v, 0.05), 4) AS p05,
+        |round(quantile_cont(v, 0.5), 4) AS p50,
+        |round(quantile_cont(v, 0.95), 4) AS p95
+        |FROM (
+        |  SELECT 'l_quantity' AS col_name, l_quantity AS v FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |) GROUP BY col_name ORDER BY col_name""".stripMargin,
+    "q15_describe_stats" ->
+      """SELECT col_name, COUNT(v) AS n, round(avg(v), 4) AS mean,
+        |round(stddev(v), 4) AS std, min(v) AS min, max(v) AS max
+        |FROM (
+        |  SELECT 'l_quantity' AS col_name, l_quantity AS v FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+        |) GROUP BY col_name ORDER BY col_name""".stripMargin,
+    "q16_dup_check" ->
+      """SELECT COUNT(*) AS dup_groups FROM (
+        |  SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem
+        |  GROUP BY 1, 2, 3 HAVING COUNT(*) > 1
+        |)""".stripMargin,
+    "q17_rdd_metrics" ->
+      s"""$fc SELECT COUNT(*) AS total_rows,
+         |COUNT(CASE WHEN trip_distance > 10 THEN 1 END) AS long_trips,
+         |SUM(CAST(floor((fare_amount) * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_fares,
+         |floor(MAX(tip_amount) * 100 + 0.5) / 100.0 AS max_tip,
+         |COUNT(DISTINCT user_id) AS vendors
+         |FROM trips2""".stripMargin,
+    "q18_global_summary" ->
+      s"""$fc SELECT COUNT(*) AS rows, floor(SUM(CAST(floor((fare_amount) * 100 + 0.5) AS BIGINT)) / COUNT(*) + 0.5) / 100.0 AS avg_fare,
+         |floor(SUM(CAST(floor((total_amount) * 100 + 0.5) AS BIGINT)) / COUNT(*) + 0.5) / 100.0 AS avg_total,
+         |round(avg(tip_rate), 4) AS avg_tip_rate
+         |FROM trips2""".stripMargin,
+    "q19_sql_surface" ->
+      """SELECT event_type AS payment, COUNT(*) AS trips,
+        |ROUND(AVG(value), 2) AS avg_fare
+        |FROM events WHERE value > 50
+        |GROUP BY event_type
+        |ORDER BY trips DESC, payment""".stripMargin
   )
 }
