@@ -1,6 +1,35 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark harness (driver contract): runs the headline queries on
+  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line with the total and
+  * per-query seconds.
+  *
+  * Measurement rules (round-1 verdict "What's wrong" 1–2):
+  *   - Full-plan evaluation via the `noop` write format — unlike
+  *     `count()`, a noop write executes every operator in the physical
+  *     plan (sorts are not eliminated, derived columns are computed)
+  *     without paying sink I/O.
+  *   - A failed query is reported in `"failed"` and its elapsed time is
+  *     still charged — a broken query must never look fast.
+  *   - The JSON line is printed to stdout (build.sbt routes forked run
+  *     output straight through, no sbt `[info]` prefix) AND written to
+  *     `bench_local.json` next to the CWD so the driver can fall back
+  *     to the file if stdout is polluted.
+  *
+  * ML training queries (`ml*` prefix) are excluded from the headline
+  * set: they are correctness-gated via Verify but a 4-model training
+  * run is not a query-throughput signal.
+  */
 object Bench {
+
+  def headline: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+    SparkEntry.queries.toSeq
+      .filterNot { case (name, _) => name.startsWith("ml") }
+      .sortBy(_._1)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -9,16 +38,34 @@ object Bench {
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
     ).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // JVM/session warm-up so the first measured query doesn't absorb
+    // executor start + codegen compiler cold-start.
+    spark.range(1000000).selectExpr("sum(id)").write
+      .format("noop").mode("overwrite").save()
+
+    var failed = List.empty[String]
+    val results = headline.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch {
+        case e: Throwable =>
+          failed ::= name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fails = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).sum
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fails,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("bench_local.json"), json)
+    println(json)
     spark.stop()
   }
 }

@@ -36,6 +36,10 @@ object Tables {
     * so downstream hour/date derivations match the oracle exactly.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // Defensive: a caller-supplied session (driver smoke check) may not
+    // have gone through configure(); nanosAsLong is runtime-settable
+    // and without it Spark 4.x refuses TIMESTAMP(NANOS) parquet.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

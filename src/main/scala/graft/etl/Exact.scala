@@ -70,8 +70,12 @@ object Exact {
   // ---- DuckDB fragments -------------------------------------------
   def centsSql(e: String): String = s"CAST(floor(($e) * 100 + 0.5) AS BIGINT)"
 
+  // CAST AS DOUBLE: Spark SQL's floor(double) returns BIGINT and
+  // bigint / 100.0 (a decimal literal) would yield DECIMAL — DuckDB's
+  // floor stays DOUBLE. The cast pins both engines to double so the
+  // same fragment can run through either parser (q19 does).
   def avgMoneySql(e: String): String =
-    s"floor(SUM(${centsSql(e)}) / COUNT(*) + 0.5) / 100.0"
+    s"CAST(floor(SUM(${centsSql(e)}) / COUNT(*) + 0.5) AS DOUBLE) / 100.0"
 
   def sumMoneySql(e: String): String = s"SUM(${centsSql(e)}) / 100.0"
 

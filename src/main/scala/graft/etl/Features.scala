@@ -90,8 +90,9 @@ object Features {
     """WITH feats AS (
       |  SELECT *,
       |    CAST(props->>'$.k' AS INT) AS k,
-      |    ts AS pickup_ts,
-      |    ts + INTERVAL (CAST(props->>'$.k' AS INT) + 1) MINUTE AS dropoff_ts,
+      |    CAST(ts AS TIMESTAMP) AS pickup_ts,
+      |    CAST(ts AS TIMESTAMP)
+      |      + INTERVAL (CAST(props->>'$.k' AS INT) + 1) MINUTE AS dropoff_ts,
       |    CAST(props->>'$.k' AS INT) / 8.0 AS trip_distance,
       |    value AS fare_amount,
       |    CASE WHEN CAST(props->>'$.k' AS INT) % 5 = 0 THEN 0.0
