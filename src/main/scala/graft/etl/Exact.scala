@@ -67,7 +67,16 @@ object Exact {
     floor(sqrt((ssq - s * s / n) / (n - lit(1))) / 100.0 * 10000 + lit(0.5)) / 10000.0
   }
 
+  /** Deterministic half-up 4-dp rounding of an already-identical
+    * double: floor(x·10⁴ + 0.5)/10⁴. Unlike `round()`, floor of the
+    * same IEEE double is the same in every engine (round() disagrees
+    * on .00005 boundaries — Spark BigDecimal HALF_UP vs DuckDB).
+    */
+  def round4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000.0
+
   // ---- DuckDB fragments -------------------------------------------
+  def round4Sql(e: String): String = s"floor(($e) * 10000 + 0.5) / 10000.0"
+
   def centsSql(e: String): String = s"CAST(floor(($e) * 100 + 0.5) AS BIGINT)"
 
   // CAST AS DOUBLE: Spark SQL's floor(double) returns BIGINT and

@@ -1,7 +1,230 @@
 package graft
-import org.apache.spark.sql.{DataFrame, SparkSession}
-/** Placeholder — filled in as operators land. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface mandated by the build brief (SURVEY.md
+  * §7.4): token counting, corpus word frequency, per-document quality
+  * scoring, fingerprinting, and a dictionary-overlap language-ID
+  * heuristic.
+  *
+  * Everything is built from codegen'd higher-order functions
+  * (`split`/`filter`/`transform`/`aggregate`/`explode`) — no UDFs — so
+  * the plans stay whole-stage-codegen'd and scale linearly: per-document
+  * work is map-side, and the only shuffles are the final group-bys on
+  * low-cardinality keys (lang, word). At 100 TB the explode in word_freq
+  * produces a heavy intermediate; partial aggregation (map-side combine)
+  * keeps the shuffle proportional to distinct-word count per partition,
+  * not token count.
+  *
+  * Every query has a DuckDB oracle in lock-step; tokenization is
+  * "split on single space, drop empties" — identical semantics in
+  * Spark's `split` and DuckDB's `string_split`.
+  */
 object Text {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracles: Map[String, String] = Map()
+
+  /** Tokens of a document: split on space, empties dropped. */
+  def tokens(c: Column): Column =
+    filter(split(c, " "), t => t =!= lit(""))
+
+  /** DuckDB fragment for the same tokenization. */
+  def tokensSql(e: String): String =
+    s"list_filter(string_split($e, ' '), t -> t <> '')"
+
+  // ---------------------------------------------------------------
+  /** t01 — per-language token statistics (corpus profile). */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(tokens(col("text"))))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        round(sum(col("n_tokens")).cast("double") / count(lit(1)), 4).as("avg_tokens"),
+        min("n_tokens").as("min_tokens"),
+        max("n_tokens").as("max_tokens"))
+      .orderBy("lang")
+
+  val tokenStatsSql: String =
+    s"""WITH toks AS (
+       |  SELECT lang, CAST(len(${tokensSql("text")}) AS INT) AS n_tokens
+       |  FROM documents)
+       |SELECT lang, COUNT(*) AS docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  round(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 4) AS avg_tokens,
+       |  MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+       |FROM toks GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** t02 — corpus-wide word frequency, top 20 (explode → count).
+    * Partial aggregation makes the shuffle O(distinct words), not
+    * O(tokens); TakeOrderedAndProject caps the driver collect at 20.
+    */
+  def wordFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens(lower(col("text")))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), col("word"))
+      .limit(20)
+
+  val wordFreqSql: String =
+    s"""SELECT word, COUNT(*) AS freq FROM (
+       |  SELECT unnest(${tokensSql("lower(text)")}) AS word FROM documents)
+       |GROUP BY word ORDER BY freq DESC, word LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** English-y stopword list used for the quality heuristic. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  private val stopwordsSqlList = stopwords.map("'" + _ + "'").mkString(", ")
+
+  /** t03 — per-document quality scoring: token count, mean token
+    * length (aggregate HOF), stopword ratio, distinct-token ratio and
+    * a blended 0–1 quality score. Pure map-side work; the ORDER BY is
+    * oracle determinism only.
+    */
+  def qualityScores(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", tokens(lower(col("text"))))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("char_len", length(col("text")))
+      .withColumn("avg_token_len",
+        Exact.round4(
+          aggregate(col("toks"), lit(0), (acc, t) => acc + length(t))
+            .cast("double") / col("n_tokens")))
+      .withColumn("stopword_ratio",
+        Exact.round4(size(filter(col("toks"), t => t.isin(stopwords: _*)))
+          .cast("double") / col("n_tokens")))
+      .withColumn("uniq_ratio",
+        Exact.round4(size(array_distinct(col("toks")))
+          .cast("double") / col("n_tokens")))
+      .withColumn("quality_score",
+        Exact.round4(lit(0.4) * col("uniq_ratio")
+          + lit(0.3) * (lit(1.0) - col("stopword_ratio"))
+          + lit(0.3) * least(col("n_tokens").cast("double") / 100.0, lit(1.0))))
+      .select("doc_id", "lang", "n_tokens", "char_len", "avg_token_len",
+        "stopword_ratio", "uniq_ratio", "quality_score")
+      .orderBy("doc_id")
+
+  val qualityScoresSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, CAST(length(text) AS INT) AS char_len,
+       |    ${tokensSql("lower(text)")} AS t
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id, lang, char_len,
+       |    CAST(len(t) AS INT) AS n_tokens,
+       |    ${Exact.round4Sql(
+                 "CAST(list_aggregate(list_transform(t, x -> len(x)), 'sum') AS DOUBLE) / len(t)")} AS avg_token_len,
+       |    ${Exact.round4Sql(
+                 s"CAST(len(list_filter(t, x -> x IN ($stopwordsSqlList))) AS DOUBLE) / len(t)")} AS stopword_ratio,
+       |    ${Exact.round4Sql(
+                 "CAST(len(list_distinct(t)) AS DOUBLE) / len(t)")} AS uniq_ratio
+       |  FROM toks)
+       |SELECT doc_id, lang, n_tokens, char_len, avg_token_len,
+       |  stopword_ratio, uniq_ratio,
+       |  ${Exact.round4Sql(
+             "0.4 * uniq_ratio + 0.3 * (1.0 - stopword_ratio) + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)")} AS quality_score
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** t04 — document fingerprints: full md5, a 60-bit integer prefix
+    * (the cross-engine portable hash used throughout Dedup), and its
+    * LSH-style bucket. The md5-prefix→BIGINT recipe is exactly
+    * reproducible in DuckDB via '0x…' casting.
+    */
+  def fp64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  def fp64Sql(e: String): String =
+    s"CAST(CONCAT('0x', SUBSTR(md5($e), 1, 15)) AS BIGINT)"
+
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("fingerprint"),
+        fp64(col("text")).as("fp64"),
+        (fp64(col("text")) % 1024).as("bucket"))
+      .orderBy("doc_id")
+
+  val fingerprintsSql: String =
+    s"""SELECT doc_id, md5(text) AS fingerprint,
+       |  ${fp64Sql("text")} AS fp64,
+       |  ${fp64Sql("text")} % 1024 AS bucket
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Tiny per-language function-word dictionaries for the lang-ID
+    * heuristic (dictionary-overlap scoring — the classic cheap
+    * n-gram/stopword language detector).
+    */
+  val langDicts: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "les"))
+
+  /** t05 — language-ID confusion matrix: predicted (argmax of
+    * dictionary-overlap scores, ties broken in fixed en>es>de>fr
+    * order, all-zero → 'other') × labeled lang.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val scores = langDicts.map { case (l, dict) =>
+      l -> size(filter(toks, t => t.isin(dict: _*)))
+    }
+    val Seq(en, es, de, fr) = scores.map(_._2)
+    val pred = when(en === 0 && es === 0 && de === 0 && fr === 0, "other")
+      .when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+    Tables.documents(spark, dir)
+      .withColumn("pred_lang", pred)
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("docs"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  val langIdSql: String = {
+    def score(dict: Seq[String]): String =
+      s"len(list_filter(t, x -> x IN (${dict.map("'" + _ + "'").mkString(", ")})))"
+    val Seq(en, es, de, fr) = langDicts.map(d => score(d._2))
+    s"""WITH toks AS (
+       |  SELECT lang, ${tokensSql("lower(text)")} AS t FROM documents
+       |), s AS (
+       |  SELECT lang, $en AS s_en, $es AS s_es, $de AS s_de, $fr AS s_fr
+       |  FROM toks
+       |), p AS (
+       |  SELECT lang,
+       |    CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'other'
+       |         WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       |         WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+       |         WHEN s_de >= s_fr THEN 'de'
+       |         ELSE 'fr' END AS pred_lang
+       |  FROM s)
+       |SELECT lang, pred_lang, COUNT(*) AS docs
+       |FROM p GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_token_stats" -> tokenStats _,
+    "t02_word_freq" -> wordFreq _,
+    "t03_quality_scores" -> qualityScores _,
+    "t04_fingerprints" -> fingerprints _,
+    "t05_lang_id" -> langId _
+  )
+
+  def oracles: Map[String, String] = Map(
+    "t01_token_stats" -> tokenStatsSql,
+    "t02_word_freq" -> wordFreqSql,
+    "t03_quality_scores" -> qualityScoresSql,
+    "t04_fingerprints" -> fingerprintsSql,
+    "t05_lang_id" -> langIdSql
+  )
 }
