@@ -1,7 +1,279 @@
 package graft
-import org.apache.spark.sql.{DataFrame, SparkSession}
-/** Placeholder — filled in as operators land. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — exact hash-dedup,
+  * MinHash+LSH banded near-dup candidates, exact n-gram Jaccard with an
+  * inverted-index join, and SimHash signatures. The LLM-training-data
+  * dedup surface mandated by the build brief (SURVEY.md §7.4).
+  *
+  * Scale design (the 100 TB contract):
+  *   - No all-pairs comparison anywhere. Near-dup candidates come from
+  *     equality joins on LSH band keys (d02) or shared shingles with a
+  *     document-frequency cap (d03) — both shuffle-hash-joinable and
+  *     linear in data size, never O(n²).
+  *   - Signatures (MinHash, SimHash) are pure map-side higher-order
+  *     functions over the token array — no UDFs, no extra shuffles.
+  *   - The shared shingle hash is the cross-engine portable
+  *     md5-prefix→60-bit recipe ([[Text.fp64]]) so every query has a
+  *     bit-exact DuckDB oracle.
+  *
+  * MinHash params: 16 permutations h_i(x) = (a_i·x + b_i) mod P over
+  * P = 2³¹−1, banded 4×4 (r=4): P(candidate) = 1−(1−j⁴)⁴ ≈ 0.88 at
+  * j=0.8, ~6e-6 per random pair — high recall on true near-dups,
+  * near-zero false candidates.
+  */
 object Dedup {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracles: Map[String, String] = Map()
+
+  // ---------------------------------------------------------------
+  /** d01 — exact dedup, keep-first: group by content hash, keep the
+    * smallest doc_id. The canonical hash-shuffle dedup; at 100 TB the
+    * md5 group-by shuffles only (hash, doc_id) pairs, not documents.
+    */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("fingerprint"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("copies"))
+      .orderBy("keep_id")
+
+  val exactDedupSql: String =
+    """SELECT md5(text) AS fingerprint, MIN(doc_id) AS keep_id,
+      |  COUNT(*) AS copies
+      |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Shared shingling: 3-gram word shingles over lowercased tokens,
+  // de-duplicated per document (set semantics for Jaccard), hashed to
+  // 60-bit ints mod P.
+  private val P = 2147483647L // 2^31 - 1 (prime)
+
+  /** MinHash permutation parameters (16 fixed primes / offsets). */
+  val hashAs: Seq[Long] = Seq(
+    1299709L, 2750159L, 4256233L, 5800079L, 7368787L, 8960453L,
+    10570841L, 12195257L, 13834103L, 15485863L, 17144507L, 18815231L,
+    20495843L, 22182343L, 23879519L, 25582153L)
+  val hashBs: Seq[Long] = Seq(
+    104729L, 224737L, 350377L, 479909L, 611953L, 746773L,
+    882377L, 1020379L, 1159523L, 1299709L, 1441057L, 1583539L,
+    1727077L, 1871573L, 2017097L, 2163581L)
+
+  /** Spark SQL expr: distinct 3-gram shingle hashes (mod P) of `text`.
+    * Docs with <3 tokens get an empty set.
+    */
+  private val shingleFpsExpr: String =
+    """array_distinct(transform(
+      |  CASE WHEN size(filter(split(lower(text), ' '), t -> t != '')) < 3
+      |       THEN array()
+      |       ELSE transform(
+      |         sequence(1, size(filter(split(lower(text), ' '), t -> t != '')) - 2),
+      |         i -> array_join(slice(filter(split(lower(text), ' '), t -> t != ''), i, 3), ' '))
+      |  END,
+      |  s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % 2147483647))""".stripMargin
+
+  /** DuckDB fragment computing the identical shingle hash set. */
+  private val shingleFpsSql: String =
+    """list_distinct(list_transform(
+      |  CASE WHEN len(list_filter(string_split(lower(text), ' '), t -> t <> '')) < 3
+      |       THEN []
+      |       ELSE list_transform(
+      |         range(1, len(list_filter(string_split(lower(text), ' '), t -> t <> '')) - 1),
+      |         i -> array_to_string(list_slice(list_filter(string_split(lower(text), ' '), t -> t <> ''), i, i + 2), ' '))
+      |  END,
+      |  s -> CAST(CONCAT('0x', SUBSTR(md5(s), 1, 15)) AS BIGINT) % 2147483647))""".stripMargin
+
+  /** doc_id + shingle-hash-set frame (map-side only). */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(shingleFpsExpr).as("fps"))
+
+  // ---------------------------------------------------------------
+  /** d02 — MinHash + LSH banded near-dup candidate pairs.
+    * Signature: sig_i = min over shingles of (a_i·x + b_i) mod P
+    * (map-side HOF). Bands: 4 keys of 4 signature values each, mixed
+    * with a 31-polynomial. Candidates = pairs sharing ≥1 band key —
+    * an equality self-join on (band, key), never a cartesian.
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sigExprs = hashAs.zip(hashBs).zipWithIndex.map { case ((a, b), i) =>
+      expr(s"array_min(transform(fps, x -> ($a * x + $b) % $P))").as(s"sig$i")
+    }
+    val sigs = shingled(spark, dir).select(col("doc_id") +: sigExprs: _*)
+    val keyExprs = (0 until 4).map { j =>
+      val Seq(s0, s1, s2, s3) = (0 until 4).map(k => s"sig${4 * j + k}")
+      expr(s"((($s0 * 31 + $s1) * 31 + $s2) * 31 + $s3)").as(s"key$j")
+    }
+    val bands = sigs.select(col("doc_id") +: keyExprs: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until 4).map(j => col(s"key$j")): _*)))
+      .toDF("doc_id", "band", "key")
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy("d1", "d2")
+  }
+
+  val minhashLshSql: String = {
+    val sigCols = hashAs.zip(hashBs).zipWithIndex.map { case ((a, b), i) =>
+      s"list_aggregate(list_transform(fps, x -> ($a * x + $b) % $P), 'min') AS sig$i"
+    }.mkString(",\n    ")
+    val keyCols = (0 until 4).map { j =>
+      val Seq(s0, s1, s2, s3) = (0 until 4).map(k => s"sig${4 * j + k}")
+      s"((($s0 * 31 + $s1) * 31 + $s2) * 31 + $s3) AS key$j"
+    }.mkString(",\n    ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, $shingleFpsSql AS fps FROM documents
+       |), sigs AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM sh
+       |), keys AS (
+       |  SELECT doc_id,
+       |    $keyCols
+       |  FROM sigs
+       |), bands AS (
+       |  SELECT doc_id, CAST(j AS INT) AS band,
+       |    CASE CAST(j AS INT) WHEN 0 THEN key0 WHEN 1 THEN key1
+       |         WHEN 2 THEN key2 ELSE key3 END AS key
+       |  FROM keys, range(0, 4) r(j))
+       |SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_bands
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 ORDER BY d1, d2""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  /** d03 — exact n-gram Jaccard near-dup pairs via inverted-index
+    * join: explode shingle sets, self-join on shingle hash (only
+    * documents sharing a shingle ever meet — no cartesian), count
+    * intersections, compute |A∩B| / (|A|+|B|−|A∩B|), keep ≥ 0.5.
+    *
+    * Skew guard for 100 TB: shingles appearing in more than
+    * `maxShingleDf` documents are dropped before the join (an
+    * ultra-common shingle would otherwise fan out quadratically —
+    * the standard stop-shingle cap; a no-op on this corpus where
+    * max df ≈ 25).
+    */
+  val maxShingleDf = 1000
+  val jaccardThreshold = 0.5
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingled(spark, dir)
+      .select(col("doc_id"), explode(col("fps")).as("sh"))
+    val capped = ex
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+      .filter(col("df") <= maxShingleDf)
+      .drop("df")
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = capped.as("a")
+      .join(capped.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .withColumn("jaccard",
+        Exact.round4(col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter"))))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("d1", "d2", "inter", "jaccard")
+      .orderBy("d1", "d2")
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, $shingleFpsSql AS fps FROM documents
+       |), ex AS (
+       |  SELECT doc_id, unnest(fps) AS sh FROM sh
+       |), capped AS (
+       |  SELECT doc_id, sh FROM (
+       |    SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM ex)
+       |  WHERE df <= $maxShingleDf
+       |), sizes AS (
+       |  SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY 1
+       |), inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+       |  FROM capped a JOIN capped b
+       |    ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, inter,
+       |  ${Exact.round4Sql("CAST(inter AS DOUBLE) / (sa.n + sb.n - inter)")} AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = d1
+       |           JOIN sizes sb ON sb.doc_id = d2
+       |WHERE ${Exact.round4Sql("CAST(inter AS DOUBLE) / (sa.n + sb.n - inter)")} >= $jaccardThreshold
+       |ORDER BY d1, d2""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** d04 — SimHash signatures: 60-bit sign-aggregated token-hash
+    * fingerprint plus four 15-bit LSH bands (near-dup candidates =
+    * equal band values → equality join, same shape as d02). Pure
+    * map-side nested HOFs: token hashes are computed once, then each
+    * bit position sums ±1 votes.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val sim = Tables.documents(spark, dir)
+      .withColumn("hs", expr(
+        """transform(filter(split(lower(text), ' '), t -> t != ''),
+          |  t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))""".stripMargin))
+      .withColumn("bits", expr(
+        """transform(sequence(0, 59), b ->
+          |  CASE WHEN aggregate(hs, 0L,
+          |    (acc, h) -> acc + IF(bit_get(h, b) = 1, 1L, -1L)) > 0
+          |  THEN 1L ELSE 0L END)""".stripMargin))
+      .withColumn("simhash", expr(
+        "aggregate(sequence(0, 59), 0L, (acc, b) -> acc + shiftleft(element_at(bits, b + 1), b))"))
+    sim.select(
+        col("doc_id"), col("simhash"),
+        (shiftright(col("simhash"), 0).bitwiseAND(32767L)).as("band0"),
+        (shiftright(col("simhash"), 15).bitwiseAND(32767L)).as("band1"),
+        (shiftright(col("simhash"), 30).bitwiseAND(32767L)).as("band2"),
+        (shiftright(col("simhash"), 45).bitwiseAND(32767L)).as("band3"))
+      .orderBy("doc_id")
+  }
+
+  val simhashSql: String =
+    """WITH hs AS (
+      |  SELECT doc_id,
+      |    list_transform(list_filter(string_split(lower(text), ' '), t -> t <> ''),
+      |      t -> CAST(CONCAT('0x', SUBSTR(md5(t), 1, 15)) AS BIGINT)) AS hs
+      |  FROM documents
+      |), bits AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 60), b ->
+      |      CASE WHEN list_aggregate(list_transform(hs,
+      |        h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0
+      |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bits
+      |  FROM hs
+      |), sig AS (
+      |  SELECT doc_id,
+      |    list_aggregate(list_transform(range(0, 60),
+      |      b -> bits[b + 1] << b), 'sum') AS simhash
+      |  FROM bits)
+      |SELECT doc_id, simhash,
+      |  (simhash >> 0) & 32767 AS band0,
+      |  (simhash >> 15) & 32767 AS band1,
+      |  (simhash >> 30) & 32767 AS band2,
+      |  (simhash >> 45) & 32767 AS band3
+      |FROM sig ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup" -> exactDedup _,
+    "d02_minhash_lsh" -> minhashLsh _,
+    "d03_ngram_jaccard" -> ngramJaccard _,
+    "d04_simhash" -> simhash _
+  )
+
+  def oracles: Map[String, String] = Map(
+    "d01_exact_dedup" -> exactDedupSql,
+    "d02_minhash_lsh" -> minhashLshSql,
+    "d03_ngram_jaccard" -> ngramJaccardSql,
+    "d04_simhash" -> simhashSql
+  )
 }
