@@ -1,7 +1,288 @@
 package graft
+
+import org.apache.spark.ml.{Pipeline, PipelineModel, PipelineStage}
+import org.apache.spark.ml.classification.{LogisticRegression, RandomForestClassifier}
+import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, MulticlassClassificationEvaluator, RegressionEvaluator}
+import org.apache.spark.ml.feature.{Imputer, OneHotEncoder, StandardScaler, StringIndexer, VectorAssembler}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.ml.regression.{LinearRegression, RandomForestRegressor}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-/** Placeholder — filled in as operators land. */
+import org.apache.spark.sql.functions._
+
+/** The spark.ml surface (SURVEY.md §2.10, Q20): the reference's four
+  * train/evaluate pipelines re-keyed onto the events-as-trips features,
+  * plus the standalone vectorize/scale job, model persistence, and
+  * threshold scoring.
+  *
+  * Configs mirror the reference exactly:
+  *   - feature stages: StringIndexer(handleInvalid=keep) → OneHotEncoder
+  *     → Imputer(median) → VectorAssembler(handleInvalid=keep) →
+  *     StandardScaler(withMean, withStd)
+  *     (spark_jobs/03b_vectorize_scale.py:30-44)
+  *   - LinearRegression maxIter=50, regParam=0.1, elasticNet=0,
+  *     standardization=false (spark_jobs/04a_reg_total_lr_PIPE.py:59-66)
+  *   - LogisticRegression maxIter=50, regParam=0.1
+  *     (spark_jobs/04b_cls_tip_lr_PIPE2.py:66)
+  *   - RandomForestRegressor 60 trees / depth 8 / bins 32 / subsample
+  *     0.7 / sqrt / seed 42 / cacheNodeIds
+  *     (spark_jobs/04c_reg_total_rf_PIPE.py:48-58)
+  *   - RandomForestClassifier 80 trees / depth 10, same knobs
+  *     (spark_jobs/04d_cls_tip_rf_PIPE2.py:57-60)
+  *   - randomSplit([0.8, 0.2], seed=42) after na.drop on the label
+  *     (04a:71); classification feature set excludes the leaky
+  *     tip_rate exactly where the reference does (04d:30-34 vs
+  *     04b:42-44 — the documented AUC gap between the two).
+  *
+  * Results are one-row metric frames (rounded 4 dp) — the driver
+  * checks these rows-only (no SQL oracle: ML training is not
+  * SQL-expressible; SURVEY §7.5.7 pins metrics as plausibility bands,
+  * not hash targets). Scalatest asserts the bands (MlSpec).
+  *
+  * Scale posture: training data is the cleaned feature frame (one
+  * shuffle from dropDuplicates); spark.ml's own iterations cache the
+  * assembled vectors (M13), trees use cacheNodeIds. Nothing here
+  * collects rows to the driver beyond the final metric scalars.
+  */
 object MlQueries {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracles: Map[String, String] = Map()
+
+  /** Numeric feature columns (all cast double for Imputer). */
+  val numericFeatures: Seq[String] = Seq(
+    "trip_distance", "duration_min", "avg_speed_mph",
+    "pickup_hour", "pickup_dow", "is_weekend", "night_flag")
+
+  /** The reference's leaky extra regressor/classifier feature
+    * (04b includes tip_rate; 04d deliberately drops it).
+    */
+  val leakyFeatures: Seq[String] = Seq("tip_rate")
+
+  /** Cleaned trips-analog frame with double-cast ML columns.
+    * na.drop / na.fill here are the reference's exact API forms
+    * (P10/P11 — 04a:71, 03b:67-69).
+    */
+  def mlFrame(spark: SparkSession, dir: String): DataFrame = {
+    val base = Clean.strict(Features.enrich(Tables.events(spark, dir)))
+      .withColumn("label_total", col("total_amount"))
+      .withColumn("label", col("label_tip").cast("double"))
+    val casted = (numericFeatures ++ leakyFeatures).foldLeft(base) {
+      (df, c) => df.withColumn(c, col(c).cast("double"))
+    }
+    casted
+      .na.drop(Seq("label_total", "label"))
+      .na.fill(0, Seq("is_weekend", "night_flag"))
+  }
+
+  /** Feature stages 03b: index → OHE → impute(median) → assemble →
+    * scale. Imputer writes `_imp` copies (Spark disallows true
+    * in-place outputCols); the assembler consumes the imputed copies.
+    */
+  def featureStages(numerics: Seq[String]): Array[PipelineStage] = {
+    val imputed = numerics.map(_ + "_imp")
+    Array(
+      new StringIndexer()
+        .setInputCol("event_type").setOutputCol("pt_idx")
+        .setHandleInvalid("keep"),
+      new OneHotEncoder()
+        .setInputCol("pt_idx").setOutputCol("pt_ohe"),
+      new Imputer()
+        .setInputCols(numerics.toArray).setOutputCols(imputed.toArray)
+        .setStrategy("median"),
+      new VectorAssembler()
+        .setInputCols((imputed :+ "pt_ohe").toArray)
+        .setOutputCol("features_raw").setHandleInvalid("keep"),
+      new StandardScaler()
+        .setInputCol("features_raw").setOutputCol("features")
+        .setWithMean(true).setWithStd(true))
+  }
+
+  private def split(df: DataFrame): (DataFrame, DataFrame) = {
+    val Array(tr, te) = df.randomSplit(Array(0.8, 0.2), 42)
+    (tr, te)
+  }
+
+  private def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
+
+  /** Persist a model + its metrics.json the way the 04x jobs do
+    * (S9/S10): `<tmp>/graft_models/<name>/` + `metrics.json`.
+    */
+  private def persist(name: String, model: PipelineModel,
+                      metrics: Seq[(String, Double)]): String = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_models/$name"
+    model.write.overwrite().save(s"$dir/model")
+    val json = metrics
+      .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/metrics.json"), json)
+    dir
+  }
+
+  private def regMetrics(pred: DataFrame): Seq[(String, Double)] = {
+    def eval(m: String) = new RegressionEvaluator()
+      .setLabelCol("label_total").setPredictionCol("prediction")
+      .setMetricName(m).evaluate(pred)
+    Seq("rmse" -> r4(eval("rmse")), "mae" -> r4(eval("mae")),
+      "r2" -> r4(eval("r2")))
+  }
+
+  private def clsMetrics(pred: DataFrame): Seq[(String, Double)] = {
+    val auc = new BinaryClassificationEvaluator()
+      .setLabelCol("label").setRawPredictionCol("rawPrediction")
+      .setMetricName("areaUnderROC").evaluate(pred)
+    val acc = new MulticlassClassificationEvaluator()
+      .setLabelCol("label").setPredictionCol("prediction")
+      .setMetricName("accuracy").evaluate(pred)
+    Seq("auc" -> r4(auc), "accuracy" -> r4(acc))
+  }
+
+  // ---------------------------------------------------------------
+  /** ml01 — standalone vectorize/scale (03b): fit the feature
+    * pipeline, transform, report row count + assembled vector width.
+    */
+  def vectorizeScale(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val df = mlFrame(spark, dir)
+    val out = new Pipeline()
+      .setStages(featureStages(numericFeatures ++ leakyFeatures))
+      .fit(df).transform(df)
+      .withColumn("dim", size(vector_to_array(col("features"))))
+    val row = out.agg(
+      count(lit(1)).as("n_rows"), max("dim").as("feature_dim"),
+      min("dim").as("min_dim")).head()
+    Seq((row.getLong(0), row.getInt(1), row.getInt(2)))
+      .toDF("n_rows", "feature_dim", "min_dim")
+  }
+
+  // ---------------------------------------------------------------
+  private def trainRegression(spark: SparkSession, dir: String,
+                              name: String, model: PipelineStage,
+                              feats: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val (tr, te) = split(mlFrame(spark, dir))
+    val fitted = new Pipeline()
+      .setStages(featureStages(feats) :+ model).fit(tr)
+    val pred = fitted.transform(te)
+    val m = regMetrics(pred)
+    persist(name, fitted, m)
+    Seq((m(0)._2, m(1)._2, m(2)._2, te.count()))
+      .toDF("rmse", "mae", "r2", "n_test")
+  }
+
+  private def trainClassification(spark: SparkSession, dir: String,
+                                  name: String, model: PipelineStage,
+                                  feats: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val (tr, te) = split(mlFrame(spark, dir))
+    val fitted = new Pipeline()
+      .setStages(featureStages(feats) :+ model).fit(tr)
+    val pred = fitted.transform(te)
+    val m = clsMetrics(pred)
+    persist(name, fitted, m)
+    Seq((m(0)._2, m(1)._2, te.count()))
+      .toDF("auc", "accuracy", "n_test")
+  }
+
+  /** ml02 — LinearRegression on label_total (04a). */
+  def lrRegression(spark: SparkSession, dir: String): DataFrame =
+    trainRegression(spark, dir, "reg_total_lr",
+      new LinearRegression()
+        .setLabelCol("label_total").setFeaturesCol("features")
+        .setMaxIter(50).setRegParam(0.1).setElasticNetParam(0.0)
+        .setStandardization(false),
+      numericFeatures ++ leakyFeatures)
+
+  /** ml03 — LogisticRegression on label_tip (04b — includes the leaky
+    * tip_rate feature, reproducing the reference's near-1.0 AUC).
+    */
+  def lrClassification(spark: SparkSession, dir: String): DataFrame =
+    trainClassification(spark, dir, "cls_tip_lr",
+      new LogisticRegression()
+        .setLabelCol("label").setFeaturesCol("features")
+        .setMaxIter(50).setRegParam(0.1),
+      numericFeatures ++ leakyFeatures)
+
+  /** ml04 — RandomForestRegressor (04c). */
+  def rfRegression(spark: SparkSession, dir: String): DataFrame =
+    trainRegression(spark, dir, "reg_total_rf",
+      new RandomForestRegressor()
+        .setLabelCol("label_total").setFeaturesCol("features")
+        .setNumTrees(60).setMaxDepth(8).setMaxBins(32)
+        .setSubsamplingRate(0.7).setFeatureSubsetStrategy("sqrt")
+        .setSeed(42).setCacheNodeIds(true),
+      numericFeatures ++ leakyFeatures)
+
+  /** ml05 — RandomForestClassifier (04d — tip_rate excluded, the
+    * honest-AUC variant).
+    */
+  def rfClassification(spark: SparkSession, dir: String): DataFrame =
+    trainClassification(spark, dir, "cls_tip_rf",
+      new RandomForestClassifier()
+        .setLabelCol("label").setFeaturesCol("features")
+        .setNumTrees(80).setMaxDepth(10).setMaxBins(32)
+        .setSubsamplingRate(0.7).setFeatureSubsetStrategy("sqrt")
+        .setSeed(42).setCacheNodeIds(true),
+      numericFeatures)
+
+  // ---------------------------------------------------------------
+  /** ml06 — model persistence round-trip (S9, M6): save the fitted
+    * classifier pipeline, PipelineModel.load it back, score the same
+    * split with both, and count prediction disagreements (must be 0).
+    */
+  def persistenceRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (tr, te) = split(mlFrame(spark, dir))
+    val fitted = new Pipeline()
+      .setStages(featureStages(numericFeatures) :+
+        new LogisticRegression()
+          .setLabelCol("label").setFeaturesCol("features")
+          .setMaxIter(10).setRegParam(0.1))
+      .fit(tr)
+    val path = persist("roundtrip_lr", fitted, Seq())
+    val reloaded = PipelineModel.load(s"$path/model")
+    val a = fitted.transform(te).select(col("event_id"), col("prediction").as("p1"))
+    val b = reloaded.transform(te).select(col("event_id"), col("prediction").as("p2"))
+    val joined = a.join(b, "event_id")
+    val row = joined.agg(
+      count(lit(1)).as("n_scored"),
+      sum(when(col("p1") =!= col("p2"), 1).otherwise(0)).as("n_mismatch")).head()
+    Seq((row.getLong(0), row.getLong(1))).toDF("n_scored", "n_mismatch")
+  }
+
+  /** ml07 — threshold-override scoring (M12/M13, O6 —
+    * app5.py:355-426): rand(seed)-shuffled cached sample, P(class=1)
+    * from the probability vector, per-threshold positive counts.
+    */
+  def thresholdScoring(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (tr, te) = split(mlFrame(spark, dir))
+    val fitted = new Pipeline()
+      .setStages(featureStages(numericFeatures) :+
+        new LogisticRegression()
+          .setLabelCol("label").setFeaturesCol("features")
+          .setMaxIter(10).setRegParam(0.1))
+      .fit(tr)
+    val sample = te.orderBy(rand(42)).limit(500).cache()
+    val scored = fitted.transform(sample)
+      .withColumn("proba1", vector_to_array(col("probability")).getItem(1))
+    val row = scored.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("proba1") >= 0.3, 1).otherwise(0)).as("pos_at_030"),
+      sum(when(col("proba1") >= 0.5, 1).otherwise(0)).as("pos_at_050"),
+      sum(when(col("proba1") >= 0.7, 1).otherwise(0)).as("pos_at_070")).head()
+    sample.unpersist()
+    Seq((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)))
+      .toDF("n", "pos_at_030", "pos_at_050", "pos_at_070")
+  }
+
+  // ---------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml01_vectorize_scale" -> vectorizeScale _,
+    "ml02_lr_regression" -> lrRegression _,
+    "ml03_lr_classification" -> lrClassification _,
+    "ml04_rf_regression" -> rfRegression _,
+    "ml05_rf_classification" -> rfClassification _,
+    "ml06_persistence" -> persistenceRoundTrip _,
+    "ml07_threshold_scoring" -> thresholdScoring _
+  )
+
+  def oracles: Map[String, String] = Map() // rows-only by design (ML)
 }
