@@ -1,7 +1,216 @@
 package graft
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
-/** Placeholder — filled in as operators land. */
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`ArrayType(FloatType)`,
+  * dim 64) — the ANN surface mandated by the build brief (SURVEY.md §7.4):
+  *
+  *   - s01: brute-force cosine top-k — the exact baseline. The bounded
+  *     query set (10 vectors) is broadcast against the candidate scan,
+  *     so the "cross join" is a BroadcastNestedLoopJoin over 10 rows:
+  *     one pass over the data, no shuffle of the big side. At 100 TB
+  *     this is the right plan for small query batches; per-query top-k
+  *     is a window rank on a q_id-partitioned shuffle of (id, score)
+  *     pairs only.
+  *   - s02: LSH-bucketed ANN — the scale path. 8 fixed random
+  *     hyperplanes give a 256-bucket signature computed map-side as a
+  *     single projection (no shuffle, no join); search joins query and
+  *     candidates on bucket equality — an equi hash join, never a
+  *     cartesian. Recall is tunable by plane count / multi-probe.
+  *   - s03: embedding-cosine near-dup candidate ranking — within-bucket
+  *     self-join (equi, a.id < b.id) ranking the most-similar pairs.
+  *
+  * Determinism across engines: hyperplanes are Scala-side md5-derived
+  * constants embedded as 6-dp decimal literals in BOTH the Spark
+  * expressions and the DuckDB oracle SQL (decimal literals parse to
+  * identical doubles everywhere); dot products and norms fold the same
+  * element order in both engines, and cosines are floor-rounded to 4 dp
+  * ([[Exact.round4]]) before any ordering, with vec_id tie-breaks.
+  */
 object Similarity {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracles: Map[String, String] = Map()
+
+  val dim = 64
+  val nPlanes = 8
+  val nQueries = 10
+
+  /** Deterministic pseudo-random hyperplanes: component (p, i) is an
+    * md5-derived integer mapped to a 6-dp value in [-1, 1]. Fixed
+    * constants — regenerated identically forever, no RNG state.
+    */
+  lazy val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
+    (0 until dim).map { i =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"plane:$p:$i".getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+      ((h % 2000001L) - 1000000L) / 1e6
+    }
+  }
+
+  private def sparkArr(h: Seq[Double]): String =
+    "array(" + h.map(v => f"$v%.6fD").mkString(",") + ")"
+  private def duckArr(h: Seq[Double]): String =
+    "[" + h.map(v => f"$v%.6f").mkString(",") + "]"
+
+  /** Spark: sequential-fold dot of the embedding with a literal plane. */
+  private def sparkPlaneDot(h: Seq[Double]): String =
+    s"""aggregate(zip_with(embedding, ${sparkArr(h)},
+       |  (x, y) -> CAST(x AS DOUBLE) * y),
+       |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+  /** DuckDB: same fold, same element order. */
+  private def duckPlaneDot(h: Seq[Double]): String =
+    s"""list_aggregate(list_transform(range(1, ${dim + 1}),
+       |  i -> CAST(embedding[i] AS DOUBLE) * CAST((${duckArr(h)})[i] AS DOUBLE)), 'sum')""".stripMargin
+
+  /** 8-bit LSH bucket as one map-side expression (no join, no shuffle). */
+  private val sparkBucketExpr: String = planes.zipWithIndex.map {
+    case (h, p) => s"(CASE WHEN ${sparkPlaneDot(h)} > 0 THEN ${1 << p} ELSE 0 END)"
+  }.mkString(" + ")
+  private val duckBucketExpr: String = planes.zipWithIndex.map {
+    case (h, p) => s"(CASE WHEN ${duckPlaneDot(h)} > 0 THEN ${1 << p} ELSE 0 END)"
+  }.mkString(" + ")
+
+  /** Spark: dot of two embedding columns by name. */
+  private def sparkDot(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+  private def duckDot(a: String, b: String): String =
+    s"""list_aggregate(list_transform(range(1, ${dim + 1}),
+       |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')""".stripMargin
+
+  private val sparkNorm: String =
+    s"""sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |  CAST(0 AS DOUBLE), (acc, v) -> acc + v))""".stripMargin
+  private val duckNorm: String =
+    """sqrt(list_aggregate(list_transform(embedding,
+      |  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))""".stripMargin
+
+  /** embeddings + norm (+ LSH bucket when asked) — map-side only. */
+  private def withNorm(spark: SparkSession, dir: String,
+                       bucket: Boolean = false): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .withColumn("nrm", expr(sparkNorm))
+    if (bucket) base.withColumn("bucket", expr(sparkBucketExpr)) else base
+  }
+
+  // ---------------------------------------------------------------
+  /** s01 — brute-force cosine top-5 for 10 query vectors. */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(spark, dir)
+    val q = emb.filter(col("vec_id") < nQueries).select(
+      col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm"))
+    val cand = emb.filter(col("vec_id") >= nQueries)
+    cand.crossJoin(broadcast(q))
+      .withColumn("cosine", Exact.round4(
+        expr(sparkDot("embedding", "q_emb")) / (col("nrm") * col("q_nrm"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cosine"), col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "vec_id", "cosine")
+      .orderBy("q_id", "rank")
+  }
+
+  val cosineTopKSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+       |  FROM n WHERE vec_id < $nQueries
+       |), s AS (
+       |  SELECT q_id, c.vec_id,
+       |    ${Exact.round4Sql(duckDot("c.embedding", "q_emb") + " / (c.nrm * q_nrm)")} AS cosine
+       |  FROM n c CROSS JOIN q WHERE c.vec_id >= $nQueries
+       |), r AS (
+       |  SELECT q_id, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS "rank"
+       |  FROM s)
+       |SELECT q_id, "rank", vec_id, cosine FROM r WHERE "rank" <= 5
+       |ORDER BY q_id, "rank"""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** s02 — LSH-bucketed ANN: top-3 same-bucket candidates per query.
+    * The bucket equality join replaces s01's scan of every candidate —
+    * the 100 TB search path (expected bucket occupancy n/256).
+    */
+  def lshAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(spark, dir, bucket = true)
+    val q = emb.filter(col("vec_id") < nQueries).select(
+      col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm"), col("bucket"))
+    val cand = emb.filter(col("vec_id") >= nQueries)
+    cand.join(broadcast(q), "bucket")
+      .withColumn("cosine", Exact.round4(
+        expr(sparkDot("embedding", "q_emb")) / (col("nrm") * col("q_nrm"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cosine"), col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select("q_id", "rank", "vec_id", "bucket", "cosine")
+      .orderBy("q_id", "rank")
+  }
+
+  val lshAnnSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding, $duckNorm AS nrm,
+       |    $duckBucketExpr AS bucket
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, bucket
+       |  FROM n WHERE vec_id < $nQueries
+       |), s AS (
+       |  SELECT q_id, c.vec_id, c.bucket,
+       |    ${Exact.round4Sql(duckDot("c.embedding", "q_emb") + " / (c.nrm * q_nrm)")} AS cosine
+       |  FROM n c JOIN q ON c.bucket = q.bucket AND c.vec_id >= $nQueries
+       |), r AS (
+       |  SELECT q_id, vec_id, bucket, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS "rank"
+       |  FROM s)
+       |SELECT q_id, "rank", vec_id, bucket, cosine FROM r WHERE "rank" <= 3
+       |ORDER BY q_id, "rank"""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** s03 — embedding-cosine near-dup candidates: the 10 most-similar
+    * within-bucket pairs. Self-equi-join on bucket with a.id < b.id —
+    * candidate generation is O(Σ bucket²), never all-pairs.
+    */
+  def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(spark, dir, bucket = true)
+      .select("vec_id", "embedding", "nrm", "bucket")
+    val a = emb.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = emb.select(col("bucket"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Exact.round4(
+        expr(sparkDot("emb_a", "emb_b")) / (col("nrm_a") * col("nrm_b"))))
+      .select("id_a", "id_b", "bucket", "cosine")
+      .orderBy(desc("cosine"), col("id_a"), col("id_b"))
+      .limit(10)
+  }
+
+  val nearDupPairsSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding, $duckNorm AS nrm,
+       |    $duckBucketExpr AS bucket
+       |  FROM embeddings)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket,
+       |  ${Exact.round4Sql(duckDot("a.embedding", "b.embedding") + " / (a.nrm * b.nrm)")} AS cosine
+       |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |ORDER BY cosine DESC, id_a, id_b LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_cosine_topk" -> cosineTopK _,
+    "s02_lsh_ann" -> lshAnn _,
+    "s03_neardup_pairs" -> nearDupPairs _
+  )
+
+  def oracles: Map[String, String] = Map(
+    "s01_cosine_topk" -> cosineTopKSql,
+    "s02_lsh_ann" -> lshAnnSql,
+    "s03_neardup_pairs" -> nearDupPairsSql
+  )
 }
