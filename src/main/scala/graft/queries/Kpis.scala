@@ -177,7 +177,7 @@ object Kpis {
   // multi-agg over all columns, then a stack() unpivot of the 1-row
   // result (round-1 verdict flagged the union-of-scans form as 3×
   // wasted I/O). The reference's approxQuantile (Greenwald-Khanna)
-  // is exposed separately in Relational (r02) as a rows-only query.
+  // is exposed separately in Relational (r04) as a rows-only query.
   private val quantileCols = Seq("l_quantity", "l_extendedprice", "l_discount")
 
   def quantiles(spark: SparkSession, dir: String): DataFrame = {
