@@ -28,5 +28,5 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     Kpis.oracles ++ Relational.oracles ++ Text.oracles ++
-      Dedup.oracles ++ Similarity.oracles
+      Dedup.oracles ++ Similarity.oracles ++ StreamingQueries.oracles
 }

@@ -1,7 +1,169 @@
 package graft
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
-/** Placeholder — filled in as operators land. */
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-windowed and window-function operators over `events`, plus a
+  * genuine Structured Streaming path (SURVEY.md §7.4 extensions —
+  * the reference itself has no streaming, §2.11).
+  *
+  * Batch window aggs (w01/w02) use `window(ts, ...)` — the same
+  * tumbling/sliding semantics Structured Streaming uses, so the w05
+  * streaming variant reuses w01's logic verbatim. Window functions
+  * (w03/w04) are the keep-first dedup and running-sum shapes every
+  * event pipeline needs.
+  *
+  * Scale notes:
+  *   - w01/w02 group by (window) — a hash shuffle on the window key;
+  *     partial aggregation bounds the shuffle by distinct windows.
+  *   - w03/w04 partition by user_id — the natural key distribution;
+  *     skewed users are AQE's problem (skew-join/partition split on).
+  *   - w05 is the real `readStream → withWatermark → window →
+  *     writeStream` pipeline; on a cluster the same code runs against
+  *     a file/Kafka source with checkpointing. Complete-output to a
+  *     memory sink here so the driver can hash-check the result like
+  *     any batch query; the watermark bounds state for append-mode
+  *     production use.
+  */
 object StreamingQueries {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracles: Map[String, String] = Map()
+
+  /** w01 — tumbling 1-hour windows: events per hour + exact value sum. */
+  def tumblingHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("events"),
+        Exact.sumMoney(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("events"), col("total_value"))
+      .orderBy("window_start")
+
+  val tumblingHourlySql: String =
+    s"""SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       |  COUNT(*) AS events,
+       |  ${Exact.sumMoneySql("value")} AS total_value
+       |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** w02 — sliding windows (1 h length, 30 min slide): every event
+    * lands in two overlapping windows. The oracle reproduces the
+    * slide as the union of the two 30-min-offset tumbling alignments.
+    */
+  def slidingWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("events"),
+        Exact.sumMoney(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("events"), col("total_value"))
+      .orderBy("window_start")
+
+  val slidingWindowsSql: String =
+    s"""SELECT window_start, COUNT(*) AS events,
+       |  ${Exact.sumMoneySql("value")} AS total_value
+       |FROM (
+       |  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start, value
+       |  FROM events
+       |  UNION ALL
+       |  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP), INTERVAL '30 minutes'), value
+       |  FROM events)
+       |GROUP BY 1 ORDER BY window_start""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** w03 — dedup-keep-first per user: the first event of each user by
+    * (ts, event_id) via row_number — the window-function dedup shape
+    * (SURVEY §7.4 "dedup-keep-first").
+    */
+  def keepFirstPerUser(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("first_event_id"),
+        col("ts").as("first_ts"))
+      .orderBy("user_id")
+
+  val keepFirstPerUserSql: String =
+    """SELECT user_id, event_id AS first_event_id,
+      |  CAST(ts AS TIMESTAMP) AS first_ts
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id
+      |                           ORDER BY CAST(ts AS TIMESTAMP), event_id) = 1
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** w04 — per-user running value totals (users 0–4): unbounded-
+    * preceding running sum over event time, exact integer cents.
+    */
+  def runningTotals(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 5)
+      .withColumn("running_cents", sum(Exact.cents(col("value")).cast("long"))
+        .over(Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("running_cents") / 100.0).as("running_total"))
+      .orderBy("user_id", "ts", "event_id")
+
+  val runningTotalsSql: String =
+    s"""SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+       |  SUM(${Exact.centsSql("value")}) OVER (
+       |    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+       |    ROWS UNBOUNDED PRECEDING) / 100.0 AS running_total
+       |FROM events WHERE user_id < 5
+       |ORDER BY user_id, ts, event_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** w05 — real Structured Streaming: file-source `readStream` over
+    * the events parquet, 1-hour event-time watermark, tumbling window
+    * count, `writeStream` into a memory sink, run to completion.
+    * Same semantics as w01 (the oracle is w01's, counts only).
+    */
+  def streamingHourly(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    // The file stream source requires a directory; the test table is a
+    // single parquet file — stage a symlink dir (testdata is read-only).
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    val schema = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val events =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val agg = events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("events"))
+      .select(col("window.start").as("window_start"), col("events"))
+    val q = agg.writeStream
+      .format("memory").queryName("w05_mem").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("w05_mem").orderBy("window_start")
+  }
+
+  val streamingHourlySql: String =
+    """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      |  COUNT(*) AS events
+      |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin
+
+  // ---------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w01_tumbling_hourly" -> tumblingHourly _,
+    "w02_sliding_windows" -> slidingWindows _,
+    "w03_keep_first_per_user" -> keepFirstPerUser _,
+    "w04_running_totals" -> runningTotals _,
+    "w05_streaming_hourly" -> streamingHourly _
+  )
+
+  def oracles: Map[String, String] = Map(
+    "w01_tumbling_hourly" -> tumblingHourlySql,
+    "w02_sliding_windows" -> slidingWindowsSql,
+    "w03_keep_first_per_user" -> keepFirstPerUserSql,
+    "w04_running_totals" -> runningTotalsSql,
+    "w05_streaming_hourly" -> streamingHourlySql
+  )
 }
