@@ -24,9 +24,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Kpis.queries ++ Relational.queries ++ Text.queries ++
       Dedup.queries ++ Similarity.queries ++ MlQueries.queries ++
-      StreamingQueries.queries
+      StreamingQueries.queries ++ IoQueries.queries
 
   def oracleSql: Map[String, String] =
     Kpis.oracles ++ Relational.oracles ++ Text.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ StreamingQueries.oracles
+      Dedup.oracles ++ Similarity.oracles ++ StreamingQueries.oracles ++
+      IoQueries.oracles
 }

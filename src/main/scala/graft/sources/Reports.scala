@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Output/report surface (SURVEY.md §2.1 S7/S11, §2.8 F6): the
+  * reference's single-part CSV sink and the pandas-safe display
+  * projection (streamlit_app/app5.py:129-152) re-specified for Scala
+  * as "safe projection + limit + collect".
+  *
+  * `coalesce(1)` caps the final stage at one task — correct for the
+  * reference's small KPI/sample exports, an anti-pattern for bulk
+  * data; [[writeCsvParts]] is the scale path (partitioned output, no
+  * parallelism collapse).
+  */
+object Reports {
+
+  val DisplayTsFormat = "yyyy-MM-dd HH:mm:ss"
+
+  /** S7 — the reference's exact sink shape: limit → coalesce(1) →
+    * header CSV, overwrite (spark_jobs/02d_sql_aggs.py:30-37).
+    * Timestamps pinned to a microsecond-lossless format so a
+    * round-trip read reproduces the input exactly.
+    */
+  def writeCsvSample(df: DataFrame, path: String, limit: Int = 100000): Unit =
+    df.limit(limit).coalesce(1).write
+      .mode("overwrite")
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .csv(path)
+
+  /** Partitioned CSV sink — the 100 TB variant (one file per task). */
+  def writeCsvParts(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .csv(path)
+
+  /** S11 — display-safe projection (app5.py:132-146): drop
+    * array/map/struct/vector columns, decimal → double, timestamp →
+    * formatted string (F6). Everything else passes through.
+    */
+  def safeProjection(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.flatMap { f =>
+      f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType => None
+        case _: DecimalType => Some(col(f.name).cast("double").as(f.name))
+        case _: TimestampType =>
+          Some(date_format(col(f.name), DisplayTsFormat).as(f.name))
+        case _ => Some(col(f.name))
+      }
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  /** Driver-side preview: safe projection + limit + collect — the
+    * `toPandas` stand-in (SURVEY §7.5.6). Bounded driver memory by
+    * construction.
+    */
+  def preview(df: DataFrame, n: Int = 20): Array[Row] =
+    safeProjection(df).limit(n).collect()
+
+  /** O8 — show passthrough (display surface parity). */
+  def show(df: DataFrame, n: Int = 20): Unit = df.show(n, truncate = false)
+}
+
+/** Oracle-checked queries exercising the CSV + display surface. */
+object IoQueries {
+
+  /** c01 — CSV round-trip: events sample → reference-shaped CSV sink
+    * (S7) → inferSchema read-back (S1) → aggregate. The oracle runs
+    * the same aggregate on the parquet directly, so the round-trip
+    * must be lossless (types, timestamps, quoted JSON strings).
+    */
+  def csvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_csv/events_sample"
+    val sample = Tables.events(spark, dir).filter(col("user_id") < 50)
+    Reports.writeCsvSample(sample, out, limit = 1000000)
+    Sources.readCsv(spark, out, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .groupBy(col("event_type").as("payment"))
+      .agg(count(lit(1)).as("n"),
+        Exact.sumMoney(col("value")).as("total_value"),
+        countDistinct("user_id").as("users"))
+      .orderBy("payment")
+  }
+
+  val csvRoundTripSql: String =
+    s"""SELECT event_type AS payment, COUNT(*) AS n,
+       |  ${Exact.sumMoneySql("value")} AS total_value,
+       |  COUNT(DISTINCT user_id) AS users
+       |FROM events WHERE user_id < 50
+       |GROUP BY 1 ORDER BY payment""".stripMargin
+
+  /** c02 — display-safe projection semantics (S11 + F6), oracle-
+    * checked: array column dropped, decimal → double, timestamp →
+    * 'yyyy-MM-dd HH:mm:ss' string.
+    */
+  def safeDisplay(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.events(spark, dir)
+      .filter(col("user_id") < 3)
+      .withColumn("arr", array(col("value")))          // must be dropped
+      .withColumn("val_dec", col("value").cast("decimal(12,2)"))
+    Reports.safeProjection(df)
+      .orderBy("event_id")
+  }
+
+  val safeDisplaySql: String =
+    """SELECT event_id,
+      |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts,
+      |  user_id, event_type, value, props,
+      |  CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS val_dec
+      |FROM events WHERE user_id < 3 ORDER BY event_id""".stripMargin
+
+  /** c03 — seeded shuffle sample (O6/F12, app5.py:355-356):
+    * orderBy(rand(42)).limit(n). rand(seed) is partition-layout
+    * dependent → rows-only check by design (SURVEY §5.1); the
+    * SamplingSpec properties pin size/subset/determinism-in-session.
+    */
+  def randSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .orderBy(rand(42))
+      .limit(100)
+      .select("event_id", "user_id", "event_type", "value")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c01_csv_roundtrip" -> csvRoundTrip _,
+    "c02_safe_display" -> safeDisplay _,
+    "c03_rand_sample" -> randSample _
+  )
+
+  def oracles: Map[String, String] = Map(
+    "c01_csv_roundtrip" -> csvRoundTripSql,
+    "c02_safe_display" -> safeDisplaySql
+    // c03 rows-only: rand(seed) is partition-dependent by design
+  )
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** CSV ingest surface (SURVEY.md §2.1 S1–S4) — the reference's input
+  * path (`spark_jobs/01_ingest.py:25-29`): header + inferSchema +
+  * pinned timestampFormat. One reader serves files and directories
+  * (S2/S3 — Spark globs part files natively; hard-coded part names
+  * are deliberately not reproduced, SURVEY S3 note).
+  *
+  * Scale posture: [[readCsv]] (inferSchema) exists for reference
+  * parity and unknown uploads only — schema inference is a full extra
+  * scan of the input. Production ingest at 100 TB uses
+  * [[readCsvWithSchema]]: explicit StructType, single scan, stable
+  * types across files.
+  */
+object Sources {
+
+  val DefaultTsFormat = "yyyy-MM-dd HH:mm:ss"
+
+  /** S1/S2/S3 — header/inferSchema CSV read of a file or directory. */
+  def readCsv(spark: SparkSession, path: String,
+              timestampFormat: String = DefaultTsFormat): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .option("timestampFormat", timestampFormat)
+      .csv(path)
+
+  /** Explicit-schema CSV read — the 100 TB ingest path (no inference
+    * scan, no per-file type drift).
+    */
+  def readCsvWithSchema(spark: SparkSession, path: String,
+                        schema: StructType,
+                        timestampFormat: String = DefaultTsFormat): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("timestampFormat", timestampFormat)
+      .schema(schema)
+      .csv(path)
+
+  /** S4 — uploaded-CSV via temp file (streamlit upload pattern,
+    * app5.py:118-127): bytes → temp file → standard CSV read.
+    */
+  def uploadedCsv(spark: SparkSession, bytes: Array[Byte],
+                  timestampFormat: String = DefaultTsFormat): DataFrame = {
+    val tmp = java.nio.file.Files.createTempFile("graft_upload", ".csv")
+    java.nio.file.Files.write(tmp, bytes)
+    readCsv(spark, tmp.toString, timestampFormat)
+  }
+}
