@@ -10,6 +10,8 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// One shared SparkSession across suites; run them sequentially.
+Test / parallelExecution := false
 run / fork := true
 // Forked `run` output goes straight to this process's stdout — no sbt
 // `[info] ` prefix — so Bench's one-line JSON stays machine-parseable.

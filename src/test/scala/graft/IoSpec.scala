@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CSV source/sink round-trip (S1–S4, S7) and the display-safe
+  * projection (S11, F6, O8).
+  */
+class IoSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("CSV round-trip: write sample, read back, identical content") {
+    val src = Tables.events(spark, sfDir).filter(col("user_id") < 10)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_iospec").toString + "/events"
+    Reports.writeCsvSample(src, out)
+    val back = Sources.readCsvWithSchema(spark, out, src.schema,
+      "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    assert(back.schema === src.schema)
+    assert(back.count() === src.count())
+    assert(src.exceptAll(back).count() === 0)
+    assert(back.exceptAll(src).count() === 0)
+  }
+
+  test("CSV sink writes exactly one part file with a header (S7 shape)") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_iospec").toString + "/one"
+    Reports.writeCsvSample(Tables.region(spark, sfDir), out, limit = 3)
+    val parts = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".csv"))
+    assert(parts.length === 1)
+    val lines = java.nio.file.Files.readAllLines(parts.head.toPath)
+    assert(lines.get(0) === "r_regionkey,r_name")
+    assert(lines.size() === 4) // header + limit(3)
+  }
+
+  test("inferSchema CSV read recovers numeric and string types (S1)") {
+    val csv = "id,name,score\n1,alpha,1.5\n2,beta,2.5\n"
+    val df = Sources.uploadedCsv(spark, csv.getBytes("UTF-8"))
+    assert(df.schema.map(_.dataType) ===
+      Seq(IntegerType, StringType, DoubleType))
+    assert(df.count() === 2)
+  }
+
+  test("safeProjection: drops arrays, casts decimal, formats timestamp") {
+    val df = Tables.events(spark, sfDir).limit(5)
+      .withColumn("arr", array(col("value")))
+      .withColumn("m", map(lit("a"), col("value")))
+      .withColumn("dec", col("value").cast("decimal(12,2)"))
+    val safe = Reports.safeProjection(df)
+    val types = safe.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(!types.contains("arr") && !types.contains("m"))
+    assert(types("dec") === DoubleType)
+    assert(types("ts") === StringType)
+    val ts = safe.select("ts").head().getString(0)
+    assert(ts.matches("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}"""))
+  }
+
+  test("preview bounds driver-side rows (toPandas stand-in, S11)") {
+    val rows = Reports.preview(Tables.events(spark, sfDir), n = 7)
+    assert(rows.length === 7)
+  }
+}

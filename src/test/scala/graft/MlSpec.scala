@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ML surface: randomSplit properties (O7 — excluded from the hash
+  * oracle by design, SURVEY §5.1) and metric plausibility bands
+  * (§7.5.7: spark.ml algorithms are identical but fold membership
+  * differs, so §6 numbers are bands, not hash targets).
+  */
+class MlSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val frame = MlQueries.mlFrame(spark, sfDir).cache()
+
+  test("randomSplit 80/20: partitions the frame (sizes sum, disjoint)") {
+    val total = frame.count()
+    val Array(tr, te) = frame.randomSplit(Array(0.8, 0.2), 42)
+    val (nTr, nTe) = (tr.count(), te.count())
+    assert(nTr + nTe === total)
+    assert(tr.select("event_id").intersect(te.select("event_id")).count() === 0)
+    // 80/20 within a loose band
+    assert(nTr.toDouble / total > 0.7 && nTr.toDouble / total < 0.9)
+  }
+
+  test("randomSplit is deterministic for a fixed seed within a session") {
+    val a = frame.randomSplit(Array(0.8, 0.2), 42)(1)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = frame.randomSplit(Array(0.8, 0.2), 42)(1)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b)
+  }
+
+  test("vectorize/scale: constant feature width, rows preserved") {
+    val r = MlQueries.vectorizeScale(spark, sfDir).head()
+    assert(r.getAs[Long]("n_rows") > 0)
+    assert(r.getAs[Int]("feature_dim") === r.getAs[Int]("min_dim"))
+    assert(r.getAs[Int]("feature_dim") >=
+      MlQueries.numericFeatures.size + MlQueries.leakyFeatures.size)
+  }
+
+  test("RF regression lands in the plausibility band (reference R² 0.91)") {
+    val r = MlQueries.rfRegression(spark, sfDir).head()
+    val r2 = r.getAs[Double]("r2")
+    assert(r2 > 0.1 && r2 <= 1.0, s"r2=$r2")
+    assert(r.getAs[Double]("rmse") > 0)
+    assert(r.getAs[Double]("mae") > 0)
+  }
+
+  test("leaky LR classifier reproduces the reference's near-1.0 AUC") {
+    val r = MlQueries.lrClassification(spark, sfDir).head()
+    assert(r.getAs[Double]("auc") > 0.95, s"auc=${r.getAs[Double]("auc")}")
+    assert(r.getAs[Double]("accuracy") > 0.9)
+  }
+
+  test("pipeline save/load round-trip scores identically") {
+    val r = MlQueries.persistenceRoundTrip(spark, sfDir).head()
+    assert(r.getAs[Long]("n_scored") > 0)
+    assert(r.getAs[Long]("n_mismatch") === 0)
+  }
+}

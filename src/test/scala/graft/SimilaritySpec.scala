@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Similarity-search invariants: hyperplane determinism, cosine
+  * self-identity, rank shape, bucket range.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("hyperplanes: 8 planes × 64 dims, all in [-1, 1], deterministic") {
+    val p = Similarity.planes
+    assert(p.size === 8)
+    assert(p.forall(_.size === 64))
+    assert(p.flatten.forall(v => v >= -1.0 && v <= 1.0))
+    // distinct planes (not all the same constant)
+    assert(p.flatten.distinct.size > 100)
+  }
+
+  test("brute-force top-k: rank 1..5 per query, cosine within [-1, 1]") {
+    val df = Similarity.cosineTopK(spark, sfDir).cache()
+    val perQuery = df.groupBy("q_id").agg(
+      count(lit(1)).as("n"), min("rank").as("lo"), max("rank").as("hi"))
+    assert(perQuery.filter(col("n") =!= 5 || col("lo") =!= 1 || col("hi") =!= 5)
+      .count() === 0)
+    assert(df.filter(col("cosine") < -1.0 || col("cosine") > 1.0).count() === 0)
+    // ranks are ordered by non-increasing cosine within each query
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy("rank")
+    assert(df.withColumn("prev", lag("cosine", 1).over(w))
+      .filter(col("prev").isNotNull && col("cosine") > col("prev"))
+      .count() === 0)
+    df.unpersist()
+  }
+
+  test("cosine self-similarity is 1.0 after round4") {
+    val emb = Tables.embeddings(spark, sfDir).limit(20)
+    val self = emb.select(col("vec_id"), col("embedding").as("a"),
+        col("embedding").as("b"))
+      .withColumn("dot", expr(
+        """aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          |CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin))
+      .withColumn("nrm", sqrt(col("dot")))
+      .select(Exact.round4(col("dot") / (col("nrm") * col("nrm"))).as("cos"))
+    assert(self.filter(col("cos") =!= 1.0).count() === 0)
+  }
+
+  test("LSH buckets are within [0, 255] and stable across evaluations") {
+    val a = Similarity.lshAnn(spark, sfDir).collect()
+    val b = Similarity.lshAnn(spark, sfDir).collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.forall { r =>
+      val bkt = r.getAs[Int]("bucket"); bkt >= 0 && bkt <= 255
+    })
+  }
+
+  test("LSH ANN results are a subset of brute-force candidate space") {
+    // every (q_id, vec_id) pair found by LSH exists in the full space
+    // with the same cosine the brute-force path computes
+    val lsh = Similarity.lshAnn(spark, sfDir)
+      .select("q_id", "vec_id", "cosine")
+    val brute = Similarity.cosineTopK(spark, sfDir)
+      .select(col("q_id"), col("vec_id"), col("cosine").as("bf_cos"))
+    val joined = lsh.join(brute, Seq("q_id", "vec_id"), "inner")
+    assert(joined.filter(col("cosine") =!= col("bf_cos")).count() === 0)
+  }
+}

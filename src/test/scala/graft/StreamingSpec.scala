@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming semantics driven through MemoryStream: the
+  * windowed aggregation used by w05 behaves identically to its batch
+  * twin, and watermark + append mode finalizes closed windows.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("streaming tumbling window equals batch aggregation (complete mode)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    mem.addData(
+      (ts("2024-01-01 00:10:00"), 1.0), (ts("2024-01-01 00:50:00"), 2.0),
+      (ts("2024-01-01 01:05:00"), 3.0), (ts("2024-01-01 03:30:00"), 4.0))
+    val agg = mem.toDF().toDF("ts", "value")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("events"), sum("value").as("total"))
+      .select(col("window.start").as("ws"), col("events"), col("total"))
+    val q = agg.writeStream.format("memory")
+      .queryName("spec_mem").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = s.table("spec_mem").orderBy("ws").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq(
+      ("2024-01-01 00:00:00.0", 2L, 3.0),
+      ("2024-01-01 01:00:00.0", 1L, 3.0),
+      ("2024-01-01 03:00:00.0", 1L, 4.0)))
+  }
+
+  test("append mode with watermark emits only finalized windows") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val agg = mem.toDF().toDF("ts", "value")
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("events"))
+      .select(col("window.start").as("ws"), col("events"))
+    val q = agg.writeStream.format("memory")
+      .queryName("spec_append").outputMode("append").start()
+    try {
+      mem.addData((ts("2024-01-01 00:10:00"), 1.0))
+      q.processAllAvailable()
+      // watermark = 00:10 - 30min → window [00:00,01:00) still open
+      assert(s.table("spec_append").count() === 0)
+      mem.addData((ts("2024-01-01 02:00:00"), 2.0))
+      q.processAllAvailable()
+      // watermark = 01:30 → the 00:00 window is finalized and emitted
+      val got = s.table("spec_append").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1)))
+      assert(got.toSeq === Seq(("2024-01-01 00:00:00.0", 1L)))
+    } finally q.stop()
+  }
+
+  test("batch w01 and streaming w05 agree on the hourly profile") {
+    val batch = StreamingQueries.tumblingHourly(spark, sfDir)
+      .select("window_start", "events").collect().map(r =>
+        (r.getTimestamp(0), r.getLong(1))).toSeq
+    val stream = StreamingQueries.streamingHourly(spark, sfDir)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+    assert(stream === batch)
+  }
+}

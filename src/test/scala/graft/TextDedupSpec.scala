@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Text-analysis and dedup invariants on the sf0.001 documents table
+  * plus tokenization edge fixtures.
+  */
+class TextDedupSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def strDf(vals: String*) = {
+    val s = spark
+    import s.implicits._
+    vals.toDF("text")
+  }
+
+  test("tokens: splits on single space and drops empties") {
+    val out = strDf(" a  b ", "", "one")
+      .select(size(Text.tokens(col("text")))).collect().map(_.getInt(0))
+    assert(out.toSeq === Seq(2, 0, 1))
+  }
+
+  test("fp64 fingerprint is non-negative and below 2^60") {
+    val rows = Tables.documents(spark, sfDir)
+      .select(Text.fp64(col("text")).as("fp"))
+      .agg(min("fp"), max("fp")).head()
+    assert(rows.getLong(0) >= 0L)
+    assert(rows.getLong(1) < (1L << 60))
+  }
+
+  test("quality scores are bounded: ratios and blended score in [0,1]") {
+    val bad = Text.qualityScores(spark, sfDir).filter(
+      col("stopword_ratio") < 0 || col("stopword_ratio") > 1 ||
+        col("uniq_ratio") <= 0 || col("uniq_ratio") > 1 ||
+        col("quality_score") < 0 || col("quality_score") > 1).count()
+    assert(bad === 0)
+  }
+
+  test("exact dedup partitions the corpus: copies sum to doc count") {
+    val total = Tables.documents(spark, sfDir).count()
+    val agg = Dedup.exactDedup(spark, sfDir)
+      .agg(sum("copies"), count(lit(1))).head()
+    assert(agg.getLong(0) === total)
+    assert(agg.getLong(1) <= total)
+  }
+
+  test("minhash LSH candidates are ordered pairs with 1..4 band hits") {
+    val bad = Dedup.minhashLsh(spark, sfDir).filter(
+      col("d1") >= col("d2") || col("n_bands") < 1 || col("n_bands") > 4).count()
+    assert(bad === 0)
+  }
+
+  test("ngram jaccard pairs respect the threshold and symmetry-break") {
+    val df = Dedup.ngramJaccard(spark, sfDir)
+    assert(df.filter(col("jaccard") < Dedup.jaccardThreshold ||
+      col("jaccard") > 1.0).count() === 0)
+    assert(df.filter(col("d1") >= col("d2")).count() === 0)
+  }
+
+  test("simhash signatures fit 60 bits, bands fit 15 bits") {
+    val r = Dedup.simhash(spark, sfDir).agg(
+      min("simhash"), max("simhash"),
+      max(greatest(col("band0"), col("band1"), col("band2"), col("band3")))).head()
+    assert(r.getLong(0) >= 0L)
+    assert(r.getLong(1) < (1L << 60))
+    assert(r.getLong(2) <= 32767L)
+  }
+
+  test("identical texts collide on fingerprint, different texts don't") {
+    val out = strDf("same text here", "same text here", "other words")
+      .select(md5(col("text"))).collect().map(_.getString(0))
+    assert(out(0) === out(1))
+    assert(out(0) !== out(2))
+  }
+}
