@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (build brief §LLM-pipeline): image /
+  * audio / video payloads as opaque `BinaryType` columns with typed
+  * metadata, plus decode / feature-extract / resize / frame-sample
+  * stages.
+  *
+  * The Spark-side architecture is real and tested — schema, binary
+  * payloads, partition-preserving `mapPartitions` batch shape (the
+  * Scala analog of `mapInPandas`: one iterator per partition, records
+  * streamed, nothing collected) — while the codec innards are
+  * DETERMINISTIC STUBS (this container has no image/audio libraries;
+  * see [[FakeCodec]]). Swapping [[FakeCodec]] for a real decoder
+  * changes no schema, partitioning, or query shape.
+  *
+  * Scale posture: payloads never shuffle — every stage is map-side;
+  * aggregations group only extracted scalar features. At 100 TB the
+  * binary column stays in parquet, column-pruned away by every query
+  * that doesn't touch it.
+  */
+object Multimodal {
+
+  /** One media record after decode: scalar metadata + features only
+    * (the payload does NOT travel past the decode stage).
+    */
+  case class MediaFeatures(
+      doc_id: Long, media_type: String, n_bytes: Long,
+      width: Int, height: Int, byte_mean: Double, n_frames: Int)
+
+  /** STUB codec — stands in for libjpeg/ffmpeg/etc., which are absent
+    * in this container. Every function is a pure, deterministic
+    * byte-level fake with the same signature shape a real codec
+    * binding would have.
+    */
+  object FakeCodec {
+    /** "Decode header": fake dimensions derived from payload length. */
+    def decodeDims(payload: Array[Byte]): (Int, Int) = {
+      val w = 16 + (payload.length % 64)
+      val h = 16 + ((payload.length / 64) % 64)
+      (w, h)
+    }
+
+    /** "Feature extraction": mean of unsigned byte values. */
+    def byteMean(payload: Array[Byte]): Double =
+      if (payload.isEmpty) 0.0
+      else payload.map(b => (b & 0xff).toDouble).sum / payload.length
+
+    /** "Resize": truncate/pad the payload to n bytes. */
+    def resize(payload: Array[Byte], n: Int): Array[Byte] =
+      java.util.Arrays.copyOf(payload, n)
+
+    /** "Frame sampling": every k-th byte as a 1-byte 'frame'. */
+    def sampleFrames(payload: Array[Byte], k: Int): Array[Byte] =
+      payload.zipWithIndex.collect { case (b, i) if i % k == 0 => b }
+  }
+
+  /** Synthetic media table: the documents' text bytes as the opaque
+    * payload + typed metadata — the schema a real ingest would carry
+    * (payload BinaryType, media_type, n_bytes).
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("media_type"),
+      length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+
+  /** Decode + feature-extract as a partition-preserving mapPartitions
+    * (the mapInPandas batch shape): one iterator per partition, the
+    * payload is dropped after extraction, only scalars flow on.
+    */
+  def extractFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select("doc_id", "payload", "media_type", "n_bytes")
+      .as[(Long, Array[Byte], String, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, payload, mtype, nBytes) =>
+          val (w, h) = FakeCodec.decodeDims(payload)
+          val frames = FakeCodec.sampleFrames(payload, k = 32)
+          MediaFeatures(id, mtype, nBytes, w, h,
+            FakeCodec.byteMean(payload), frames.length)
+        }
+      }
+  }
+
+  // ---------------------------------------------------------------
+  /** mm01 — payload metadata profile per media type: pure native
+    * binary functions (length / md5), fully oracle-checked. The
+    * parquet scan prunes `text`→payload only; group keys are scalars.
+    */
+  def mediaStats(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .groupBy("media_type")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum("n_bytes").as("total_bytes"),
+        min("n_bytes").as("min_bytes"),
+        max("n_bytes").as("max_bytes"),
+        countDistinct(md5(col("payload"))).as("distinct_payloads"))
+      .orderBy("media_type")
+
+  val mediaStatsSql: String =
+    """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |            WHEN doc_id % 3 = 1 THEN 'audio'
+      |            ELSE 'video' END AS media_type,
+      |  COUNT(*) AS n_media,
+      |  SUM(octet_length(encode(text))) AS total_bytes,
+      |  MIN(octet_length(encode(text))) AS min_bytes,
+      |  MAX(octet_length(encode(text))) AS max_bytes,
+      |  COUNT(DISTINCT md5(text)) AS distinct_payloads
+      |FROM documents GROUP BY 1 ORDER BY media_type""".stripMargin
+
+  /** mm02 — decoded-feature rollup through the mapPartitions stage.
+    * The stub dims/frames are deterministic integer arithmetic on the
+    * payload length, so the rollup is oracle-checkable end-to-end
+    * through the Dataset/mapPartitions plumbing (byte_mean stays a
+    * per-row feature, pinned in MultimodalSpec — averaging it across
+    * rows would reintroduce order-dependent double sums).
+    */
+  def featureRollup(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(spark, dir).toDF()
+      .groupBy("media_type")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum("width").as("total_width"),
+        sum("height").as("total_height"),
+        sum("n_frames").as("total_frames"))
+      .orderBy("media_type")
+
+  val featureRollupSql: String =
+    """WITH f AS (
+      |  SELECT
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio'
+      |         ELSE 'video' END AS media_type,
+      |    16 + (octet_length(encode(text)) % 64) AS width,
+      |    16 + ((octet_length(encode(text)) // 64) % 64) AS height,
+      |    (octet_length(encode(text)) + 31) // 32 AS n_frames
+      |  FROM documents)
+      |SELECT media_type, COUNT(*) AS n_media,
+      |  SUM(width) AS total_width, SUM(height) AS total_height,
+      |  SUM(n_frames) AS total_frames
+      |FROM f GROUP BY 1 ORDER BY media_type""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm01_media_stats" -> mediaStats _,
+    "mm02_feature_rollup" -> featureRollup _
+  )
+
+  def oracles: Map[String, String] = Map(
+    "mm01_media_stats" -> mediaStatsSql,
+    "mm02_feature_rollup" -> featureRollupSql
+  )
+}
