@@ -54,7 +54,9 @@ object Bench {
           failed ::= name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-28s $sec%8.2f s")
+      name -> sec
     }
 
     val qs = results

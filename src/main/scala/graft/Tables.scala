@@ -24,8 +24,26 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
-  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+
+  /** `documents`/`embeddings` feed CPU-bound per-row stages (shingle +
+    * MinHash signatures, 64-dim hyperplane dots) and the test tables
+    * are single-row-group parquet files — every scan collapses to ONE
+    * non-empty split, serializing the expensive map work on one core.
+    * [[balanced]] round-robin-rebalances rows across the cluster
+    * before such a stage: the one-off shuffle of the (small per-row)
+    * input is ≪ the compute it parallelizes. This is the standard
+    * straggler fix for skewed/coarse input splits and stays correct at
+    * 100 TB — with well-laid-out multi-file input the splits already
+    * match parallelism and the same rebalance is a cheap no-op-shaped
+    * rebalance, while row-group-skewed inputs still need it.
+    */
+  def balanced(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    balanced(read(spark, dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    balanced(read(spark, dir, "embeddings"))
 
   /** `events` carries a TIMESTAMP(NANOS) column. Spark (4.x) has no
     * nanosecond timestamp type; with

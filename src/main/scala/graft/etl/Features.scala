@@ -34,8 +34,13 @@ object Features {
   /** `k` — integer payload extracted from the JSON `props` column. */
   val kCol: Column = get_json_object(col("props"), "$.k").cast("int")
 
-  /** Add the full trips-analog feature set to the events frame. */
-  def enrich(events: DataFrame): DataFrame = events
+  /** Add the full trips-analog feature set to the events frame.
+    * The input is rebalanced first: JSON extraction × 14 derived
+    * columns is CPU-bound per-row work, and a coarse input split
+    * (single-row-group test parquet) would otherwise serialize it on
+    * one core (see [[Tables.balanced]]).
+    */
+  def enrich(events: DataFrame): DataFrame = Tables.balanced(events)
     .withColumn("k", kCol)
     .withColumn("pickup_ts", col("ts"))
     // duration analog: k+1 minutes ∈ [1,100] — inside the strict clean

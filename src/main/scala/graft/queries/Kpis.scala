@@ -187,7 +187,10 @@ object Kpis {
         round(expr(s"percentile($c, $p)"), 4).as(s"${c}_$tag")
       }
     }
-    val one = Tables.lineitem(spark, dir).agg(aggs.head, aggs.tail: _*)
+    // balanced: exact percentile buffers every value per partial agg —
+    // a single-split scan would build one 600k-value buffer on one core
+    val one = Tables.balanced(Tables.lineitem(spark, dir))
+      .agg(aggs.head, aggs.tail: _*)
     val stackArgs = quantileCols
       .map(c => s"'$c', ${c}_p05, ${c}_p50, ${c}_p95").mkString(", ")
     one.select(expr(
