@@ -61,4 +61,19 @@ class IoSpec extends AnyFunSuite {
     val rows = Reports.preview(Tables.events(spark, sfDir), n = 7)
     assert(rows.length === 7)
   }
+
+  test("KPI report job writes one header CSV per report table (05c shape)") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_reports").toString
+    val names = Reports.writeKpiReports(spark, sfDir, out)
+    assert(names.nonEmpty)
+    names.foreach { n =>
+      val parts = new java.io.File(s"$out/$n").listFiles()
+        .filter(_.getName.endsWith(".csv"))
+      assert(parts.length === 1, s"$n should be a single part file")
+      val header = java.nio.file.Files.readAllLines(parts.head.toPath).get(0)
+      assert(header.split(",").toSeq ===
+        SparkEntry.queries(n)(spark, sfDir).columns.toSeq)
+    }
+  }
 }
