@@ -151,15 +151,53 @@ object StreamingQueries {
       |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin
 
   // ---------------------------------------------------------------
+  /** w06 — batch session windows: per-user 30-minute-gap sessions via
+    * the built-in `session_window` (the stateful-streaming twin is
+    * [[Sessionize]]). Oracle: classic gaps-and-islands SQL. Boundary
+    * semantics: an event exactly `gap` after the last starts a NEW
+    * session (Spark's session end is exclusive) — the oracle's
+    * `>= INTERVAL` mirrors that.
+    */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 10)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("events"),
+        Exact.sumMoney(col("value")).as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("events"), col("total_value"))
+      .orderBy("user_id", "session_start")
+
+  val sessionWindowsSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+       |  FROM events WHERE user_id < 10
+       |), m AS (
+       |  SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
+       |    OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+       |    THEN 1 ELSE 0 END AS new_s
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       |), s AS (
+       |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+       |    ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM m)
+       |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS events,
+       |  ${Exact.sumMoneySql("value")} AS total_value
+       |FROM s GROUP BY user_id, sid
+       |ORDER BY user_id, session_start""".stripMargin
+
+  // ---------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_tumbling_hourly" -> tumblingHourly _,
     "w02_sliding_windows" -> slidingWindows _,
     "w03_keep_first_per_user" -> keepFirstPerUser _,
     "w04_running_totals" -> runningTotals _,
-    "w05_streaming_hourly" -> streamingHourly _
+    "w05_streaming_hourly" -> streamingHourly _,
+    "w06_session_windows" -> sessionWindows _
   )
 
   def oracles: Map[String, String] = Map(
+    "w06_session_windows" -> sessionWindowsSql,
     "w01_tumbling_hourly" -> tumblingHourlySql,
     "w02_sliding_windows" -> slidingWindowsSql,
     "w03_keep_first_per_user" -> keepFirstPerUserSql,
