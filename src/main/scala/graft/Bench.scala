@@ -25,10 +25,14 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
 
-  def headline: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+  def headline: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = {
+    // dev loop: SPARK_GRAFT_ONLY=d02,s0 benches matching prefixes only
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     SparkEntry.queries.toSeq
       .filterNot { case (name, _) => name.startsWith("ml") }
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .sortBy(_._1)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -58,16 +58,19 @@ object Dedup {
     882377L, 1020379L, 1159523L, 1299709L, 1441057L, 1583539L,
     1727077L, 1871573L, 2017097L, 2163581L)
 
-  /** Spark SQL expr: distinct 3-gram shingle hashes (mod P) of `text`.
-    * Docs with <3 tokens get an empty set.
+  /** Spark SQL expr: distinct 3-gram shingle hashes (mod P) over a
+    * pre-materialized `toks` column (tokenizing inline would re-run
+    * filter(split(...)) 3× — CollapseProject keeps a separate
+    * projection because the HOF is not a cheap expression). Docs with
+    * <3 tokens get an empty set.
     */
   private val shingleFpsExpr: String =
     """array_distinct(transform(
-      |  CASE WHEN size(filter(split(lower(text), ' '), t -> t != '')) < 3
+      |  CASE WHEN size(toks) < 3
       |       THEN array()
       |       ELSE transform(
-      |         sequence(1, size(filter(split(lower(text), ' '), t -> t != '')) - 2),
-      |         i -> array_join(slice(filter(split(lower(text), ' '), t -> t != ''), i, 3), ' '))
+      |         sequence(1, size(toks) - 2),
+      |         i -> array_join(slice(toks, i, 3), ' '))
       |  END,
       |  s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % 2147483647))""".stripMargin
 
@@ -85,6 +88,8 @@ object Dedup {
   /** doc_id + shingle-hash-set frame (map-side only). */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      .withColumn("toks",
+        expr("filter(split(lower(text), ' '), t -> t != '')"))
       .select(col("doc_id"), expr(shingleFpsExpr).as("fps"))
 
   // ---------------------------------------------------------------

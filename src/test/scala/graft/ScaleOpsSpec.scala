@@ -41,10 +41,20 @@ class ScaleOpsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
   }
 
   test("bucketed tables co-locate: equi-join plans without a shuffle") {
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    assert(wh != null)
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
+    // the in-memory catalog forgets tables between JVMs but their
+    // warehouse directories persist — clear them or CTAS refuses
+    val wh = new java.io.File(java.net.URI.create(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    Seq("b_orders", "b_customer").foreach { t =>
+      val dir = new java.io.File(wh, t)
+      if (dir.exists()) {
+        java.nio.file.Files.walk(dir.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+    }
     Tables.orders(spark, sfDir).write
       .bucketBy(8, "o_custkey").sortBy("o_custkey")
       .mode("overwrite").saveAsTable("b_orders")
