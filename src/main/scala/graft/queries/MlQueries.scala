@@ -69,6 +69,12 @@ object MlQueries {
     casted
       .na.drop(Seq("label_total", "label"))
       .na.fill(0, Seq("is_weekend", "night_flag"))
+      // pin the partitioning by a unique key: randomSplit samples
+      // per-partition (after an internal within-partition sort), and
+      // dropDuplicates' shuffle arrival order is otherwise
+      // nondeterministic — without this, fold membership (and hence
+      // metrics) drifts between runs on identical data
+      .repartition(8, col("event_id"))
   }
 
   /** Feature stages 03b: index → OHE → impute(median) → assemble →
