@@ -201,13 +201,63 @@ object Similarity {
        |ORDER BY cosine DESC, id_a, id_b LIMIT 10""".stripMargin
 
   // ---------------------------------------------------------------
+  /** s04 — IVF coarse quantizer (the brief's "IVF variant"): the
+    * first 8 vectors act as seed centroids; every vector is assigned
+    * to its max-cosine cell (ties → lowest cell id) via a broadcast
+    * cross join against the 8 centroids + a rank-1 window. Output is
+    * the inverted-file profile (cell occupancy + mean assignment
+    * cosine) — the index-build step whose cell lists an IVF search
+    * would probe. Cosines are floor-scaled to exact ints before
+    * averaging (order-independent).
+    */
+  def ivfCells(spark: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(spark, dir)
+    val cents = emb.filter(col("vec_id") < 8).select(
+      col("vec_id").as("cell"), col("embedding").as("c_emb"),
+      col("nrm").as("c_nrm"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("cos4", floor(
+        expr(sparkDot("embedding", "c_emb")) / (col("nrm") * col("c_nrm"))
+          * 10000 + lit(0.5)).cast("long"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("cos4"), col("cell"))))
+      .filter(col("rk") === 1)
+    assigned.groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors"),
+        (floor(sum("cos4").cast("double") / count(lit(1)) + lit(0.5)) / 10000.0)
+          .as("avg_cos"))
+      .orderBy("cell")
+  }
+
+  val ivfCellsSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cell, embedding AS c_emb, nrm AS c_nrm
+       |  FROM n WHERE vec_id < 8
+       |), scored AS (
+       |  SELECT n.vec_id, cell,
+       |    CAST(floor(${duckDot("n.embedding", "c_emb")} / (n.nrm * c_nrm)
+       |      * 10000 + 0.5) AS BIGINT) AS cos4
+       |  FROM n CROSS JOIN cents
+       |), assigned AS (
+       |  SELECT vec_id, cell, cos4 FROM scored
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY cos4 DESC, cell) = 1)
+       |SELECT cell, COUNT(*) AS n_vectors,
+       |  floor(CAST(SUM(cos4) AS DOUBLE) / COUNT(*) + 0.5) / 10000.0 AS avg_cos
+       |FROM assigned GROUP BY cell ORDER BY cell""".stripMargin
+
+  // ---------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s04_ivf_cells" -> ivfCells _,
     "s01_cosine_topk" -> cosineTopK _,
     "s02_lsh_ann" -> lshAnn _,
     "s03_neardup_pairs" -> nearDupPairs _
   )
 
   def oracles: Map[String, String] = Map(
+    "s04_ivf_cells" -> ivfCellsSql,
     "s01_cosine_topk" -> cosineTopKSql,
     "s02_lsh_ann" -> lshAnnSql,
     "s03_neardup_pairs" -> nearDupPairsSql

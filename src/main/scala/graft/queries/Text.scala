@@ -212,7 +212,47 @@ object Text {
   }
 
   // ---------------------------------------------------------------
+  /** t06 — BPE-ish token counting (build brief: "token counting
+    * (whitespace + a BPE-ish regex)"): subword-style units = letter
+    * runs, digit runs, and single punctuation marks, versus plain
+    * whitespace tokens. The regex is ASCII-classed so Java and RE2
+    * (DuckDB) agree exactly.
+    */
+  // Spark SQL string literals process backslash escapes ('\s'→'s'),
+  // DuckDB's don't — so the identical regex needs \\s on the Spark
+  // side and \s on the DuckDB side.
+  val bpeishPatternSpark = """[a-z]+|[0-9]+|[^a-z0-9\\s]"""
+  val bpeishPattern = """[a-z]+|[0-9]+|[^a-z0-9\s]"""
+
+  def bpeishTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_sub",
+        size(expr(s"regexp_extract_all(lower(text), '$bpeishPatternSpark', 0)")))
+      .withColumn("n_ws", size(tokens(col("text"))))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_sub").cast("long")).as("subword_tokens"),
+        sum(col("n_ws").cast("long")).as("ws_tokens"),
+        Exact.round4(sum(col("n_sub")).cast("double") / sum(col("n_ws")))
+          .as("subword_per_ws"))
+      .orderBy("lang")
+
+  val bpeishTokensSql: String =
+    s"""WITH t AS (
+       |  SELECT lang,
+       |    len(regexp_extract_all(lower(text), '$bpeishPattern')) AS n_sub,
+       |    len(${tokensSql("text")}) AS n_ws
+       |  FROM documents)
+       |SELECT lang, COUNT(*) AS docs,
+       |  CAST(SUM(n_sub) AS BIGINT) AS subword_tokens,
+       |  CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+       |  ${Exact.round4Sql("CAST(SUM(n_sub) AS DOUBLE) / SUM(n_ws)")} AS subword_per_ws
+       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t06_bpeish_tokens" -> bpeishTokens _,
     "t01_token_stats" -> tokenStats _,
     "t02_word_freq" -> wordFreq _,
     "t03_quality_scores" -> qualityScores _,
@@ -221,6 +261,7 @@ object Text {
   )
 
   def oracles: Map[String, String] = Map(
+    "t06_bpeish_tokens" -> bpeishTokensSql,
     "t01_token_stats" -> tokenStatsSql,
     "t02_word_freq" -> wordFreqSql,
     "t03_quality_scores" -> qualityScoresSql,
