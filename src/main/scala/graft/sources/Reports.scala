@@ -37,6 +37,17 @@ object Reports {
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
       .csv(path)
 
+  /** Hive-style partitioned parquet sink — the bulk-output layout at
+    * scale: readers filtering on the partition column prune entire
+    * directories before any I/O (PartitionFilters in the scan plan;
+    * pinned by IoSpec).
+    */
+  def writeParquetPartitioned(df: DataFrame, path: String,
+                              partitionCols: String*): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** S11 — display-safe projection (app5.py:132-146): drop
     * array/map/struct/vector columns, decimal → double, timestamp →
     * formatted string (F6). Everything else passes through.

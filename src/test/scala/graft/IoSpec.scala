@@ -62,6 +62,28 @@ class IoSpec extends AnyFunSuite {
     assert(rows.length === 7)
   }
 
+  test("partitioned parquet sink prunes partitions on read") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_part").toString + "/events_by_type"
+    val src = Tables.events(spark, sfDir)
+    Reports.writeParquetPartitioned(src, out, "event_type")
+    // hive-style layout on disk
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("event_type=")))
+    // a filter on the partition column must become a PartitionFilter
+    // (directory pruning), not a data filter
+    val q = spark.read.parquet(out).filter(col("event_type") === "click")
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scan.isDefined)
+    assert(scan.get.partitionFilters.nonEmpty,
+      "expected the event_type predicate to prune partitions")
+    assert(q.count() ===
+      src.filter(col("event_type") === "click").count())
+  }
+
   test("KPI report job writes one header CSV per report table (05c shape)") {
     val out = java.nio.file.Files
       .createTempDirectory("graft_reports").toString
