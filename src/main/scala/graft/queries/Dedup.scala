@@ -287,7 +287,32 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
+  /** d05 — the deduplicated corpus itself (what a training-data
+    * pipeline actually ships): keep-first by content hash, original
+    * columns preserved. Two-phase shape that scales: group the
+    * (hash → min doc_id) pairs, then semi-join the winners back —
+    * documents never shuffle by content, only by doc_id.
+    */
+  def dedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val keep = Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    Tables.documents(spark, dir)
+      .join(keep, Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val dedupCorpusSql: String =
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE doc_id IN (
+      |  SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d05_dedup_corpus" -> dedupCorpus _,
     "d01_exact_dedup" -> exactDedup _,
     "d02_minhash_lsh" -> minhashLsh _,
     "d03_ngram_jaccard" -> ngramJaccard _,
@@ -295,6 +320,7 @@ object Dedup {
   )
 
   def oracles: Map[String, String] = Map(
+    "d05_dedup_corpus" -> dedupCorpusSql,
     "d01_exact_dedup" -> exactDedupSql,
     "d02_minhash_lsh" -> minhashLshSql,
     "d03_ngram_jaccard" -> ngramJaccardSql,

@@ -251,8 +251,37 @@ object Text {
        |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------
+  /** t07 — the quality-filter pipeline (the training-data use case
+    * the scores exist for): keep documents with quality ≥ 0.5 and
+    * ≥ 5 tokens, report the per-language survival profile.
+    */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val scored = qualityScores(spark, dir)
+    scored
+      .withColumn("kept",
+        (col("quality_score") >= 0.5 && col("n_tokens") >= 5).cast("int"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum("kept").as("kept_docs"),
+        Exact.round4(sum("kept").cast("double") / count(lit(1)))
+          .as("keep_rate"))
+      .orderBy("lang")
+  }
+
+  val qualityFilterSql: String = {
+    // reuse the t03 oracle as a subquery so the two stay in lock-step
+    s"""WITH scores AS (${qualityScoresSql.replace("ORDER BY doc_id", "")})
+       |SELECT lang, COUNT(*) AS docs,
+       |  SUM(CAST(quality_score >= 0.5 AND n_tokens >= 5 AS INT)) AS kept_docs,
+       |  ${Exact.round4Sql(
+             "CAST(SUM(CAST(quality_score >= 0.5 AND n_tokens >= 5 AS INT)) AS DOUBLE) / COUNT(*)")} AS keep_rate
+       |FROM scores GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t06_bpeish_tokens" -> bpeishTokens _,
+    "t07_quality_filter" -> qualityFilter _,
     "t01_token_stats" -> tokenStats _,
     "t02_word_freq" -> wordFreq _,
     "t03_quality_scores" -> qualityScores _,
@@ -262,6 +291,7 @@ object Text {
 
   def oracles: Map[String, String] = Map(
     "t06_bpeish_tokens" -> bpeishTokensSql,
+    "t07_quality_filter" -> qualityFilterSql,
     "t01_token_stats" -> tokenStatsSql,
     "t02_word_freq" -> wordFreqSql,
     "t03_quality_scores" -> qualityScoresSql,
