@@ -279,9 +279,57 @@ object Text {
        |FROM scores GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** t08 — rolling-hash document fingerprints (winnowing family):
+    * Karp-Rabin-style polynomial hashes over a 4-token sliding window
+    * of token fingerprints, profiled per document (window count,
+    * winnowing minimum, distinct windows). All integer arithmetic —
+    * values < 2³¹·31³ fit BIGINT exactly in both engines.
+    */
+  val rollWindow = 4
+  private val rollExpr: String = {
+    val horner = (0 until rollWindow)
+      .map(j => s"element_at(fps, i + $j)")
+      .reduce((acc, x) => s"($acc * 31 + $x)")
+    s"""transform(sequence(1, size(fps) - ${rollWindow - 1}), i -> $horner)"""
+  }
+  private val rollSql: String = {
+    val horner = (0 until rollWindow)
+      .map(j => s"fps[i + $j]")
+      .reduce((acc, x) => s"($acc * 31 + $x)")
+    s"""list_transform(range(1, len(fps) - ${rollWindow - 2}), i -> $horner)"""
+  }
+
+  def rollingFingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", tokens(lower(col("text"))))
+      .withColumn("fps", expr(
+        "transform(toks, t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % 2147483647)"))
+      .filter(size(col("fps")) >= rollWindow)
+      .withColumn("whs", expr(rollExpr))
+      .select(
+        col("doc_id"),
+        size(col("whs")).as("n_windows"),
+        array_min(col("whs")).as("min_fp"),
+        size(array_distinct(col("whs"))).as("distinct_windows"))
+      .orderBy("doc_id")
+
+  val rollingFingerprintsSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    list_transform(${tokensSql("lower(text)")},
+       |      t -> ${fp64Sql("t")} % 2147483647) AS fps
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(fps) - ${rollWindow - 1} AS INT) AS n_windows,
+       |  list_aggregate($rollSql, 'min') AS min_fp,
+       |  CAST(len(list_distinct($rollSql)) AS INT) AS distinct_windows
+       |FROM f WHERE len(fps) >= $rollWindow
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t06_bpeish_tokens" -> bpeishTokens _,
     "t07_quality_filter" -> qualityFilter _,
+    "t08_rolling_fingerprints" -> rollingFingerprints _,
     "t01_token_stats" -> tokenStats _,
     "t02_word_freq" -> wordFreq _,
     "t03_quality_scores" -> qualityScores _,
@@ -292,6 +340,7 @@ object Text {
   def oracles: Map[String, String] = Map(
     "t06_bpeish_tokens" -> bpeishTokensSql,
     "t07_quality_filter" -> qualityFilterSql,
+    "t08_rolling_fingerprints" -> rollingFingerprintsSql,
     "t01_token_stats" -> tokenStatsSql,
     "t02_word_freq" -> wordFreqSql,
     "t03_quality_scores" -> qualityScoresSql,
