@@ -181,18 +181,20 @@ object Kpis {
   private val quantileCols = Seq("l_quantity", "l_extendedprice", "l_discount")
 
   def quantiles(spark: SparkSession, dir: String): DataFrame = {
-    val probs = Seq("p05" -> "0.05", "p50" -> "0.5", "p95" -> "0.95")
-    val aggs = quantileCols.flatMap { c =>
-      probs.map { case (tag, p) =>
-        round(expr(s"percentile($c, $p)"), 4).as(s"${c}_$tag")
-      }
+    // one percentile(col, array(...)) per column: each column's value
+    // buffer is built ONCE for all three probabilities (three separate
+    // percentile aggs would triple the buffering work)
+    val aggs = quantileCols.map { c =>
+      expr(s"percentile($c, array(0.05D, 0.5D, 0.95D))").as(s"${c}_p")
     }
     // balanced: exact percentile buffers every value per partial agg —
     // a single-split scan would build one 600k-value buffer on one core
     val one = Tables.balanced(Tables.lineitem(spark, dir))
       .agg(aggs.head, aggs.tail: _*)
-    val stackArgs = quantileCols
-      .map(c => s"'$c', ${c}_p05, ${c}_p50, ${c}_p95").mkString(", ")
+    val stackArgs = quantileCols.map { c =>
+      s"'$c', round(element_at(${c}_p, 1), 4), " +
+        s"round(element_at(${c}_p, 2), 4), round(element_at(${c}_p, 3), 4)"
+    }.mkString(", ")
     one.select(expr(
         s"stack(${quantileCols.size}, $stackArgs) AS (col_name, p05, p50, p95)"))
       .orderBy("col_name")

@@ -201,6 +201,57 @@ object Similarity {
        |ORDER BY cosine DESC, id_a, id_b LIMIT 10""".stripMargin
 
   // ---------------------------------------------------------------
+  /** s05 — multi-probe LSH ANN: each query probes its own bucket AND
+    * the 8 single-bit-flip neighbor buckets (the standard recall
+    * lever for sign-random-projection LSH — a near neighbor that
+    * disagrees on exactly one hyperplane lands one bit away). The
+    * query side explodes into 9 probe keys (bounded: 9 × queries),
+    * candidates still join by bucket equality — never a cartesian.
+    * Top-3 per query like s02; strictly higher recall.
+    */
+  def multiProbeAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(spark, dir, bucket = true)
+    val probeArr = array(lit(0) +: (0 until nPlanes).map(b => lit(1 << b)): _*)
+    val q = emb.filter(col("vec_id") < nQueries).select(
+      col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm"),
+      explode(probeArr).as("flip"), col("bucket").as("q_bucket"))
+      .withColumn("bucket",
+        expr("int(q_bucket) ^ int(flip)"))
+      .select("q_id", "q_emb", "q_nrm", "bucket")
+    val cand = emb.filter(col("vec_id") >= nQueries)
+    cand.join(broadcast(q), "bucket")
+      .withColumn("cosine", Exact.round4(
+        expr(sparkDot("embedding", "q_emb")) / (col("nrm") * col("q_nrm"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cosine"), col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select("q_id", "rank", "vec_id", "cosine")
+      .orderBy("q_id", "rank")
+  }
+
+  val multiProbeAnnSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding, $duckNorm AS nrm,
+       |    $duckBucketExpr AS bucket
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT n.vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
+       |    xor(bucket, flip) AS bucket
+       |  FROM n, unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS t(flip)
+       |  WHERE n.vec_id < $nQueries
+       |), s AS (
+       |  SELECT q_id, c.vec_id,
+       |    ${Exact.round4Sql(duckDot("c.embedding", "q_emb") + " / (c.nrm * q_nrm)")} AS cosine
+       |  FROM n c JOIN q ON c.bucket = q.bucket AND c.vec_id >= $nQueries
+       |), r AS (
+       |  SELECT q_id, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS "rank"
+       |  FROM s)
+       |SELECT q_id, "rank", vec_id, cosine FROM r WHERE "rank" <= 3
+       |ORDER BY q_id, "rank"""".stripMargin
+
+  // ---------------------------------------------------------------
   /** s04 — IVF coarse quantizer (the brief's "IVF variant"): the
     * first 8 vectors act as seed centroids; every vector is assigned
     * to its max-cosine cell (ties → lowest cell id) via a broadcast
@@ -251,6 +302,7 @@ object Similarity {
   // ---------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s04_ivf_cells" -> ivfCells _,
+    "s05_multiprobe_ann" -> multiProbeAnn _,
     "s01_cosine_topk" -> cosineTopK _,
     "s02_lsh_ann" -> lshAnn _,
     "s03_neardup_pairs" -> nearDupPairs _
@@ -258,6 +310,7 @@ object Similarity {
 
   def oracles: Map[String, String] = Map(
     "s04_ivf_cells" -> ivfCellsSql,
+    "s05_multiprobe_ann" -> multiProbeAnnSql,
     "s01_cosine_topk" -> cosineTopKSql,
     "s02_lsh_ann" -> lshAnnSql,
     "s03_neardup_pairs" -> nearDupPairsSql

@@ -55,6 +55,28 @@ class SimilaritySpec extends AnyFunSuite {
     })
   }
 
+  test("multi-probe ANN dominates single-bucket ANN in recall") {
+    val single = Similarity.lshAnn(spark, sfDir)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Similarity.multiProbeAnn(spark, sfDir)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every query keeps >= as many candidates; with top-k re-ranking the
+    // multi-probe result can swap members but never serves fewer queries
+    val singleQs = single.map(_._1)
+    val multiQs = multi.map(_._1)
+    assert(singleQs.subsetOf(multiQs))
+    assert(multi.size >= single.size)
+  }
+
+  test("IVF cells partition the corpus: occupancy sums to vector count") {
+    val total = Tables.embeddings(spark, sfDir).count()
+    val cells = Similarity.ivfCells(spark, sfDir)
+      .agg(sum("n_vectors")).head().getLong(0)
+    assert(cells === total)
+  }
+
   test("LSH ANN results are a subset of brute-force candidate space") {
     // every (q_id, vec_id) pair found by LSH exists in the full space
     // with the same cosine the brute-force path computes

@@ -67,6 +67,12 @@ class TextDedupSpec extends AnyFunSuite {
     assert(r.getLong(2) <= 32767L)
   }
 
+  test("dedup corpus size equals the number of distinct contents") {
+    val groups = Dedup.exactDedup(spark, sfDir).count()
+    val corpus = Dedup.dedupCorpus(spark, sfDir).count()
+    assert(corpus === groups)
+  }
+
   test("identical texts collide on fingerprint, different texts don't") {
     val out = strDf("same text here", "same text here", "other words")
       .select(md5(col("text"))).collect().map(_.getString(0))
