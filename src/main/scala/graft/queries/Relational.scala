@@ -135,7 +135,22 @@ object Relational {
   }
 
   // ---------------------------------------------------------------
+  /** r05 — approx distinct (SURVEY §7.4): HLL++ `approx_count_distinct`
+    * beside the exact count. Sketch values are engine-specific →
+    * rows-only check; RelationalSpec pins the ≤5% relative error.
+    * At 100 TB the sketch is the only affordable distinct-count: fixed
+    * memory per group vs the exact count's full shuffle of keys.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).agg(
+      count(lit(1)).as("orders"),
+      countDistinct("o_custkey").as("exact_customers"),
+      approx_count_distinct("o_custkey").as("approx_customers"),
+      approx_count_distinct("o_custkey", 0.01).as("approx_customers_1pct"))
+
+  // ---------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r05_approx_distinct" -> approxDistinct _,
     "r01_star_revenue" -> starRevenue _,
     "r02_brand_revenue" -> brandRevenue _,
     "r03_customers_no_orders" -> customersNoOrders _,

@@ -37,6 +37,15 @@ object Reports {
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
       .csv(path)
 
+  /** Bucketed + sorted managed table — the co-located-join layout:
+    * two tables bucketed the same way join with NO shuffle (sort-merge
+    * over matching buckets; plan shape pinned in ScaleOpsSpec).
+    */
+  def writeBucketed(df: DataFrame, table: String,
+                    numBuckets: Int, bucketCol: String): Unit =
+    df.write.bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
+      .mode("overwrite").saveAsTable(table)
+
   /** Hive-style partitioned parquet sink — the bulk-output layout at
     * scale: readers filtering on the partition column prune entire
     * directories before any I/O (PartitionFilters in the scan plan;

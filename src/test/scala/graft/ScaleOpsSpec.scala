@@ -55,13 +55,11 @@ class ScaleOpsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
           .forEach(p => java.nio.file.Files.delete(p))
       }
     }
-    Tables.orders(spark, sfDir).write
-      .bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .mode("overwrite").saveAsTable("b_orders")
-    Tables.customer(spark, sfDir)
-      .withColumnRenamed("c_custkey", "o_custkey").write
-      .bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .mode("overwrite").saveAsTable("b_customer")
+    Reports.writeBucketed(Tables.orders(spark, sfDir),
+      "b_orders", 8, "o_custkey")
+    Reports.writeBucketed(
+      Tables.customer(spark, sfDir).withColumnRenamed("c_custkey", "o_custkey"),
+      "b_customer", 8, "o_custkey")
     // force a sort-merge join (broadcast would mask the layout win)
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
