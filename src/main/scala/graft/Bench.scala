@@ -73,5 +73,6 @@ object Bench {
     Files.writeString(Paths.get("bench_local.json"), json)
     println(json)
     spark.stop()
+    sys.exit(0)
   }
 }

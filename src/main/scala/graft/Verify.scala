@@ -40,5 +40,8 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // a failed ML training leaves non-daemon threads; exit decisively
+    // so the driver's harness never hangs on JVM teardown
+    sys.exit(0)
   }
 }

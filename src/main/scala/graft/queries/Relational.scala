@@ -136,15 +136,17 @@ object Relational {
 
   // ---------------------------------------------------------------
   /** r05 — approx distinct (SURVEY §7.4): HLL++ `approx_count_distinct`
-    * beside the exact count. Sketch values are engine-specific →
-    * rows-only check; RelationalSpec pins the ≤5% relative error.
-    * At 100 TB the sketch is the only affordable distinct-count: fixed
-    * memory per group vs the exact count's full shuffle of keys.
+    * at two precisions. Sketch values are engine-specific → rows-only
+    * check; RelationalSpec computes the exact count separately and
+    * pins the ≤5% relative error. Deliberately NOT mixed with an
+    * exact `countDistinct` in the same agg: that combination forces
+    * an Expand (row duplication per aggregate family) — at 100 TB the
+    * sketch-only form is the whole point (fixed memory, one pass, no
+    * key shuffle).
     */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir).agg(
+    Tables.balanced(Tables.orders(spark, dir)).agg(
       count(lit(1)).as("orders"),
-      countDistinct("o_custkey").as("exact_customers"),
       approx_count_distinct("o_custkey").as("approx_customers"),
       approx_count_distinct("o_custkey", 0.01).as("approx_customers_1pct"))
 
