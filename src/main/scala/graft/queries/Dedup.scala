@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   *     equality joins on LSH band keys (d02) or shared shingles with a
   *     document-frequency cap (d03) — both shuffle-hash-joinable and
   *     linear in data size, never O(n²).
-  *   - Signatures (MinHash, SimHash) are pure map-side higher-order
-  *     functions over the token array — no UDFs, no extra shuffles.
+  *   - Signatures (MinHash, SimHash) explode token/shingle hashes and
+  *     aggregate with codegen'd MIN/SUM columns — the partial
+  *     aggregation means the shuffle carries one signature row per
+  *     document, never the exploded stream (interpreted array-HOF
+  *     folds were 20–30× slower; see git history).
   *   - The shared shingle hash is the cross-engine portable
   *     md5-prefix→60-bit recipe ([[Text.fp64]]) so every query has a
   *     bit-exact DuckDB oracle.
