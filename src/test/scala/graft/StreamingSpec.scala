@@ -63,6 +63,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join matches only within the event-time bound") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val impressions = MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val i = impressions.toDF().toDF("ad_id", "i_ts")
+      .withWatermark("i_ts", "1 hour")
+    val c = clicks.toDF().toDF("c_ad", "c_ts")
+      .withWatermark("c_ts", "1 hour")
+    val joined = i.join(c, expr(
+      "ad_id = c_ad AND c_ts BETWEEN i_ts AND i_ts + interval 30 minutes"))
+    val q = joined.writeStream.format("memory")
+      .queryName("ss_join").outputMode("append").start()
+    try {
+      impressions.addData((1L, ts("2024-01-01 10:00:00")),
+        (2L, ts("2024-01-01 10:00:00")))
+      // ad 1 clicked within 30 min; ad 2 clicked 2 h later (out of bound)
+      clicks.addData((1L, ts("2024-01-01 10:20:00")),
+        (2L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val got = s.table("ss_join").select("ad_id").collect()
+        .map(_.getLong(0)).toSeq
+      assert(got === Seq(1L))
+    } finally q.stop()
+  }
+
   test("batch w01 and streaming w05 agree on the hourly profile") {
     val batch = StreamingQueries.tumblingHourly(spark, sfDir)
       .select("window_start", "events").collect().map(r =>
