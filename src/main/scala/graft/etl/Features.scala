@@ -35,12 +35,16 @@ object Features {
   val kCol: Column = get_json_object(col("props"), "$.k").cast("int")
 
   /** Add the full trips-analog feature set to the events frame.
-    * The input is rebalanced first: JSON extraction × 14 derived
-    * columns is CPU-bound per-row work, and a coarse input split
-    * (single-row-group test parquet) would otherwise serialize it on
-    * one core (see [[Tables.balanced]]).
+    * Deliberately NO rebalance here: every derivation below is a
+    * narrow codegen'd projection and the consumers are aggregations,
+    * so the scan partitioning flows straight into the first (partial)
+    * aggregate with zero exchanges — at 100 TB a forced repartition
+    * would shuffle the whole events table before doing anything
+    * (round-2 verdict: q01 paid a 6.7× tax for exactly that).
+    * [[Tables.balanced]] is reserved for genuinely CPU-bound per-row
+    * stages (MinHash/md5/embedding dots on documents/embeddings).
     */
-  def enrich(events: DataFrame): DataFrame = Tables.balanced(events)
+  def enrich(events: DataFrame): DataFrame = events
     .withColumn("k", kCol)
     .withColumn("pickup_ts", col("ts"))
     // duration analog: k+1 minutes ∈ [1,100] — inside the strict clean

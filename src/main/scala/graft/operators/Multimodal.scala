@@ -110,7 +110,7 @@ object Multimodal {
       |            WHEN doc_id % 3 = 1 THEN 'audio'
       |            ELSE 'video' END AS media_type,
       |  COUNT(*) AS n_media,
-      |  SUM(octet_length(encode(text))) AS total_bytes,
+      |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
       |  MIN(octet_length(encode(text))) AS min_bytes,
       |  MAX(octet_length(encode(text))) AS max_bytes,
       |  COUNT(DISTINCT md5(text)) AS distinct_payloads
@@ -144,8 +144,9 @@ object Multimodal {
       |    (octet_length(encode(text)) + 31) // 32 AS n_frames
       |  FROM documents)
       |SELECT media_type, COUNT(*) AS n_media,
-      |  SUM(width) AS total_width, SUM(height) AS total_height,
-      |  SUM(n_frames) AS total_frames
+      |  CAST(SUM(width) AS BIGINT) AS total_width,
+      |  CAST(SUM(height) AS BIGINT) AS total_height,
+      |  CAST(SUM(n_frames) AS BIGINT) AS total_frames
       |FROM f GROUP BY 1 ORDER BY media_type""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

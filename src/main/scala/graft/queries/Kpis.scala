@@ -150,6 +150,18 @@ object Kpis {
         "fare_amount", "tip_amount", "total_amount", "trip_distance")
       .orderBy("pickup_ts", "user_id", "event_type")
 
+  // Q20 clean_light (02b_basic_clean.py:49-64, the ⚠4 LIGHT rule set):
+  // same projected-DISTINCT shape as q11 but with the looser ranges
+  // and the 5-column dedup key. Ordered by the full key for a total
+  // order (the light key omits event_type, so q11's tie-breakers
+  // aren't sufficient here).
+  def cleanLight(spark: SparkSession, dir: String): DataFrame =
+    Clean.light(trips(spark, dir))
+      .select("pickup_ts", "dropoff_ts", "user_id",
+        "fare_amount", "total_amount")
+      .orderBy("pickup_ts", "dropoff_ts", "user_id",
+        "fare_amount", "total_amount")
+
   // Q12 feature_pipeline (03a:38-78): per-row derived columns.
   // Raw doubles are deterministic here (identical IEEE ops on both
   // engines); only aggregates need rounding.
@@ -277,6 +289,7 @@ object Kpis {
     "q09_heatmap_dow_hour" -> heatmapDowHour _,
     "q10_tip_rate_by_payment" -> tipRateByPayment _,
     "q11_clean_pipeline" -> cleanPipeline _,
+    "q20_clean_light" -> cleanLight _,
     "q12_feature_pipeline" -> featurePipeline _,
     "q13_null_counts" -> nullCounts _,
     "q14_quantiles" -> quantiles _,
@@ -342,6 +355,11 @@ object Kpis {
          |fare_amount, tip_amount, total_amount, trip_distance
          |FROM trips2 WHERE ${Clean.strictWhereSql}
          |ORDER BY pickup_ts, user_id, event_type""".stripMargin,
+    "q20_clean_light" ->
+      s"""$fc SELECT DISTINCT pickup_ts, dropoff_ts, user_id,
+         |fare_amount, total_amount
+         |FROM trips2 WHERE ${Clean.lightWhereSql}
+         |ORDER BY pickup_ts, dropoff_ts, user_id, fare_amount, total_amount""".stripMargin,
     "q12_feature_pipeline" ->
       s"""$fc SELECT event_id, k, trip_distance, tip_amount, total_amount,
          |duration_min, avg_speed_mph, pickup_hour, pickup_dow,

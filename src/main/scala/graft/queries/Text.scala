@@ -273,7 +273,7 @@ object Text {
     // reuse the t03 oracle as a subquery so the two stay in lock-step
     s"""WITH scores AS (${qualityScoresSql.replace("ORDER BY doc_id", "")})
        |SELECT lang, COUNT(*) AS docs,
-       |  SUM(CAST(quality_score >= 0.5 AND n_tokens >= 5 AS INT)) AS kept_docs,
+       |  CAST(SUM(CAST(quality_score >= 0.5 AND n_tokens >= 5 AS INT)) AS BIGINT) AS kept_docs,
        |  ${Exact.round4Sql(
              "CAST(SUM(CAST(quality_score >= 0.5 AND n_tokens >= 5 AS INT)) AS DOUBLE) / COUNT(*)")} AS keep_rate
        |FROM scores GROUP BY lang ORDER BY lang""".stripMargin
