@@ -49,17 +49,33 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").write
       .format("noop").mode("overwrite").save()
 
+    // SPARK_GRAFT_REPS=n (default 1): run each query n times, report the
+    // per-query MIN. A single-shot measurement let one noisy co-tenant
+    // fabricate a 40% "regression" (round-3: recorded 122.6 s vs 73.3 s
+    // on an identical re-run); min-of-n is the standard load-noise
+    // filter and leaves the n=1 driver contract unchanged.
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(1).max(1)
     var failed = List.empty[String]
     val results = headline.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          failed ::= name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch {
+          case e: Throwable =>
+            if (!failed.contains(name)) failed ::= name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        // Caches opened by a query builder (d02/d03 persist their
+        // banded/exploded intermediates for intra-query reuse) must not
+        // leak into later queries' memory budget — or make a repeat rep
+        // artificially cache-warm (round-3 verdict "What's wrong" 2).
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-28s $sec%8.2f s")
+      val sec = times.min
+      System.err.println(
+        f"[bench] $name%-28s $sec%8.2f s" +
+          (if (reps > 1) times.map(t => f"$t%.2f").mkString("  (reps: ", ", ", ")") else ""))
       name -> sec
     }
 
