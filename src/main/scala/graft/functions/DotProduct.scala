@@ -106,6 +106,8 @@ object DotProduct {
   * (`.config("spark.sql.extensions", "graft.GraftExtensions")`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((DotProduct.fnId, DotProduct.info, DotProduct.builder))
+    e.injectFunction((TopKScoreId.fnId, TopKScoreId.info, TopKScoreId.builder))
+  }
 }

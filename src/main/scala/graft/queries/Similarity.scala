@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (`ArrayType(FloatType)`,
@@ -10,10 +9,11 @@ import org.apache.spark.sql.functions._
   *   - s01: brute-force cosine top-k — the exact baseline. The bounded
   *     query set (10 vectors) is broadcast against the candidate scan,
   *     so the "cross join" is a BroadcastNestedLoopJoin over 10 rows:
-  *     one pass over the data, no shuffle of the big side. At 100 TB
-  *     this is the right plan for small query batches; per-query top-k
-  *     is a window rank on a q_id-partitioned shuffle of (id, score)
-  *     pairs only.
+  *     one pass over the data, no shuffle of the big side. Per-query
+  *     top-k is the bounded-buffer [[TopKScoreId]] aggregate, so the
+  *     shuffle carries at most k pairs per query per map task — the
+  *     query batch can grow without the reducer becoming a sink for
+  *     every scored candidate.
   *   - s02: LSH-bucketed ANN — the scale path. 8 fixed random
   *     hyperplanes give a 256-bucket signature computed map-side as a
   *     single projection (no shuffle, no join); search joins query and
@@ -89,10 +89,30 @@ object Similarity {
   private def withNorm(spark: SparkSession, dir: String,
                        bucket: Boolean = false): DataFrame = {
     DotProduct.register(spark) // idempotent; covers non-configured sessions
+    TopKScoreId.register(spark)
     val base = Tables.embeddings(spark, dir)
       .withColumn("nrm", expr(sparkNorm))
     if (bucket) base.withColumn("bucket", expr(sparkBucketExpr)) else base
   }
+
+  /** Per-group top-k of (cosine, vec_id) via the bounded-buffer
+    * [[TopKScoreId]] aggregate — NOT a `row_number` window. The window
+    * spelling shuffles every candidate row to its query's reducer
+    * before discarding all but k; the aggregate gets partial
+    * aggregation, so each map task contributes at most k pairs per
+    * group to the shuffle — the 100 TB contract for arbitrarily large
+    * query batches. Identical output: rank = position in the
+    * (score DESC, vec_id ASC)-ordered top-k array.
+    */
+  private def topkPerGroup(scored: DataFrame, groupCols: Seq[String],
+                           k: Int): DataFrame =
+    scored.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"topk_score_id(cosine, vec_id, $k)").as("tk"))
+      .select(groupCols.map(col) :+ posexplode(col("tk")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        (col("pos") + 1).as("rank"),
+        col("col.id").as("vec_id"),
+        col("col.score").as("cosine")): _*)
 
   // ---------------------------------------------------------------
   /** s01 — brute-force cosine top-5 for 10 query vectors. */
@@ -102,12 +122,10 @@ object Similarity {
       col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       col("nrm").as("q_nrm"))
     val cand = emb.filter(col("vec_id") >= nQueries)
-    cand.crossJoin(broadcast(q))
+    val scored = cand.crossJoin(broadcast(q))
       .withColumn("cosine", Exact.round4(
         expr(sparkDot("embedding", "q_emb")) / (col("nrm") * col("q_nrm"))))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(desc("cosine"), col("vec_id"))))
-      .filter(col("rank") <= 5)
+    topkPerGroup(scored, Seq("q_id"), 5)
       .select("q_id", "rank", "vec_id", "cosine")
       .orderBy("q_id", "rank")
   }
@@ -140,12 +158,12 @@ object Similarity {
       col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       col("nrm").as("q_nrm"), col("bucket"))
     val cand = emb.filter(col("vec_id") >= nQueries)
-    cand.join(broadcast(q), "bucket")
+    val scored = cand.join(broadcast(q), "bucket")
       .withColumn("cosine", Exact.round4(
         expr(sparkDot("embedding", "q_emb")) / (col("nrm") * col("q_nrm"))))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(desc("cosine"), col("vec_id"))))
-      .filter(col("rank") <= 3)
+    // bucket is functionally dependent on q_id (one bucket per query);
+    // grouping on both carries it through without a join-back
+    topkPerGroup(scored, Seq("q_id", "bucket"), 3)
       .select("q_id", "rank", "vec_id", "bucket", "cosine")
       .orderBy("q_id", "rank")
   }
@@ -220,12 +238,12 @@ object Similarity {
         expr("int(q_bucket) ^ int(flip)"))
       .select("q_id", "q_emb", "q_nrm", "bucket")
     val cand = emb.filter(col("vec_id") >= nQueries)
-    cand.join(broadcast(q), "bucket")
+    // a candidate matches at most one probe key per query (probe
+    // buckets of one query are distinct), so no intra-query dedup
+    val scored = cand.join(broadcast(q), "bucket")
       .withColumn("cosine", Exact.round4(
         expr(sparkDot("embedding", "q_emb")) / (col("nrm") * col("q_nrm"))))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(desc("cosine"), col("vec_id"))))
-      .filter(col("rank") <= 3)
+    topkPerGroup(scored, Seq("q_id"), 3)
       .select("q_id", "rank", "vec_id", "cosine")
       .orderBy("q_id", "rank")
   }
@@ -266,13 +284,18 @@ object Similarity {
     val cents = emb.filter(col("vec_id") < 8).select(
       col("vec_id").as("cell"), col("embedding").as("c_emb"),
       col("nrm").as("c_nrm"))
+    // rank-1 as max(struct(cos4, -cell)): lexicographic struct max =
+    // highest cos4, ties to LOWEST cell — identical to the rank-1
+    // window but with partial aggregation (one candidate row per
+    // vector per map task in the shuffle, not all 8 assignments).
     val assigned = emb.crossJoin(broadcast(cents))
       .withColumn("cos4", floor(
         expr(sparkDot("embedding", "c_emb")) / (col("nrm") * col("c_nrm"))
           * 10000 + lit(0.5)).cast("long"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("vec_id").orderBy(desc("cos4"), col("cell"))))
-      .filter(col("rk") === 1)
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos4"), (-col("cell")).as("negcell"))).as("w"))
+      .select(col("vec_id"), (-col("w.negcell")).as("cell"),
+        col("w.cos4").as("cos4"))
     assigned.groupBy("cell")
       .agg(count(lit(1)).as("n_vectors"),
         (floor(sum("cos4").cast("double") / count(lit(1)) + lit(0.5)) / 10000.0)
