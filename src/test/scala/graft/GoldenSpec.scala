@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** In-repo golden gate (SURVEY.md §5.4): a handful of hash-gated
+  * queries are pinned against checked-in sf0.001 outputs, so a plain
+  * `sbt test` catches result regressions without the driver's DuckDB
+  * loop. Every golden query has a TOTAL ORDER BY, so row order is
+  * deterministic.
+  *
+  * Rendering: every column is `CAST(... AS STRING)` inside Spark
+  * (session is UTC), so timestamps/doubles format identically across
+  * JVMs; null -> `\N`.
+  *
+  * Regenerate after an INTENDED semantics change with:
+  * {{{ SPARK_GRAFT_REGEN_GOLDEN=1 sbt "testOnly graft.GoldenSpec" }}}
+  * which rewrites the `src/test/resources/golden` TSVs (then re-run the
+  * DuckDB oracle before trusting the new files).
+  */
+class GoldenSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val goldenNames = Seq(
+    "q01_trips_per_day", "d01_exact_dedup",
+    "t03_quality_scores", "w01_tumbling_hourly")
+
+  private def render(df: DataFrame): Seq[String] = {
+    val header = df.columns.mkString("\t")
+    val rows = df
+      .select(df.columns.map(c => col(c).cast("string")): _*)
+      .collect()
+      .map(_.toSeq.map(v => if (v == null) "\\N" else v.toString).mkString("\t"))
+    header +: rows.toSeq
+  }
+
+  private val regen = sys.env.contains("SPARK_GRAFT_REGEN_GOLDEN")
+  private val srcDir = new java.io.File("src/test/resources/golden")
+
+  goldenNames.foreach { name =>
+    test(s"$name matches the checked-in sf0.001 golden output") {
+      val lines = render(SparkEntry.queries(name)(spark, sfDir))
+      if (regen) {
+        srcDir.mkdirs()
+        java.nio.file.Files.write(
+          new java.io.File(srcDir, s"$name.tsv").toPath,
+          lines.mkString("\n").getBytes("UTF-8"))
+        info(s"regenerated golden/$name.tsv (${lines.size - 1} rows)")
+      } else {
+        val in = getClass.getResourceAsStream(s"/golden/$name.tsv")
+        assert(in != null, s"missing golden resource for $name — " +
+          "run with SPARK_GRAFT_REGEN_GOLDEN=1 once")
+        val expected = scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toSeq
+        assert(lines.size === expected.size,
+          s"row count drifted for $name")
+        lines.zip(expected).zipWithIndex.foreach { case ((got, want), i) =>
+          assert(got === want, s"$name line $i drifted")
+        }
+      }
+    }
+  }
+}
