@@ -103,6 +103,56 @@ object Reports {
   val defaultReportKpis: Seq[String] = Seq(
     "q03_payment_dist", "q02_trips_per_hour", "q04_distance_buckets",
     "q09_heatmap_dow_hour", "q10_tip_rate_by_payment")
+
+  /** The 05c report-tree layout: reference table name → the graft
+    * query computing it (05c_make_report.py:90-150). The same five
+    * aggregations feed 05b's four charts (05b_plots.py:54-124), so
+    * this tree IS the chart data; PNG rendering is a matplotlib
+    * concern, not a Spark capability, and is deliberately out of
+    * scope (documented in COVERAGE.md).
+    */
+  val reportTree: Seq[(String, String)] = Seq(
+    "kpi_by_payment_type" -> "q03_payment_dist",
+    "kpi_by_pickup_hour" -> "q02_trips_per_hour",
+    "kpi_by_distance_bucket" -> "q04_distance_buckets",
+    "kpi_heatmap_dow_hour" -> "q09_heatmap_dow_hour",
+    "kpi_tip_rate_by_payment_type" -> "q10_tip_rate_by_payment")
+
+  /** Write the full 05c-equivalent report directory: one single-part
+    * header CSV per KPI table under `outDir/<reference name>.csv`
+    * (the reference's exact sink shape, 05c:165-176). Returns the
+    * written table names.
+    */
+  def writeReportTree(spark: SparkSession, sfDir: String,
+                      outDir: String): Seq[String] =
+    reportTree.map { case (refName, query) =>
+      writeCsvSample(SparkEntry.queries(query)(spark, sfDir),
+        s"$outDir/$refName.csv")
+      refName
+    }
+}
+
+/** Runnable 05b/05c analog: `runMain graft.ReportRun [sfDir] [outRoot]`
+  * writes `outRoot/report_<utc-run-id>/kpi_*.csv` — the reference's
+  * timestamped tabular report tree (05c_make_report.py:11-14,165-182)
+  * from the same five KPI queries the driver oracle-gates.
+  */
+object ReportRun {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.001")
+    val outRoot = args.lift(1).getOrElse("target/reports")
+    val run = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+    val outDir = s"$outRoot/report_$run"
+    val spark = Tables.session("graft-report")
+    spark.sparkContext.setLogLevel("ERROR")
+    val written = Reports.writeReportTree(spark, sfDir, outDir)
+    written.foreach(n => println(s"Saved: $outDir/$n.csv"))
+    println(s"Done. Tabular reports saved in: $outDir")
+    spark.stop()
+    sys.exit(0)
+  }
 }
 
 /** Oracle-checked queries exercising the CSV + display surface. */

@@ -98,4 +98,19 @@ class IoSpec extends AnyFunSuite {
         SparkEntry.queries(n)(spark, sfDir).columns.toSeq)
     }
   }
+
+  test("report tree writes the reference's five kpi_* tables (05c layout)") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_report_tree").toString
+    val names = Reports.writeReportTree(spark, sfDir, out)
+    assert(names === Reports.reportTree.map(_._1))
+    names.foreach { n =>
+      assert(n.startsWith("kpi_"), "reference report naming")
+      val parts = new java.io.File(s"$out/$n.csv").listFiles()
+        .filter(_.getName.endsWith(".csv"))
+      assert(parts.length === 1, s"$n should be a single part file")
+      assert(java.nio.file.Files.readAllLines(parts.head.toPath).size() > 1,
+        s"$n should have data rows")
+    }
+  }
 }
