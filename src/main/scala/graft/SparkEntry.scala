@@ -24,10 +24,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Kpis.queries ++ Relational.queries ++ Text.queries ++
       Dedup.queries ++ Similarity.queries ++ MlQueries.queries ++
-      StreamingQueries.queries ++ IoQueries.queries ++ Multimodal.queries
+      StreamingQueries.queries ++ IoQueries.queries ++
+      Multimodal.queries ++ Temporal.queries
 
   def oracleSql: Map[String, String] =
     Kpis.oracles ++ Relational.oracles ++ Text.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ StreamingQueries.oracles ++
-      IoQueries.oracles ++ Multimodal.oracles
+      IoQueries.oracles ++ Multimodal.oracles ++ Temporal.oracles
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[TemporalJoins]] — as-of and bucketed range join semantics. */
+class TemporalJoinsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("leftAsOf: latest at-or-before match, inclusive ties, null when none") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, 100L, "a"), // matches r@100 (inclusive tie)
+      (1L, 150L, "b"), // matches r@100 (not 200)
+      (1L, 250L, "c"), // matches r@200 (latest <= 250)
+      (2L, 50L, "d"), // user with no right rows -> null
+      (3L, 10L, "e")) // right rows exist but all later -> null
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 100L, 10.0), (1L, 200L, 20.0), (3L, 99L, 30.0))
+      .toDF("k", "t", "v")
+    val out = TemporalJoins.leftAsOf(left, right, Seq("k"), "t", "t", Seq("v"))
+      .orderBy("tag")
+      .collect()
+      .map(r => (r.getAs[String]("tag"), Option(r.getAs[java.lang.Double]("asof_v"))))
+    assert(out.toSeq === Seq(
+      ("a", Some(10.0)), ("b", Some(10.0)), ("c", Some(20.0)),
+      ("d", None), ("e", None)))
+  }
+
+  test("rangeJoin: inclusive ends, bounded fan-out, equals the naive inequality join") {
+    val s = spark
+    import s.implicits._
+    // deterministic pseudo-random points and intervals, several keys
+    val points = spark.range(0, 2000)
+      .select(pmod(col("id"), lit(5)).as("k"),
+        to_timestamp(lit("2024-01-01 00:00:00"))
+          .plus(expr("make_interval(0,0,0,0,0,0, pmod(hash(id), 86400))")).as("pt"))
+    val intervals = spark.range(0, 200)
+      .select(col("id").as("iid"), pmod(col("id"), lit(5)).as("k"),
+        to_timestamp(lit("2024-01-01 00:00:00"))
+          .plus(expr("make_interval(0,0,0,0,0,0, pmod(hash(id + 7), 86400))")).as("st"))
+      .withColumn("en", expr("timestampadd(SECOND, 1800, st)"))
+    val bucketed = TemporalJoins.rangeJoin(points, intervals, Seq("k"),
+        "pt", "st", "en", 1800L)
+      .select("iid", "k", "pt")
+    val naive = points.as("p").join(intervals.as("i"),
+        col("p.k") === col("i.k") &&
+          col("p.pt") >= col("i.st") && col("p.pt") <= col("i.en"))
+      .select(col("iid"), col("p.k").as("k"), col("pt"))
+    assert(bucketed.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(bucketed).count() === 0)
+    assert(bucketed.count() === naive.count()) // no dup from bucketing
+  }
+
+  test("rangeJoin boundary points are included at both ends") {
+    val s = spark
+    import s.implicits._
+    val pts = Seq((1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 10:30:00"),
+      (1L, "2024-01-01 10:30:01"))
+      .toDF("k", "ps").select(col("k"), to_timestamp(col("ps")).as("pt"))
+    val iv = Seq((1L, "2024-01-01 10:00:00"))
+      .toDF("k", "ss").select(col("k"), to_timestamp(col("ss")).as("st"))
+      .withColumn("en", expr("timestampadd(SECOND, 1800, st)"))
+    assert(TemporalJoins.rangeJoin(pts, iv, Seq("k"), "pt", "st", "en", 1800L)
+      .count() === 2) // 10:00:00 and 10:30:00 in, 10:30:01 out
+  }
+}
