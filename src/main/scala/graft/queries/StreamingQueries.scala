@@ -187,16 +187,47 @@ object StreamingQueries {
        |ORDER BY user_id, session_start""".stripMargin
 
   // ---------------------------------------------------------------
+  /** w07 — STREAMING exact dedup: `readStream` over the documents
+    * parquet, content fingerprint, `dropDuplicates` (stateful,
+    * keep-first-arrival), append-mode memory sink. The streaming twin
+    * of d01 — what a continuously-ingesting training-data pipeline
+    * runs instead of a batch dedup. Output is the distinct fingerprint
+    * SET (key-only), which is arrival-order independent — that is what
+    * makes a hash oracle possible; at scale the same plan runs with a
+    * watermark bounding the dedup state.
+    */
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_d")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("documents.parquet"), java.nio.file.Paths.get(path))
+    val schema = spark.read.parquet(path).schema
+    val dedup = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .select(md5(col("text")).as("fingerprint"))
+      .dropDuplicates("fingerprint")
+    val q = dedup.writeStream
+      .format("memory").queryName("w07_mem").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("w07_mem").orderBy("fingerprint")
+  }
+
+  val streamingDedupSql: String =
+    """SELECT DISTINCT md5(text) AS fingerprint FROM documents
+      |ORDER BY fingerprint""".stripMargin
+
+  // ---------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_tumbling_hourly" -> tumblingHourly _,
     "w02_sliding_windows" -> slidingWindows _,
     "w03_keep_first_per_user" -> keepFirstPerUser _,
     "w04_running_totals" -> runningTotals _,
     "w05_streaming_hourly" -> streamingHourly _,
-    "w06_session_windows" -> sessionWindows _
+    "w06_session_windows" -> sessionWindows _,
+    "w07_streaming_dedup" -> streamingDedup _
   )
 
   def oracles: Map[String, String] = Map(
+    "w07_streaming_dedup" -> streamingDedupSql,
     "w06_session_windows" -> sessionWindowsSql,
     "w01_tumbling_hourly" -> tumblingHourlySql,
     "w02_sliding_windows" -> slidingWindowsSql,

@@ -326,7 +326,69 @@ object Text {
        |FROM f WHERE len(fps) >= $rollWindow
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** t09 — repetition quality stats (the Gopher/RefinedWeb-family
+    * repetition signals): per document, the fraction of word bigrams
+    * taken by the single most frequent bigram, and the distinct-bigram
+    * fraction. Repetitive generated/boilerplate text scores a high
+    * top_bigram_frac and low distinct_frac and is filtered before
+    * training. Shape: explode bigrams (explode_outer + null filter —
+    * see Dedup.minhashLsh for why not inner explode) then two codegen
+    * group-bys with partial aggregation; shuffles carry (doc_id,
+    * bigram) counts, never document text.
+    */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val grams = docs
+      .withColumn("toks", tokens(lower(col("text"))))
+      .select(col("doc_id"), explode_outer(expr(
+        """CASE WHEN size(toks) < 2 THEN array()
+          |ELSE transform(sequence(1, size(toks) - 1),
+          |  i -> concat(toks[i-1], ' ', toks[i])) END""".stripMargin)).as("g"))
+      .filter(col("g").isNotNull)
+    val stats = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_count"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+        Exact.round4(col("top_count").cast("double") / col("n_bigrams"))
+          .as("top_bigram_frac"),
+        Exact.round4(col("n_distinct").cast("double") / col("n_bigrams"))
+          .as("distinct_frac"))
+    docs.select("doc_id").join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
+        coalesce(col("distinct_frac"), lit(1.0)).as("distinct_frac"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionStatsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${tokensSql("lower(text)")} AS toks FROM documents
+       |), g AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []
+       |    ELSE list_transform(range(1, len(toks)),
+       |      i -> toks[i] || ' ' || toks[i+1]) END) AS g
+       |  FROM t
+       |), c AS (
+       |  SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2
+       |), s AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       |    COUNT(*) AS n_distinct, MAX(c) AS top_count
+       |  FROM c GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       |  COALESCE(s.n_distinct, 0) AS n_distinct,
+       |  COALESCE(${Exact.round4Sql("CAST(top_count AS DOUBLE) / n_bigrams")}, 0.0) AS top_bigram_frac,
+       |  COALESCE(${Exact.round4Sql("CAST(n_distinct AS DOUBLE) / n_bigrams")}, 1.0) AS distinct_frac
+       |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t09_repetition_stats" -> repetitionStats _,
     "t06_bpeish_tokens" -> bpeishTokens _,
     "t07_quality_filter" -> qualityFilter _,
     "t08_rolling_fingerprints" -> rollingFingerprints _,
@@ -338,6 +400,7 @@ object Text {
   )
 
   def oracles: Map[String, String] = Map(
+    "t09_repetition_stats" -> repetitionStatsSql,
     "t06_bpeish_tokens" -> bpeishTokensSql,
     "t07_quality_filter" -> qualityFilterSql,
     "t08_rolling_fingerprints" -> rollingFingerprintsSql,
