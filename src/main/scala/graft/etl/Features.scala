@@ -34,6 +34,16 @@ object Features {
   /** `k` — integer payload extracted from the JSON `props` column. */
   val kCol: Column = get_json_object(col("props"), "$.k").cast("int")
 
+  /** [[kCol]] behind an [[OptimizerBarrier]]: same values, but
+    * predicates on k-derived columns are NOT alias-inlined and pushed
+    * below a rebalance Exchange (which would re-run the JSON parse
+    * once per predicate per row at raw-scan parallelism). Requires
+    * `optimizer_barrier` to be registered (GraftExtensions or
+    * OptimizerBarrier.register).
+    */
+  val kColFenced: Column =
+    expr("optimizer_barrier(get_json_object(props, '$.k'))").cast("int")
+
   /** Add the full trips-analog feature set to the events frame.
     * Deliberately NO rebalance here: every derivation below is a
     * narrow codegen'd projection and the consumers are aggregations,
@@ -44,8 +54,13 @@ object Features {
     * [[Tables.balanced]] is reserved for genuinely CPU-bound per-row
     * stages (MinHash/md5/embedding dots on documents/embeddings).
     */
-  def enrich(events: DataFrame): DataFrame = events
-    .withColumn("k", kCol)
+  def enrich(events: DataFrame): DataFrame = enrich(events, kCol)
+
+  /** [[enrich]] with a caller-chosen `k` expression (the balanced
+    * clean/feature pipelines pass [[kColFenced]]).
+    */
+  def enrich(events: DataFrame, k: Column): DataFrame = events
+    .withColumn("k", k)
     .withColumn("pickup_ts", col("ts"))
     // duration analog: k+1 minutes ∈ [1,100] — inside the strict clean
     // range [1,240] (spark_jobs/02_clean_eda.py:57)

@@ -109,5 +109,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((DotProduct.fnId, DotProduct.info, DotProduct.builder))
     e.injectFunction((TopKScoreId.fnId, TopKScoreId.info, TopKScoreId.builder))
+    e.injectFunction((OptimizerBarrier.fnId, OptimizerBarrier.info,
+      OptimizerBarrier.builder))
   }
 }

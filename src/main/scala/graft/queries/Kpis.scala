@@ -21,6 +21,28 @@ object Kpis {
   def trips(spark: SparkSession, dir: String): DataFrame =
     Features.enrich(Tables.events(spark, dir))
 
+  /** trips over a REBALANCED events scan — only for consumers whose
+    * own first stage is a full-width shuffle of every row (q11/q20's
+    * 8-/5-column DISTINCT, q12's total sort): there the map side does
+    * the JSON-parse-heavy enrich, so a degenerate scan layout (one
+    * row group → one core) serializes real CPU, and the gated
+    * rebalance buys it back without adding net shuffle volume.
+    * Aggregating consumers (q01…q10) stay on [[trips]] — partial
+    * aggregation shrinks their map output, so a pre-shuffle of raw
+    * events would be a pure tax (round-2 verdict: q01 paid 6.7× for
+    * exactly that).
+    */
+  private def tripsBalanced(spark: SparkSession, dir: String): DataFrame = {
+    // kColFenced: without the fence, PushDownPredicate alias-inlines
+    // the consumers' range filters (each carrying the full derived
+    // expression — ~8 get_json_object parses per row for q11) and
+    // pushes them below the rebalance Exchange, back onto the
+    // serialized coarse scan the rebalance exists to escape.
+    OptimizerBarrier.register(spark) // idempotent; non-configured sessions
+    Features.enrich(Tables.balanced(Tables.events(spark, dir)),
+      Features.kColFenced)
+  }
+
   private val fc = Features.oracleCte // WITH feats/trips/trips2 CTEs
 
   // ---------------------------------------------------------------
@@ -145,7 +167,7 @@ object Kpis {
   // filters + dedup, projected onto the dedup key so DISTINCT
   // semantics are oracle-exact.
   def cleanPipeline(spark: SparkSession, dir: String): DataFrame =
-    Clean.strict(trips(spark, dir))
+    Clean.strict(tripsBalanced(spark, dir))
       .select("pickup_ts", "dropoff_ts", "user_id", "event_type",
         "fare_amount", "tip_amount", "total_amount", "trip_distance")
       .orderBy("pickup_ts", "user_id", "event_type")
@@ -156,7 +178,7 @@ object Kpis {
   // order (the light key omits event_type, so q11's tie-breakers
   // aren't sufficient here).
   def cleanLight(spark: SparkSession, dir: String): DataFrame =
-    Clean.light(trips(spark, dir))
+    Clean.light(tripsBalanced(spark, dir))
       .select("pickup_ts", "dropoff_ts", "user_id",
         "fare_amount", "total_amount")
       .orderBy("pickup_ts", "dropoff_ts", "user_id",
@@ -166,7 +188,7 @@ object Kpis {
   // Raw doubles are deterministic here (identical IEEE ops on both
   // engines); only aggregates need rounding.
   def featurePipeline(spark: SparkSession, dir: String): DataFrame =
-    trips(spark, dir)
+    tripsBalanced(spark, dir)
       .select(col("event_id"), col("k"), col("trip_distance"),
         col("tip_amount"), col("total_amount"), col("duration_min"),
         col("avg_speed_mph"), col("pickup_hour"), col("pickup_dow"),
