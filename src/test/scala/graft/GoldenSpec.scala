@@ -24,7 +24,8 @@ class GoldenSpec extends AnyFunSuite {
 
   private val goldenNames = Seq(
     "q01_trips_per_day", "d01_exact_dedup",
-    "t03_quality_scores", "w01_tumbling_hourly")
+    "t03_quality_scores", "w01_tumbling_hourly",
+    "r06_asof_join", "s01_cosine_topk")
 
   private def render(df: DataFrame): Seq[String] = {
     val header = df.columns.mkString("\t")
