@@ -148,6 +148,68 @@ object Similarity {
        |ORDER BY q_id, "rank"""".stripMargin
 
   // ---------------------------------------------------------------
+  /** s06 — int8-quantized brute-force top-5: the STORAGE-scale ANN
+    * path. Per-vector symmetric quantization q_i = floor(x_i/s·127
+    * + 0.5) with s = max|x_i| shrinks a float32 corpus 4× (1 byte/dim
+    * + one scale/vector) — at 100 TB that is the difference between an
+    * in-memory and a spilled index. Cosine is computed over the
+    * quantized vectors (the per-vector scales cancel in the ratio), so
+    * the whole pipeline is exact integer-derived arithmetic — fully
+    * deterministic, hence hash-gateable. Rank agreement with the
+    * full-precision s01 is pinned in SimilaritySpec.
+    */
+  def quantizedTopK(spark: SparkSession, dir: String): DataFrame = {
+    DotProduct.register(spark); TopKScoreId.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("qscale", expr(
+        "greatest(array_max(transform(embedding, y -> abs(CAST(y AS DOUBLE)))), 1e-30d)"))
+      .withColumn("qemb", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / qscale * 127 + 0.5) AS DOUBLE))"))
+      .withColumn("qnrm", sqrt(expr("dot_product(qemb, qemb)")))
+      .select("vec_id", "qemb", "qnrm")
+    val q = emb.filter(col("vec_id") < nQueries).select(
+      col("vec_id").as("q_id"), col("qemb").as("q_emb"),
+      col("qnrm").as("q_nrm"))
+    val cand = emb.filter(col("vec_id") >= nQueries)
+    val scored = cand.crossJoin(broadcast(q))
+      .withColumn("cosine", Exact.round4(
+        expr("dot_product(qemb, q_emb)") / (col("qnrm") * col("q_nrm"))))
+    topkPerGroup(scored, Seq("q_id"), 5)
+      .select("q_id", "rank", "vec_id", "cosine")
+      .orderBy("q_id", "rank")
+  }
+
+  val quantizedTopKSql: String = {
+    val qscale =
+      "greatest(list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), 1e-30)"
+    s"""WITH qz AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> floor(CAST(x AS DOUBLE) / $qscale * 127 + 0.5)) AS qemb
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, qemb,
+       |    sqrt(list_aggregate(list_transform(qemb, x -> x * x), 'sum')) AS qnrm
+       |  FROM qz
+       |), q AS (
+       |  SELECT vec_id AS q_id, qemb AS q_emb, qnrm AS q_nrm
+       |  FROM n WHERE vec_id < $nQueries
+       |), s AS (
+       |  SELECT q_id, c.vec_id,
+       |    ${Exact.round4Sql(
+             """list_aggregate(list_transform(range(1, %d),
+               |  i -> c.qemb[i] * q_emb[i]), 'sum') / (c.qnrm * q_nrm)"""
+               .stripMargin.format(dim + 1))} AS cosine
+       |  FROM n c CROSS JOIN q WHERE c.vec_id >= $nQueries
+       |), r AS (
+       |  SELECT q_id, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS "rank"
+       |  FROM s)
+       |SELECT q_id, "rank", vec_id, cosine FROM r WHERE "rank" <= 5
+       |ORDER BY q_id, "rank"""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   /** s02 — LSH-bucketed ANN: top-3 same-bucket candidates per query.
     * The bucket equality join replaces s01's scan of every candidate —
     * the 100 TB search path (expected bucket occupancy n/256).
@@ -326,6 +388,7 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s04_ivf_cells" -> ivfCells _,
     "s05_multiprobe_ann" -> multiProbeAnn _,
+    "s06_quantized_topk" -> quantizedTopK _,
     "s01_cosine_topk" -> cosineTopK _,
     "s02_lsh_ann" -> lshAnn _,
     "s03_neardup_pairs" -> nearDupPairs _
@@ -334,6 +397,7 @@ object Similarity {
   def oracles: Map[String, String] = Map(
     "s04_ivf_cells" -> ivfCellsSql,
     "s05_multiprobe_ann" -> multiProbeAnnSql,
+    "s06_quantized_topk" -> quantizedTopKSql,
     "s01_cosine_topk" -> cosineTopKSql,
     "s02_lsh_ann" -> lshAnnSql,
     "s03_neardup_pairs" -> nearDupPairsSql

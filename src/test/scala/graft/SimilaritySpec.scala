@@ -87,4 +87,15 @@ class SimilaritySpec extends AnyFunSuite {
     val joined = lsh.join(brute, Seq("q_id", "vec_id"), "inner")
     assert(joined.filter(col("cosine") =!= col("bf_cos")).count() === 0)
   }
+
+  test("int8-quantized top-5 agrees with full-precision top-5 (recall >= 0.8)") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineTopK(spark, sfDir))
+    val quant = pairs(Similarity.quantizedTopK(spark, sfDir))
+    assert(quant.size === exact.size)
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    assert(recall >= 0.8, f"quantized recall $recall%.2f too low")
+  }
 }
