@@ -60,6 +60,18 @@ class TablesSpec extends AnyFunSuite {
     }
   }
 
+  test("column projection prunes the parquet ReadSchema to what's selected") {
+    val df = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    df.write.format("noop").mode("overwrite").save()
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scan.isDefined)
+    assert(scan.get.requiredSchema.fieldNames.toSet ===
+      Set("l_orderkey", "l_quantity"),
+      "scan must read only the projected columns")
+  }
+
   test("single file with many row groups is a no-op") {
     withTmp { dir =>
       val path = s"$dir/many_rgs"
