@@ -299,11 +299,18 @@ object Text {
     s"""list_transform(range(1, len(fps) - ${rollWindow - 2}), i -> $horner)"""
   }
 
-  def rollingFingerprints(spark: SparkSession, dir: String): DataFrame =
+  def rollingFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    // optimizer_barrier: the size(fps) filter below is otherwise
+    // alias-inlined (full md5-per-token transform) and pushed below
+    // the rebalance Exchange — the q11/d02 trap. The fence keeps the
+    // filter above the projection that computes fps, and also stops
+    // CollapseProject from inlining fps into the rolling-window
+    // expression that references it rollWindow times.
+    OptimizerBarrier.register(spark)
     Tables.documents(spark, dir)
       .withColumn("toks", tokens(lower(col("text"))))
       .withColumn("fps", expr(
-        "transform(toks, t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % 2147483647)"))
+        "optimizer_barrier(transform(toks, t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % 2147483647))"))
       .filter(size(col("fps")) >= rollWindow)
       .withColumn("whs", expr(rollExpr))
       .select(
@@ -312,6 +319,7 @@ object Text {
         array_min(col("whs")).as("min_fp"),
         size(array_distinct(col("whs"))).as("distinct_windows"))
       .orderBy("doc_id")
+  }
 
   val rollingFingerprintsSql: String =
     s"""WITH f AS (
