@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.{GetJsonObject, HigherOrderFunction, Md5}
+import org.apache.spark.sql.catalyst.plans.logical.Filter
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Optimized-plan audit: no CPU-heavy expression (JSON parse, md5,
+  * array higher-order function) may appear inside a Filter condition.
+  *
+  * Why: Catalyst alias-inlines predicates through projections
+  * (PushDownPredicate) and infers non-empty predicates from inner
+  * explodes (InferFiltersFromGenerate); both rewrite a cheap-looking
+  * filter into one carrying the FULL derivation and push it below any
+  * rebalance Exchange — so the dominant per-row cost runs twice, once
+  * serialized at raw-scan parallelism. Rounds 3–4 hit this trap in
+  * d02/d03/d04 (fixed via explode_outer), q11/q12/q20 (kColFenced)
+  * and t08 (optimizer_barrier). This suite pins the fix class-wide:
+  * any new query that reintroduces the shape fails sbt test with the
+  * offending expression named.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** The CPU-heavy per-row pipelines where the trap bites hardest. */
+  private val audited = Seq(
+    "d01_exact_dedup", "d02_minhash_lsh", "d03_ngram_jaccard",
+    "d04_simhash", "d05_dedup_corpus",
+    "t03_quality_scores", "t04_fingerprints", "t08_rolling_fingerprints",
+    "t09_repetition_stats",
+    "q11_clean_pipeline", "q12_feature_pipeline", "q20_clean_light",
+    "s01_cosine_topk", "s06_quantized_topk")
+
+  audited.foreach { name =>
+    test(s"$name: no expensive expression inside a Filter") {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.optimizedPlan
+      val offenders = plan.collect {
+        case f: Filter =>
+          f.condition.collect {
+            case e: Md5 => e
+            case e: GetJsonObject => e
+            case e: HigherOrderFunction => e
+          }
+      }.flatten
+      assert(offenders.isEmpty,
+        s"$name evaluates expensive expressions inside a Filter " +
+          s"(pushdown/inference trap): ${offenders.map(_.sql).mkString("; ")}")
+    }
+  }
+}
