@@ -395,7 +395,60 @@ object Text {
        |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** t10 — per-document top-3 terms by smoothed TF-IDF
+    * (tf · ln((N+1)/(df+1))): the classic salient-term extractor a
+    * corpus-curation pipeline runs for topic tagging. All three
+    * inputs are aggregates with map-side combine (term counts per
+    * doc, document frequency per term, corpus size — the last a
+    * broadcast single row), the scoring join is per-term equi, and
+    * the final per-doc rank window partitions on doc_id with
+    * per-doc-vocabulary row counts — every shuffle is bounded by
+    * distinct (doc, term) pairs, never token count.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val words = docs.withColumn("toks", tokens(lower(col("text"))))
+      .select(col("doc_id"), explode_outer(col("toks")).as("w"))
+      .filter(col("w").isNotNull) // explode_outer: see Dedup.minhashLsh
+    val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "w")
+      .crossJoin(broadcast(total))
+      .withColumn("score", Exact.round4(
+        col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("score"), col("w"))))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("w").as("term"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val tfidfTopTermsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(${tokensSql("lower(text)")}) AS w FROM documents
+       |), tf AS (
+       |  SELECT doc_id, w, COUNT(*) AS tf FROM t GROUP BY 1, 2
+       |), dfq AS (
+       |  SELECT w, COUNT(*) AS df FROM tf GROUP BY 1
+       |), n AS (
+       |  SELECT COUNT(*) AS n_docs FROM documents
+       |), s AS (
+       |  SELECT doc_id, tf.w,
+       |    ${Exact.round4Sql("tf * ln((n_docs + 1.0) / (df + 1.0))")} AS score
+       |  FROM tf JOIN dfq USING (w) CROSS JOIN n
+       |), r AS (
+       |  SELECT doc_id, w, score,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY score DESC, w) AS "rank"
+       |  FROM s)
+       |SELECT doc_id, "rank", w AS term, score FROM r WHERE "rank" <= 3
+       |ORDER BY doc_id, "rank"""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_tfidf_top_terms" -> tfidfTopTerms _,
     "t09_repetition_stats" -> repetitionStats _,
     "t06_bpeish_tokens" -> bpeishTokens _,
     "t07_quality_filter" -> qualityFilter _,
@@ -408,6 +461,7 @@ object Text {
   )
 
   def oracles: Map[String, String] = Map(
+    "t10_tfidf_top_terms" -> tfidfTopTermsSql,
     "t09_repetition_stats" -> repetitionStatsSql,
     "t06_bpeish_tokens" -> bpeishTokensSql,
     "t07_quality_filter" -> qualityFilterSql,
