@@ -346,7 +346,104 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** d06 — deterministic stratified quota sample: the data-MIXING
+    * primitive (fix the per-language composition of a training mix).
+    * Each document gets a salted 48-bit md5 hash (48 bits, not 60:
+    * must be exact as a double for the aggregate's score); the quota
+    * winners per stratum are the lowest hashes — i.e. a reproducible
+    * uniform sample with an EXACT per-stratum count.
+    *
+    * Scale shape: selection runs through the bounded [[TopKScoreId]]
+    * aggregate, so each map task contributes at most `quota` rows per
+    * stratum to the shuffle — no per-stratum global sort, no
+    * `rank() OVER (PARTITION BY lang)` shuffle of the whole corpus
+    * (the naive spelling the oracle uses, fine at oracle scale).
+    */
+  val strataQuota = 50
+
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    TopKScoreId.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), expr(
+        "CAST(conv(substring(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 12), 16, 10) AS BIGINT)")
+        .as("h"))
+      .withColumn("score", -col("h").cast("double"))
+      .groupBy("lang")
+      .agg(expr(s"topk_score_id(score, doc_id, $strataQuota)").as("tk"))
+      .select(col("lang"), posexplode(col("tk")))
+      .select(col("lang"), (col("pos") + 1).as("rank"), col("col.id").as("doc_id"))
+      .orderBy("lang", "rank")
+  }
+
+  val stratifiedSampleSql: String =
+    s"""WITH h AS (
+       |  SELECT lang, doc_id,
+       |    CAST(CONCAT('0x', SUBSTR(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+       |  FROM documents
+       |), r AS (
+       |  SELECT lang, doc_id,
+       |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS "rank"
+       |  FROM h)
+       |SELECT lang, "rank", doc_id FROM r WHERE "rank" <= $strataQuota
+       |ORDER BY lang, "rank"""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** d07 — benchmark decontamination screen: corpus documents sharing
+    * 3-gram shingles with a benchmark set (here: the first 10 docs
+    * stand in for an eval suite), with the shared-shingle count and
+    * overlap rate. The op every serious training-data pipeline runs
+    * before shipping a corpus.
+    *
+    * Scale shape: the benchmark's distinct shingle set is tiny
+    * (benchmarks are MBs against a 100 TB corpus) → broadcast
+    * semi-side; candidate matching is a broadcast equi join on the
+    * shingle hash; per-doc counts partial-aggregate. The corpus is
+    * never self-joined and never shuffled by content.
+    */
+  val contaminationBenchDocs = 10
+
+  def contaminationScreen(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingled(spark, dir)
+      .select(col("doc_id"), explode_outer(col("fps")).as("sh"))
+      .filter(col("sh").isNotNull) // explode_outer: see minhashLsh
+    val bench = ex.filter(col("doc_id") < contaminationBenchDocs)
+      .select("sh").distinct()
+    val corpus = ex.filter(col("doc_id") >= contaminationBenchDocs)
+    // fps is array_distinct per doc, and bench is distinct, so the
+    // join produces each shared shingle once → count == |A ∩ bench|
+    val overlap = corpus.join(broadcast(bench), "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("overlap"))
+    val sizes = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    sizes.join(overlap, "doc_id")
+      .select(col("doc_id"), col("n_shingles"), col("overlap"),
+        Exact.round4(col("overlap").cast("double") / col("n_shingles"))
+          .as("overlap_rate"))
+      .orderBy("doc_id")
+  }
+
+  val contaminationScreenSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, $shingleFpsSql AS fps FROM documents
+       |), ex AS (
+       |  SELECT doc_id, unnest(fps) AS sh FROM sh
+       |), bench AS (
+       |  SELECT DISTINCT sh FROM ex WHERE doc_id < $contaminationBenchDocs
+       |), corpus AS (
+       |  SELECT doc_id, sh FROM ex WHERE doc_id >= $contaminationBenchDocs
+       |), sizes AS (
+       |  SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY 1
+       |), ov AS (
+       |  SELECT c.doc_id, COUNT(*) AS overlap
+       |  FROM corpus c JOIN bench b ON c.sh = b.sh GROUP BY 1)
+       |SELECT s.doc_id, s.n_shingles, ov.overlap,
+       |  ${Exact.round4Sql("CAST(ov.overlap AS DOUBLE) / s.n_shingles")} AS overlap_rate
+       |FROM sizes s JOIN ov ON s.doc_id = ov.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d06_stratified_sample" -> stratifiedSample _,
+    "d07_contamination_screen" -> contaminationScreen _,
     "d05_dedup_corpus" -> dedupCorpus _,
     "d01_exact_dedup" -> exactDedup _,
     "d02_minhash_lsh" -> minhashLsh _,
@@ -355,6 +452,8 @@ object Dedup {
   )
 
   def oracles: Map[String, String] = Map(
+    "d06_stratified_sample" -> stratifiedSampleSql,
+    "d07_contamination_screen" -> contaminationScreenSql,
     "d05_dedup_corpus" -> dedupCorpusSql,
     "d01_exact_dedup" -> exactDedupSql,
     "d02_minhash_lsh" -> minhashLshSql,
