@@ -213,15 +213,45 @@ object IoQueries {
       .limit(100)
       .select("event_id", "user_id", "event_type", "value")
 
+  /** c04 — JSONL round-trip: documents → json-lines sink → explicit-
+    * schema read-back → per-language profile. JSONL is the canonical
+    * LLM-corpus interchange format, and the aggregate (doc counts,
+    * char sums, DISTINCT text hashes) proves the round-trip preserved
+    * every text byte through JSON escaping. The read uses an explicit
+    * schema — the 100 TB ingest path (no inference scan); the oracle
+    * computes the same profile from the parquet directly, so any sink
+    * or source infidelity breaks the hash.
+    */
+  def jsonlRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_jsonl/documents"
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "lang", "source", "n_chars", "text")
+    docs.coalesce(1).write.mode("overwrite").json(out)
+    spark.read.schema(docs.schema).json(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_chars").cast("long")).as("total_chars"),
+        countDistinct(md5(col("text"))).as("distinct_texts"))
+      .orderBy("lang")
+  }
+
+  val jsonlRoundTripSql: String =
+    """SELECT lang, COUNT(*) AS docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  COUNT(DISTINCT md5(text)) AS distinct_texts
+      |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_csv_roundtrip" -> csvRoundTrip _,
     "c02_safe_display" -> safeDisplay _,
-    "c03_rand_sample" -> randSample _
+    "c03_rand_sample" -> randSample _,
+    "c04_jsonl_roundtrip" -> jsonlRoundTrip _
   )
 
   def oracles: Map[String, String] = Map(
     "c01_csv_roundtrip" -> csvRoundTripSql,
-    "c02_safe_display" -> safeDisplaySql
+    "c02_safe_display" -> safeDisplaySql,
     // c03 rows-only: rand(seed) is partition-dependent by design
+    "c04_jsonl_roundtrip" -> jsonlRoundTripSql
   )
 }
