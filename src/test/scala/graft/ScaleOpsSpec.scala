@@ -86,4 +86,49 @@ class ScaleOpsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("connected components labels a chain + triangle forest by min id") {
+    val s = spark
+    import s.implicits._
+    // chain 1-…-6 (diameter 5) and triangle 10-11-12, listed shuffled
+    val pairs = Seq((3L, 4L), (1L, 2L), (11L, 12L), (5L, 6L), (2L, 3L),
+      (10L, 11L), (4L, 5L), (10L, 12L)).toDF("d1", "d2")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("connected components iteration bound is real: low cap throws") {
+    val s = spark
+    import s.implicits._
+    // a 12-node chain needs ~diameter rounds; cap at 2 must refuse to
+    // return a half-propagated (wrong) labeling
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("d1", "d2")
+    assertThrows[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxIters = 2)
+    }
+    // and the default cap converges fine on the same graph
+    val labels = Dedup.connectedComponents(chain)
+    assert(labels.select("lbl").distinct().collect().map(_.getLong(0))
+      .toSeq === Seq(1L))
+  }
+
+  test("d08 clusters are edge-consistent and keyed by min member") {
+    val clusters = Dedup.neardupClusters(spark, sfDir)
+      .persist()
+    // cluster_id is the min doc_id of its members
+    val badKey = clusters.groupBy("cluster_id")
+      .agg(min("doc_id").as("lo"))
+      .filter(col("cluster_id") =!= col("lo"))
+    assert(badKey.count() === 0)
+    // every verified near-dup pair lands in one cluster
+    val lbl = clusters.select("doc_id", "cluster_id")
+    val split = Dedup.jaccardPairs(spark, sfDir)
+      .join(lbl.withColumnRenamed("doc_id", "d1").withColumnRenamed("cluster_id", "c1"), "d1")
+      .join(lbl.withColumnRenamed("doc_id", "d2").withColumnRenamed("cluster_id", "c2"), "d2")
+      .filter(col("c1") =!= col("c2"))
+    assert(split.count() === 0)
+    clusters.unpersist()
+  }
 }
