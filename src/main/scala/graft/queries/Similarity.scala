@@ -385,8 +385,97 @@ object Similarity {
        |FROM assigned GROUP BY cell ORDER BY cell""".stripMargin
 
   // ---------------------------------------------------------------
+  /** s07 — IVF SEARCH (closes the r4 "index-build only" gap): probe
+    * the `nProbe` nearest cells of s04's inverted file and rank only
+    * the vectors assigned there.
+    *
+    * Shape at 100 TB: candidate→cell assignment is a broadcast cross
+    * join against 8 centroids + a partial-aggregating arg-max (one row
+    * per vector in the shuffle); the query side is bounded (queries ×
+    * nProbe rows) and broadcast, so the search is a broadcast equi
+    * join on cell — the scan touches every candidate once but scores
+    * only same-cell pairs, and the final top-k is the bounded
+    * [[TopKScoreId]] aggregate. Recall vs the exact s01 is pinned in
+    * SimilaritySpec (like s06).
+    */
+  val nProbe = 2
+
+  def ivfSearch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(spark, dir)
+    val cents = emb.filter(col("vec_id") < 8).select(
+      col("vec_id").as("cell"), col("embedding").as("c_emb"),
+      col("nrm").as("c_nrm"))
+    val cos4 = floor(
+      expr(sparkDot("embedding", "c_emb")) / (col("nrm") * col("c_nrm"))
+        * 10000 + lit(0.5)).cast("long")
+    // candidate assignment — s04's arg-max recipe (ties → lowest cell);
+    // embedding/nrm are constant within a vec_id group, so first() is
+    // value-deterministic
+    val assigned = emb.filter(col("vec_id") >= nQueries)
+      .crossJoin(broadcast(cents))
+      .withColumn("cos4", cos4)
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos4"), (-col("cell")).as("negcell"))).as("w"),
+        first("embedding").as("embedding"), first("nrm").as("nrm"))
+      .select(col("vec_id"), (-col("w.negcell")).as("cell"),
+        col("embedding"), col("nrm"))
+    // per-query probe list: nProbe best cells by the same exact-int
+    // score, via the bounded top-k aggregate (8 rows per query in)
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(cents))
+      .withColumn("cos4", cos4)
+      .groupBy(col("vec_id").as("q_id"))
+      .agg(expr(s"topk_score_id(CAST(cos4 AS DOUBLE), cell, $nProbe)").as("tk"),
+        first("embedding").as("q_emb"), first("nrm").as("q_nrm"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        explode(col("tk")).as("probe"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        col("probe.id").as("cell"))
+    // a candidate lives in exactly one cell → no cross-probe dedup
+    val scored = assigned.join(broadcast(probes), "cell")
+      .withColumn("cosine", Exact.round4(
+        expr(sparkDot("embedding", "q_emb")) / (col("nrm") * col("q_nrm"))))
+    topkPerGroup(scored, Seq("q_id"), 3)
+      .select("q_id", "rank", "vec_id", "cosine")
+      .orderBy("q_id", "rank")
+  }
+
+  val ivfSearchSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cell, embedding AS c_emb, nrm AS c_nrm
+       |  FROM n WHERE vec_id < 8
+       |), cscore AS (
+       |  SELECT n.vec_id, cell,
+       |    CAST(floor(${duckDot("n.embedding", "c_emb")} / (n.nrm * c_nrm)
+       |      * 10000 + 0.5) AS BIGINT) AS cos4
+       |  FROM n CROSS JOIN cents
+       |), assigned AS (
+       |  SELECT vec_id, cell FROM cscore WHERE vec_id >= $nQueries
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY cos4 DESC, cell) = 1
+       |), probes AS (
+       |  SELECT vec_id AS q_id, cell FROM cscore WHERE vec_id < $nQueries
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY cos4 DESC, cell) <= $nProbe
+       |), s AS (
+       |  SELECT p.q_id, a.vec_id,
+       |    ${Exact.round4Sql(duckDot("c.embedding", "q.embedding") + " / (c.nrm * q.nrm)")} AS cosine
+       |  FROM assigned a JOIN probes p ON a.cell = p.cell
+       |                  JOIN n c ON c.vec_id = a.vec_id
+       |                  JOIN n q ON q.vec_id = p.q_id
+       |), r AS (
+       |  SELECT q_id, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS "rank"
+       |  FROM s)
+       |SELECT q_id, "rank", vec_id, cosine FROM r WHERE "rank" <= 3
+       |ORDER BY q_id, "rank"""".stripMargin
+
+  // ---------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s04_ivf_cells" -> ivfCells _,
+    "s07_ivf_search" -> ivfSearch _,
     "s05_multiprobe_ann" -> multiProbeAnn _,
     "s06_quantized_topk" -> quantizedTopK _,
     "s01_cosine_topk" -> cosineTopK _,
@@ -396,6 +485,7 @@ object Similarity {
 
   def oracles: Map[String, String] = Map(
     "s04_ivf_cells" -> ivfCellsSql,
+    "s07_ivf_search" -> ivfSearchSql,
     "s05_multiprobe_ann" -> multiProbeAnnSql,
     "s06_quantized_topk" -> quantizedTopKSql,
     "s01_cosine_topk" -> cosineTopKSql,

@@ -98,4 +98,21 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (exact intersect quant).size.toDouble / exact.size
     assert(recall >= 0.8, f"quantized recall $recall%.2f too low")
   }
+
+  test("IVF search: every query answered from probed cells, recall vs exact") {
+    val ivf = Similarity.ivfSearch(spark, sfDir)
+    val rows = ivf.select("q_id", "vec_id", "cosine").collect()
+    // all queries served, 3 ranked hits each
+    assert(rows.map(_.getLong(0)).distinct.length === Similarity.nQueries)
+    assert(rows.length === Similarity.nQueries * 3)
+    // IVF's top-3 should mostly agree with the exact top-5 superset —
+    // nProbe=2 of 8 cells scans ~a quarter of the corpus, and near
+    // neighbors concentrate in the query's nearest cells
+    val exact = Similarity.cosineTopK(spark, sfDir)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect got).size.toDouble / got.size
+    assert(recall >= 0.5, f"IVF precision-vs-exact $recall%.2f too low")
+  }
 }
