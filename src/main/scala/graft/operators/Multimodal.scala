@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * The Spark-side architecture is real and tested — schema, binary
   * payloads, partition-preserving `mapPartitions` batch shape (the
   * Scala analog of `mapInPandas`: one iterator per partition, records
-  * streamed, nothing collected) — while the codec innards are
-  * DETERMINISTIC STUBS (this container has no image/audio libraries;
-  * see [[FakeCodec]]). Swapping [[FakeCodec]] for a real decoder
-  * changes no schema, partitioning, or query shape.
+  * streamed, nothing collected). The IMAGE modality decodes for real:
+  * mm03 round-trips genuine PNG payloads through the JDK's
+  * `javax.imageio` codec. Audio/video codec innards remain
+  * DETERMINISTIC STUBS (no ffmpeg-class libraries in this container;
+  * see [[FakeCodec]]) — swapping [[FakeCodec]] for a real binding
+  * changes no schema, partitioning, or query shape, as mm03 proves.
   *
   * Scale posture: payloads never shuffle — every stage is map-side;
   * aggregations group only extracted scalar features. At 100 TB the
@@ -149,13 +151,102 @@ object Multimodal {
       |  CAST(SUM(n_frames) AS BIGINT) AS total_frames
       |FROM f GROUP BY 1 ORDER BY media_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** One decoded PNG: REAL dimensions + pixel sum read back from the
+    * compressed payload by the JDK's ImageIO codec.
+    */
+  case class PngFeatures(
+      doc_id: Long, width: Long, height: Long, n_px: Long, px_sum: Long)
+
+  /** mm03 — a GENUINE image decode (round-4 verdict "next" 6): the
+    * JDK ships a real PNG codec (`javax.imageio`), so this modality
+    * needs no stub. The encode stage synthesizes a deterministic
+    * grayscale image per document (dims and pixels are closed-form
+    * functions of doc_id), compresses it to real PNG bytes; the
+    * decode stage parses those bytes back with `ImageIO.read` and
+    * extracts width/height/pixel-sum from the raster. Gray-8 PNG is
+    * lossless, so the decoded numbers equal the closed form — which
+    * is what the DuckDB oracle computes arithmetically. A corrupted
+    * encode, a parser regression, or a raster-order bug all break the
+    * hash.
+    *
+    * Scale shape: both stages are partition-preserving mapPartitions
+    * (the batch-codec shape); payloads never shuffle — only the
+    * scalar features flow into the final sort.
+    */
+  def pngRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val decoded = Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (8 + id % 16).toInt
+          val h = (8 + (id / 16) % 16).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0, ((id * 31 + x * 7 + y * 13) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray) // real compressed PNG payload
+        }
+      }
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          val w = img.getWidth
+          val h = img.getHeight
+          val raster = img.getRaster
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              sum += raster.getSample(x, y, 0)
+              x += 1
+            }
+            y += 1
+          }
+          PngFeatures(id, w.toLong, h.toLong, w.toLong * h, sum)
+        }
+      }
+    decoded.toDF().orderBy("doc_id")
+  }
+
+  /** Oracle: the same numbers from pure arithmetic — lateral ranges
+    * over (x, y) regenerate every pixel value.
+    */
+  val pngRoundtripSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (doc_id // 16) % 16 AS h
+      |  FROM documents
+      |), px AS (
+      |  SELECT doc_id, w, h,
+      |    CAST(SUM((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS px_sum
+      |  FROM dims, range(0, 24) rx(x), range(0, 24) ry(y)
+      |  WHERE x < w AND y < h
+      |  GROUP BY doc_id, w, h)
+      |SELECT doc_id, w AS width, h AS height, w * h AS n_px, px_sum
+      |FROM px ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm01_media_stats" -> mediaStats _,
-    "mm02_feature_rollup" -> featureRollup _
+    "mm02_feature_rollup" -> featureRollup _,
+    "mm03_png_roundtrip" -> pngRoundtrip _
   )
 
   def oracles: Map[String, String] = Map(
     "mm01_media_stats" -> mediaStatsSql,
-    "mm02_feature_rollup" -> featureRollupSql
+    "mm02_feature_rollup" -> featureRollupSql,
+    "mm03_png_roundtrip" -> pngRoundtripSql
   )
 }

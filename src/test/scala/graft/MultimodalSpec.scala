@@ -48,4 +48,38 @@ class MultimodalSpec extends AnyFunSuite {
       assert(f.n_frames === FakeCodec.sampleFrames(p, 32).length)
     }
   }
+
+  test("mm03 decodes REAL PNG bytes and recovers the closed-form pixels") {
+    // re-run just the encode half standalone to inspect the payloads
+    val s = spark
+    import s.implicits._
+    val payloads = Tables.documents(spark, sfDir).select("doc_id")
+      .as[Long].limit(5).collect().map { id =>
+      val w = (8 + id % 16).toInt
+      val h = (8 + (id / 16) % 16).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      (0 until h).foreach(y => (0 until w).foreach(x =>
+        img.getRaster.setSample(x, y, 0, ((id * 31 + x * 7 + y * 13) % 256).toInt)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      id -> bos.toByteArray
+    }
+    payloads.foreach { case (_, p) =>
+      // genuine PNG container: 8-byte signature, not a raw raster dump
+      assert(p.take(8).map(_ & 0xff).toSeq ===
+        Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+    }
+    // and the full query's decoded features equal the closed form
+    val got = Multimodal.pngRoundtrip(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    payloads.foreach { case (id, _) =>
+      val w = 8 + id % 16
+      val h = 8 + (id / 16) % 16
+      val expectSum = (for { y <- 0L until h; x <- 0L until w }
+        yield (id * 31 + x * 7 + y * 13) % 256).sum
+      assert(got(id) === ((w, h, expectSum)))
+    }
+  }
 }
