@@ -41,10 +41,21 @@ final class AppSession(val spark: SparkSession, sfDir: String) {
     setSource(Features.enrich(Tables.events(spark, sfDir)))
 
   /** Source "Upload CSV": bytes → temp file → header/inferSchema read
-    * → enrich (S4, app5.py:118-127).
+    * → enrich (S4, app5.py:118-127). An events-schema CSV takes the
+    * exact project path; anything else (e.g. a genuine
+    * `tpep_pickup_datetime` vendor CSV) goes through the
+    * schema-FLEXIBLE enrichment — sniffed timestamp columns, derived
+    * features where possible, typed nulls elsewhere — so upload
+    * degrades like app5 instead of throwing (app5.py:76-101).
     */
-  def uploadCsv(bytes: Array[Byte]): DataFrame =
-    setSource(Features.enrich(Sources.uploadedCsv(spark, bytes)))
+  def uploadCsv(bytes: Array[Byte]): DataFrame = {
+    val raw = Sources.uploadedCsv(spark, bytes)
+    val isEventsSchema =
+      Seq("ts", "value", "props").forall(raw.columns.contains)
+    setSource(
+      if (isEventsSchema) Features.enrich(raw)
+      else Features.enrichFlexible(raw))
+  }
 
   private def setSource(df: DataFrame): DataFrame = {
     sample.foreach(_.unpersist()) // a stale sample is the old source's

@@ -106,6 +106,86 @@ object Features {
     // ⚠5 label: tip_amount > 0 (04b:33-34 convention)
     .withColumn("label_tip", (col("tip_amount") > 0).cast("int"))
 
+  /** Schema-FLEXIBLE enrichment for arbitrary uploaded CSVs — the
+    * reference frontend's tolerance (app5.py:64-117): sniff both
+    * vendor timestamp conventions (F14), derive what the input
+    * supports, and null-fill the rest with typed columns so every
+    * downstream surface (preview, summary, KPI tabs, SQL view, model
+    * scoring) runs without throwing. A genuine `tpep_pickup_datetime`
+    * taxi CSV and the project's events schema both land on the same
+    * feature-column contract.
+    *
+    * Purely narrow projections — no shuffle, no action; unresolvable
+    * features cost a constant-null column, never a crash.
+    */
+  def enrichFlexible(raw: DataFrame): DataFrame = {
+    import SchemaFlex.withIfMissing
+    var df = raw
+    // typed casts when present (app5.py:66-73)
+    Seq("trip_distance", "fare_amount", "tip_amount", "total_amount")
+      .foreach { c =>
+        if (df.columns.contains(c)) df = df.withColumn(c, col(c).cast("double"))
+      }
+    if (df.columns.contains("payment_type"))
+      df = df.withColumn("payment_type", col("payment_type").cast("int"))
+    // sniff the two vendor naming schemes (app5.py:76-84)
+    SchemaFlex.sniffPickupColumn(df).foreach { c =>
+      df = df.withColumn("pickup_ts", to_timestamp(col(c)))
+    }
+    SchemaFlex.sniffDropoffColumn(df).foreach { c =>
+      df = df.withColumn("dropoff_ts", to_timestamp(col(c)))
+    }
+    df =
+      if (Seq("pickup_ts", "dropoff_ts").forall(df.columns.contains)) {
+        df.withColumn("duration_min",
+            (col("dropoff_ts").cast("long") - col("pickup_ts").cast("long")) / 60.0)
+          .withColumn("pickup_hour", hour(col("pickup_ts")).cast("int"))
+          .withColumn("pickup_day", to_date(col("pickup_ts")))
+          .withColumn("pickup_dow", dayofweek(col("pickup_ts")).cast("int"))
+          .withColumn("pickup_dow_iso", (weekday(col("pickup_ts")) + 1).cast("int"))
+          .withColumn("is_weekend",
+            when(col("pickup_dow").isin(1, 7), 1).otherwise(0))
+          .withColumn("night_flag",
+            when(col("pickup_hour") >= 22 || col("pickup_hour") <= 5, 1).otherwise(0))
+      } else {
+        // timestamp-less fallback (app5.py:94-101): typed nulls, flags 0
+        Seq("duration_min" -> "double", "pickup_hour" -> "int",
+            "pickup_dow" -> "int", "pickup_dow_iso" -> "int")
+          .foldLeft(df) { case (d, (c, t)) =>
+            withIfMissing(d, c, lit(null).cast(t))
+          }
+          .transform(d => withIfMissing(d, "is_weekend", lit(0)))
+          .transform(d => withIfMissing(d, "night_flag", lit(0)))
+      }
+    // conditional ratios (app5.py:104-116)
+    if (Seq("tip_amount", "fare_amount").forall(df.columns.contains))
+      df = df.withColumn("tip_rate",
+        when(col("fare_amount") > 0, col("tip_amount") / col("fare_amount"))
+          .otherwise(lit(0.0)))
+    if (Seq("duration_min", "trip_distance").forall(df.columns.contains))
+      df = df.withColumn("avg_speed_mph",
+        when(col("duration_min") > 0,
+          col("trip_distance") / (col("duration_min") / 60.0))
+          .otherwise(lit(null)).cast("double"))
+    if (df.columns.contains("tip_rate"))
+      df = df.withColumn("label_tip", (col("tip_rate") > 0).cast("int"))
+    // engine-surface contract: the columns AppSession's tabs and the
+    // trained pipelines touch always exist, as typed nulls at worst;
+    // payment_type doubles as the event_type category, fare as value
+    df = withIfMissing(df, "event_type",
+      if (df.columns.contains("payment_type")) col("payment_type").cast("string")
+      else lit(null).cast("string"))
+    df = withIfMissing(df, "value",
+      if (df.columns.contains("fare_amount")) col("fare_amount")
+      else lit(null).cast("double"))
+    Seq("trip_distance", "fare_amount", "tip_amount", "total_amount",
+        "duration_min", "avg_speed_mph", "tip_rate")
+      .foreach(c => df = withIfMissing(df, c, lit(null).cast("double")))
+    Seq("pickup_hour", "pickup_dow", "pickup_dow_iso", "label_tip")
+      .foreach(c => df = withIfMissing(df, c, lit(null).cast("int")))
+    df
+  }
+
   /** DuckDB-SQL fragment computing the identical feature set, used to
     * build oracle queries. Kept adjacent to [[enrich]] so the two
     * stay in lock-step; any edit here must mirror an edit there.

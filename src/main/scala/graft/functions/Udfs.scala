@@ -78,4 +78,12 @@ object SchemaFlex {
       l.startsWith("tpep_pickup") || l.startsWith("pickup_datetime") ||
         l == "pickup_ts" || l == "ts"
     }
+
+  /** Dropoff twin of [[sniffPickupColumn]] (app5.py:77). */
+  def sniffDropoffColumn(df: DataFrame): Option[String] =
+    df.columns.find { c =>
+      val l = c.toLowerCase
+      l.startsWith("tpep_dropoff") || l.startsWith("dropoff_datetime") ||
+        l == "dropoff_ts"
+    }
 }

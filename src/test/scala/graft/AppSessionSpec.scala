@@ -72,4 +72,41 @@ class AppSessionSpec extends AnyFunSuite {
     assert(positives(0.1) >= positives(0.5))
     assert(positives(0.5) >= positives(0.9))
   }
+
+  /** A genuine vendor-convention taxi CSV — NOT the events schema. */
+  private val taxiCsv =
+    """tpep_pickup_datetime,tpep_dropoff_datetime,trip_distance,fare_amount,tip_amount,total_amount,payment_type
+      |2024-01-05 10:30:00,2024-01-05 10:50:00,3.5,20.0,3.0,23.0,1
+      |2024-01-06 22:15:00,2024-01-06 22:45:00,8.1,20.0,0.0,20.0,2
+      |""".stripMargin.getBytes("UTF-8")
+
+  test("schema-flexible upload: a vendor taxi CSV degrades like app5") {
+    val s = new AppSession(spark, sfDir)
+    // train on the PROJECT sample first — scoring the upload with it
+    // is the cross-schema contract
+    val model = new Pipeline().setStages(Array(
+      new VectorAssembler()
+        .setInputCols(Array("value", "is_weekend"))
+        .setOutputCol("features").setHandleInvalid("keep"),
+      new LogisticRegression()
+        .setLabelCol("label_tip").setFeaturesCol("features").setMaxIter(5)))
+      .fit(s.scoringSample(300))
+    s.uploadCsv(taxiCsv)
+    // preview + summary + KPIs all run on the sniffed/derived frame
+    assert(s.preview(5).length === 2)
+    val row = s.summary().head()
+    assert(row.getLong(row.fieldIndex("rows")) === 2L)
+    assert(row.getDouble(row.fieldIndex("avg_fare")) === 20.0)
+    assert(s.sql("SELECT pickup_hour FROM taxi ORDER BY tpep_pickup_datetime")
+      .collect().map(_.getInt(0)).toSeq === Seq(10, 22))
+    // night/weekend derivations follow the sniffed pickup timestamp
+    assert(s.sql("SELECT night_flag FROM taxi ORDER BY tpep_pickup_datetime")
+      .collect().map(_.getInt(0)).toSeq === Seq(0, 1))
+    // payment_type doubles as the KPI category
+    assert(s.kpiByPayment.collect().map(_.getString(0)).sorted === Array("1", "2"))
+    // and the project-trained model scores the upload without throwing
+    val scored = s.score(model)
+    assert(scored.count() === 2)
+    assert(scored.columns.contains("proba1"))
+  }
 }
