@@ -141,7 +141,10 @@ object StreamingQueries {
       .select(col("window.start").as("window_start"), col("events"))
     val q = agg.writeStream
       .format("memory").queryName("w05_mem").outputMode("complete").start()
-    try q.processAllAvailable() finally q.stop()
+    // memory sink holds the result after stop → the staging dir (and
+    // its symlink into read-only testdata) can be reclaimed right away
+    try q.processAllAvailable()
+    finally { q.stop(); TempArtifacts.deleteNow(streamDir) }
     spark.table("w05_mem").orderBy("window_start")
   }
 
@@ -207,7 +210,8 @@ object StreamingQueries {
       .dropDuplicates("fingerprint")
     val q = dedup.writeStream
       .format("memory").queryName("w07_mem").outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable()
+    finally { q.stop(); TempArtifacts.deleteNow(streamDir) }
     spark.table("w07_mem").orderBy("fingerprint")
   }
 

@@ -37,6 +37,19 @@ object Reports {
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
       .csv(path)
 
+  /** Partitioned JSONL corpus sink — the DEFAULT bulk form of the
+    * canonical LLM-corpus interchange format: one json-lines file per
+    * task, optionally hive-partitioned (e.g. by lang) so corpus
+    * readers prune whole directories. The single-part `coalesce(1)`
+    * spelling survives only inside the c04 round-trip fixture — at
+    * bulk scale it serializes the entire write through one task.
+    */
+  def writeJsonlParts(df: DataFrame, path: String,
+                      partitionCols: String*): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .json(path)
+
   /** Bucketed + sorted managed table — the co-located-join layout:
     * two tables bucketed the same way join with NO shuffle (sort-merge
     * over matching buckets; plan shape pinned in ScaleOpsSpec).
@@ -164,7 +177,8 @@ object IoQueries {
     * must be lossless (types, timestamps, quoted JSON strings).
     */
   def csvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"${sys.props("java.io.tmpdir")}/graft_csv/events_sample"
+    val out = TempArtifacts.register(java.nio.file.Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft_csv/events_sample")).toString
     val sample = Tables.events(spark, dir).filter(col("user_id") < 50)
     Reports.writeCsvSample(sample, out, limit = 1000000)
     Sources.readCsv(spark, out, "yyyy-MM-dd HH:mm:ss.SSSSSS")
@@ -223,7 +237,8 @@ object IoQueries {
     * or source infidelity breaks the hash.
     */
   def jsonlRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"${sys.props("java.io.tmpdir")}/graft_jsonl/documents"
+    val out = TempArtifacts.register(java.nio.file.Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft_jsonl/documents")).toString
     val docs = Tables.documents(spark, dir)
       .select("doc_id", "lang", "source", "n_chars", "text")
     docs.coalesce(1).write.mode("overwrite").json(out)

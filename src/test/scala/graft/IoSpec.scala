@@ -113,4 +113,27 @@ class IoSpec extends AnyFunSuite {
         s"$n should have data rows")
     }
   }
+
+  test("partitioned JSONL sink: many parts, hive-pruned dirs, no coalesce") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_jsonl_spec").toString + "/corpus"
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "source", "n_chars", "text")
+      .repartition(4)
+    Reports.writeJsonlParts(docs, out, "lang")
+    // hive layout: one directory per lang, multiple part files total
+    val langDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("lang="))
+    assert(langDirs.nonEmpty)
+    val parts = langDirs.flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".json"))
+    assert(parts.length > 1,
+      "bulk JSONL sink must fan out across tasks, not coalesce(1)")
+    // and the round-trip preserves every row (partition col comes back
+    // appended — realign by name before the set compare)
+    val back = spark.read.schema(docs.schema).json(out)
+      .select(docs.columns.map(col): _*)
+    assert(back.count() === docs.count())
+    assert(docs.exceptAll(back).count() === 0)
+  }
 }
