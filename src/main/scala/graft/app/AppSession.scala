@@ -154,7 +154,7 @@ object Shell {
     spark.sparkContext.setLogLevel("ERROR")
     val session = new AppSession(spark, sfDir)
     println("graft shell — commands: preview [n] | summary | sql <q> | " +
-      "kpis | report <dir> | upload <csvPath> | sample | quit")
+      "kpis | report <dir> | plots <dir> | upload <csvPath> | sample | quit")
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
     var live = true
     while (live) {
@@ -176,6 +176,9 @@ object Shell {
           session.kpiByHour.show(24, truncate = false)
         case "report" =>
           session.writeReports(rest).foreach(n => println(s"Saved: $rest/$n.csv"))
+        case "plots" =>
+          Plots.writePlotTree(spark, sfDir, rest)
+            .foreach(n => println(s"Saved: $rest/$n"))
         case "upload" =>
           val df = session.uploadCsv(
             java.nio.file.Files.readAllBytes(java.nio.file.Path.of(rest)))
