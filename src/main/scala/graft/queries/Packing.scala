@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the pretraining batch primitive: lay the corpus
+  * out into fixed-capacity token windows ("chunks") so every training
+  * sequence is exactly `chunkTokens` long.
+  *
+  * p01 implements CONCAT-AND-CHUNK (the GPT-style discipline): within
+  * each lang shard, documents concatenate in doc_id order and the
+  * stream is cut every `chunkTokens` tokens — documents may span a
+  * boundary; nothing is padded or dropped. That discipline is exactly
+  * a prefix-sum, which is why it is THE scalable packing: a running
+  * total per shard, no sequential bin-fitting fold (greedy
+  * full-document packing is inherently serial and cannot
+  * distribute).
+  *
+  * Scale shape: one window cumsum PARTITIONED BY the shard key — at
+  * 100 TB the shard key is (lang, shard_id) so no single partition
+  * sees the whole corpus; here lang alone demonstrates the pattern.
+  * Token counts are computed map-side before the shuffle; the window
+  * input is (lang, doc_id, n_tok) triples, never text.
+  */
+object Packing {
+
+  val chunkTokens = 512
+
+  /** Whitespace token count — the same recipe both engines run. */
+  private val sparkNTok =
+    "size(filter(split(text, ' '), t -> t != ''))"
+  private val duckNTok =
+    "len(list_filter(string_split(text, ' '), t -> t <> ''))"
+
+  /** p01 — per-document chunk placement: cumulative token offset,
+    * first/last chunk index, and how many chunk boundaries the doc
+    * crosses. A doc with `spans > 1` is split across training
+    * sequences — the packing loss every pipeline monitors.
+    */
+  def packChunks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), expr(sparkNTok).as("n_tok"))
+      .withColumn("tok_offset", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("first_chunk", floor(col("tok_offset") / chunkTokens))
+      .withColumn("last_chunk",
+        floor((col("tok_offset") + greatest(col("n_tok"), lit(1)) - 1)
+          / chunkTokens))
+      .withColumn("spans", (col("last_chunk") - col("first_chunk") + 1))
+      .select("lang", "doc_id", "n_tok", "tok_offset",
+        "first_chunk", "last_chunk", "spans")
+      .orderBy("lang", "doc_id")
+  }
+
+  val packChunksSql: String =
+    s"""WITH t AS (
+       |  SELECT lang, doc_id, $duckNTok AS n_tok FROM documents
+       |), o AS (
+       |  SELECT lang, doc_id, n_tok,
+       |    COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+       |  FROM t)
+       |SELECT lang, doc_id, n_tok, tok_offset,
+       |  tok_offset // $chunkTokens AS first_chunk,
+       |  (tok_offset + GREATEST(n_tok, 1) - 1) // $chunkTokens AS last_chunk,
+       |  (tok_offset + GREATEST(n_tok, 1) - 1) // $chunkTokens
+       |    - tok_offset // $chunkTokens + 1 AS spans
+       |FROM o ORDER BY lang, doc_id""".stripMargin
+
+  /** p02 — shard-level packing profile: chunks produced, packing
+    * efficiency (non-pad tokens in the last chunk), and boundary-
+    * crossing docs per lang shard. The numbers a data-loading team
+    * actually reviews before a run.
+    */
+  def packProfile(spark: SparkSession, dir: String): DataFrame =
+    packChunks(spark, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum("n_tok").as("total_tokens"),
+        (max("last_chunk") + 1).as("chunks"),
+        sum(when(col("spans") > 1, 1).otherwise(0)).as("split_docs"),
+        // tokens occupied in the final, partially-filled chunk
+        (sum("n_tok") - max("last_chunk") * chunkTokens).as("tail_tokens"))
+      .orderBy("lang")
+
+  val packProfileSql: String =
+    s"""WITH t AS (
+       |  SELECT lang, doc_id, $duckNTok AS n_tok FROM documents
+       |), o AS (
+       |  SELECT lang, doc_id, n_tok,
+       |    COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+       |  FROM t
+       |), p AS (
+       |  SELECT lang, n_tok,
+       |    tok_offset // $chunkTokens AS first_chunk,
+       |    (tok_offset + GREATEST(n_tok, 1) - 1) // $chunkTokens AS last_chunk
+       |  FROM o)
+       |SELECT lang, COUNT(*) AS docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       |  MAX(last_chunk) + 1 AS chunks,
+       |  CAST(SUM(CASE WHEN last_chunk > first_chunk THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS split_docs,
+       |  CAST(SUM(n_tok) - MAX(last_chunk) * $chunkTokens AS BIGINT) AS tail_tokens
+       |FROM p GROUP BY lang ORDER BY lang""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_pack_chunks" -> packChunks _,
+    "p02_pack_profile" -> packProfile _
+  )
+
+  def oracles: Map[String, String] = Map(
+    "p01_pack_chunks" -> packChunksSql,
+    "p02_pack_profile" -> packProfileSql
+  )
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Packing]] — concat-and-chunk invariants beyond the hash oracle. */
+class PackingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("offsets are gap-free prefix sums within each lang shard") {
+    val rows = Packing.packChunks(spark, sfDir)
+      .select("lang", "doc_id", "n_tok", "tok_offset")
+      .collect()
+      .groupBy(_.getString(0))
+    rows.values.foreach { docs =>
+      val sorted = docs.sortBy(_.getLong(1))
+      var expect = 0L
+      sorted.foreach { r =>
+        assert(r.getLong(3) === expect,
+          s"offset gap at doc ${r.getLong(1)}")
+        expect += r.getInt(2) // size() is IntegerType
+      }
+    }
+  }
+
+  test("chunk placement is consistent with capacity") {
+    val bad = Packing.packChunks(spark, sfDir)
+      .filter(col("first_chunk") =!= floor(col("tok_offset") / Packing.chunkTokens)
+        || col("spans") < 1
+        || col("last_chunk") < col("first_chunk"))
+      .count()
+    assert(bad === 0)
+  }
+
+  test("profile conserves tokens and bounds the tail chunk") {
+    val prof = Packing.packProfile(spark, sfDir).collect()
+    prof.foreach { r =>
+      val total = r.getLong(r.fieldIndex("total_tokens"))
+      val chunks = r.getLong(r.fieldIndex("chunks"))
+      val tail = r.getLong(r.fieldIndex("tail_tokens"))
+      assert(tail > 0 && tail <= Packing.chunkTokens)
+      // full chunks + tail = every token, nothing padded or dropped
+      assert((chunks - 1) * Packing.chunkTokens + tail === total)
+    }
+  }
+}
