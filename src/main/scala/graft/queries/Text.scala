@@ -447,7 +447,74 @@ object Text {
        |SELECT doc_id, "rank", w AS term, score FROM r WHERE "rank" <= 3
        |ORDER BY doc_id, "rank"""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** t11 — PII detection + redaction: the scrub stage every shipped
+    * corpus runs (emails, phone numbers, IPv4 addresses → typed
+    * placeholder tokens, with per-document match counts).
+    *
+    * The synthetic corpus carries no PII, so the query AUGMENTS each
+    * document with a deterministic doc_id-derived contact line built
+    * by identical string arithmetic in both engines — the hash then
+    * genuinely exercises cross-engine regex semantics (match sets,
+    * replace-all, boundary handling) instead of passing on an all-zero
+    * column. Patterns are written in the Java-regex ∩ RE2 dialect both
+    * engines parse identically. Redaction order is fixed
+    * (email → phone → IP) so the fingerprints agree.
+    *
+    * Scale shape: pure map-side projections (regex count + replace +
+    * md5) — the only shuffle is the final sort; text never shuffles
+    * with the counts.
+    */
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phonePat = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def piiRedaction(spark: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or 555-123-4567 from 10.0.0."),
+      (col("doc_id") % 256).cast("string"))
+    Tables.documents(spark, dir)
+      .withColumn("aug", aug)
+      .select(
+        col("doc_id"),
+        regexp_count(col("aug"), lit(emailPat)).as("n_emails"),
+        regexp_count(col("aug"), lit(phonePat)).as("n_phones"),
+        regexp_count(
+          regexp_replace(col("aug"), phonePat, "[PHONE]"), lit(ipPat))
+          .as("n_ips"),
+        md5(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("aug"), emailPat, "[EMAIL]"),
+              phonePat, "[PHONE]"),
+            ipPat, "[IP]")).as("redacted_fp"))
+      .orderBy("doc_id")
+  }
+
+  val piiRedactionSql: String = {
+    // DuckDB standard string literals pass backslashes through to RE2
+    // untouched, so the Scala pattern values embed verbatim
+    val (e, p, i) = (emailPat, phonePat, ipPat)
+    s"""WITH a AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |      || '@mail.example.com or 555-123-4567 from 10.0.0.'
+       |      || CAST(doc_id % 256 AS VARCHAR) AS aug
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(aug, '$e')) AS n_emails,
+       |  len(regexp_extract_all(aug, '$p')) AS n_phones,
+       |  len(regexp_extract_all(
+       |    regexp_replace(aug, '$p', '[PHONE]', 'g'), '$i')) AS n_ips,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(
+       |    aug, '$e', '[EMAIL]', 'g'), '$p', '[PHONE]', 'g'),
+       |    '$i', '[IP]', 'g')) AS redacted_fp
+       |FROM a ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_pii_redaction" -> piiRedaction _,
     "t10_tfidf_top_terms" -> tfidfTopTerms _,
     "t09_repetition_stats" -> repetitionStats _,
     "t06_bpeish_tokens" -> bpeishTokens _,
@@ -461,6 +528,7 @@ object Text {
   )
 
   def oracles: Map[String, String] = Map(
+    "t11_pii_redaction" -> piiRedactionSql,
     "t10_tfidf_top_terms" -> tfidfTopTermsSql,
     "t09_repetition_stats" -> repetitionStatsSql,
     "t06_bpeish_tokens" -> bpeishTokensSql,

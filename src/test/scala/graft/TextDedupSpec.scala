@@ -79,4 +79,39 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out(0) === out(1))
     assert(out(0) !== out(2))
   }
+
+  test("PII redaction: every injected identifier is found and scrubbed") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "mail a.b-c_d@sub.example.org and x@y.io today"),
+      (2L, "call 212-555-0199 or 646-555-0123 now"),
+      (3L, "host 192.168.1.254 peer 10.0.0.7"),
+      (4L, "plain text with no identifiers at all"),
+      (5L, "mix bob@corp.net 917-555-0100 172.16.0.1")).toDF("doc_id", "text")
+    // run the same expressions t11 uses, minus the synthetic augment
+    val out = docs.select(
+      col("doc_id"),
+      regexp_count(col("text"),
+        lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).as("e"),
+      regexp_count(col("text"), lit("\\b\\d{3}-\\d{3}-\\d{4}\\b")).as("p"),
+      regexp_count(col("text"),
+        lit("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")).as("i"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+          "\\b\\d{3}-\\d{3}-\\d{4}\\b", "[PHONE]"),
+        "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]").as("red"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(out(1L)._1 === 2 && out(2L)._2 === 2 && out(3L)._3 === 2)
+    assert(out(4L) === ((0, 0, 0, "plain text with no identifiers at all")))
+    assert(out(5L)._4 === "mix [EMAIL] [PHONE] [IP]")
+    // nothing PII-shaped survives any redacted text
+    out.values.foreach { case (_, _, _, red) =>
+      assert(!red.contains("@") || red.contains("[EMAIL]"))
+      assert(!"\\d{3}-\\d{3}-\\d{4}".r.findFirstIn(red).isDefined)
+    }
+  }
 }
