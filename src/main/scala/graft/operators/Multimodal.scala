@@ -176,9 +176,15 @@ object Multimodal {
     */
   def pngRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val decoded = Tables.documents(spark, dir)
-      .select(col("doc_id")).as[Long]
+    // balanced: the codec is the CPU cost and the single-row-group
+    // testdata scan would run every encode+decode on one core
+    val decoded = Tables.balanced(
+        Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
       .mapPartitions { it =>
+        // ImageIO defaults to a temp-FILE-backed stream per image —
+        // disk I/O per record; in-memory streams are the batch shape
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { id =>
           val w = (8 + id % 16).toInt
           val h = (8 + (id / 16) % 16).toInt
@@ -200,6 +206,7 @@ object Multimodal {
         }
       }
       .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, payload) =>
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(payload))

@@ -67,7 +67,7 @@ object Dedup {
     * projection because the HOF is not a cheap expression). Docs with
     * <3 tokens get an empty set.
     */
-  private val shingleFpsExpr: String =
+  private[graft] val shingleFpsExpr: String =
     """array_distinct(transform(
       |  CASE WHEN size(toks) < 3
       |       THEN array()
@@ -78,7 +78,7 @@ object Dedup {
       |  s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % 2147483647))""".stripMargin
 
   /** DuckDB fragment computing the identical shingle hash set. */
-  private val shingleFpsSql: String =
+  private[graft] val shingleFpsSql: String =
     """list_distinct(list_transform(
       |  CASE WHEN len(list_filter(string_split(lower(text), ' '), t -> t <> '')) < 3
       |       THEN []
@@ -89,7 +89,7 @@ object Dedup {
       |  s -> CAST(CONCAT('0x', SUBSTR(md5(s), 1, 15)) AS BIGINT) % 2147483647))""".stripMargin
 
   /** doc_id + shingle-hash-set frame (map-side only). */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def shingled(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("toks",
         expr("filter(split(lower(text), ' '), t -> t != '')"))
@@ -427,6 +427,15 @@ object Dedup {
     * never self-joined and never shuffled by content.
     */
   val contaminationBenchDocs = 10
+
+  /** The benchmark's distinct shingle set — the tiny broadcast side
+    * shared by d07 and the streaming screen (w08).
+    */
+  private[graft] def benchShingles(spark: SparkSession, dir: String): DataFrame =
+    shingled(spark, dir)
+      .select(col("doc_id"), explode_outer(col("fps")).as("sh"))
+      .filter(col("sh").isNotNull && col("doc_id") < contaminationBenchDocs)
+      .select("sh").distinct()
 
   def contaminationScreen(spark: SparkSession, dir: String): DataFrame = {
     val ex = shingled(spark, dir)

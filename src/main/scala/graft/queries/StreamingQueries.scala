@@ -220,7 +220,58 @@ object StreamingQueries {
       |ORDER BY fingerprint""".stripMargin
 
   // ---------------------------------------------------------------
+  /** w08 — STREAMING benchmark-contamination screen: d07's semantics
+    * at ingest time. New corpus documents arrive as a stream; the
+    * benchmark's distinct shingle set is a STATIC bounded frame
+    * (benchmarks are MBs), so the screen is a stream-static broadcast
+    * equi join — the canonical "enrich a stream against a reference
+    * table" shape — followed by a streaming aggregation. Counts are
+    * arrival-order independent, hence hash-gateable; at scale the
+    * same plan runs continuously on the ingest feed with the memory
+    * sink swapped for a real one.
+    */
+  def streamingContamination(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_c")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("documents.parquet"), java.nio.file.Paths.get(path))
+    val schema = spark.read.parquet(path).schema
+    // static side built from the batch reader — tiny, broadcast
+    val bench = Dedup.benchShingles(spark, dir)
+    val corpus = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .filter(col("doc_id") >= Dedup.contaminationBenchDocs)
+      .withColumn("toks",
+        expr("filter(split(lower(text), ' '), t -> t != '')"))
+      .select(col("doc_id"),
+        explode_outer(expr(Dedup.shingleFpsExpr)).as("sh"))
+      .filter(col("sh").isNotNull)
+    val overlap = corpus.join(broadcast(bench), "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("overlap"))
+    val q = overlap.writeStream
+      .format("memory").queryName("w08_mem").outputMode("complete").start()
+    try q.processAllAvailable()
+    finally { q.stop(); TempArtifacts.deleteNow(streamDir) }
+    spark.table("w08_mem").orderBy("doc_id")
+  }
+
+  /** Oracle: the overlap half of d07's screen. */
+  val streamingContaminationSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${Dedup.shingleFpsSql} AS fps FROM documents
+       |), ex AS (
+       |  SELECT doc_id, unnest(fps) AS sh FROM sh
+       |), bench AS (
+       |  SELECT DISTINCT sh FROM ex
+       |  WHERE doc_id < ${Dedup.contaminationBenchDocs}
+       |)
+       |SELECT e.doc_id, COUNT(*) AS overlap
+       |FROM ex e JOIN bench b ON e.sh = b.sh
+       |WHERE e.doc_id >= ${Dedup.contaminationBenchDocs}
+       |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w08_streaming_contamination" -> streamingContamination _,
     "w01_tumbling_hourly" -> tumblingHourly _,
     "w02_sliding_windows" -> slidingWindows _,
     "w03_keep_first_per_user" -> keepFirstPerUser _,
@@ -231,6 +282,7 @@ object StreamingQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "w08_streaming_contamination" -> streamingContaminationSql,
     "w07_streaming_dedup" -> streamingDedupSql,
     "w06_session_windows" -> sessionWindowsSql,
     "w01_tumbling_hourly" -> tumblingHourlySql,

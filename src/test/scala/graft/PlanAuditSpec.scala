@@ -24,7 +24,8 @@ class PlanAuditSpec extends AnyFunSuite {
   /** The CPU-heavy per-row pipelines where the trap bites hardest. */
   private val audited = Seq(
     "d01_exact_dedup", "d02_minhash_lsh", "d03_ngram_jaccard",
-    "d04_simhash", "d05_dedup_corpus",
+    "d04_simhash", "d05_dedup_corpus", "d08_neardup_clusters",
+    "d09_neardup_corpus",
     "t03_quality_scores", "t04_fingerprints", "t08_rolling_fingerprints",
     "t09_repetition_stats",
     "q11_clean_pipeline", "q12_feature_pipeline", "q20_clean_light",
