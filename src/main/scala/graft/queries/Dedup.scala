@@ -476,6 +476,72 @@ object Dedup {
        |ORDER BY s.doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** d10 — TEMPERATURE-weighted mixture sampling: d06 fixes equal
+    * per-stratum quotas; real training mixes reweight strata by
+    * n^α (α = 0.5 here) so low-resource languages are upsampled
+    * relative to their natural share without drowning the head — the
+    * standard mixing recipe in large-corpus training runs. Quotas are
+    * `floor(B·√n_l / Σ√n_m + 0.5)`; winners per stratum are the
+    * lowest salted hashes (reproducible uniform choice, same
+    * mechanism as d06).
+    *
+    * Scale shape: stratum counts and quotas are a tiny broadcast
+    * frame; selection runs through the bounded [[TopKScoreId]]
+    * aggregate with k = the whole budget (a hard upper bound for any
+    * quota), so map tasks contribute at most B rows per stratum and
+    * nothing global-sorts. The √/÷ quota arithmetic runs the same
+    * IEEE sequence in both engines; a floor boundary flip would need
+    * the irrational weight ratio to land within 1 ulp of a
+    * half-integer — noted, not observed (same accepted-risk class as
+    * the q10 ratio rounds).
+    */
+  val mixBudget = 200
+
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    TopKScoreId.register(spark)
+    val h = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), expr(
+        "CAST(conv(substring(md5(concat('temp:', CAST(doc_id AS STRING))), 1, 12), 16, 10) AS BIGINT)")
+        .as("h"))
+    val counts = h.groupBy("lang").agg(count(lit(1)).as("n"))
+    val z = counts.agg(sum(sqrt(col("n").cast("double"))).as("z"))
+    val quotas = counts.crossJoin(broadcast(z))
+      .select(col("lang"),
+        floor(sqrt(col("n").cast("double")) / col("z") * mixBudget + lit(0.5))
+          .cast("long").as("quota"))
+    val ranked = h.withColumn("score", -col("h").cast("double"))
+      .groupBy("lang")
+      .agg(expr(s"topk_score_id(score, doc_id, $mixBudget)").as("tk"))
+      .select(col("lang"), posexplode(col("tk")))
+      .select(col("lang"), (col("pos") + 1).as("rank"), col("col.id").as("doc_id"))
+    ranked.join(broadcast(quotas), "lang")
+      .filter(col("rank") <= col("quota"))
+      .select("lang", "quota", "rank", "doc_id")
+      .orderBy("lang", "rank")
+  }
+
+  val temperatureMixSql: String =
+    s"""WITH h AS (
+       |  SELECT lang, doc_id,
+       |    CAST(CONCAT('0x', SUBSTR(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+       |  FROM documents
+       |), c AS (
+       |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1
+       |), z AS (
+       |  SELECT SUM(sqrt(CAST(n AS DOUBLE))) AS z FROM c
+       |), q AS (
+       |  SELECT lang,
+       |    CAST(floor(sqrt(CAST(n AS DOUBLE)) / z * $mixBudget + 0.5) AS BIGINT) AS quota
+       |  FROM c, z
+       |), r AS (
+       |  SELECT lang, doc_id,
+       |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS "rank"
+       |  FROM h)
+       |SELECT r.lang, quota, "rank", doc_id FROM r JOIN q ON r.lang = q.lang
+       |WHERE "rank" <= quota
+       |ORDER BY r.lang, "rank"""".stripMargin
+
+  // ---------------------------------------------------------------
   /** d08/d09 — near-dup CLUSTER RESOLUTION, the dedup pipeline's final
     * stage (round-4 verdict "What's missing" 1): the verified pair set
     * ([[jaccardPairs]]) is a graph; connected components turn pairwise
@@ -619,7 +685,8 @@ object Dedup {
     "d03_ngram_jaccard" -> ngramJaccard _,
     "d04_simhash" -> simhash _,
     "d08_neardup_clusters" -> neardupClusters _,
-    "d09_neardup_corpus" -> neardupCorpus _
+    "d09_neardup_corpus" -> neardupCorpus _,
+    "d10_temperature_mix" -> temperatureMix _
   )
 
   def oracles: Map[String, String] = Map(
@@ -631,6 +698,7 @@ object Dedup {
     "d03_ngram_jaccard" -> ngramJaccardSql,
     "d04_simhash" -> simhashSql,
     "d08_neardup_clusters" -> neardupClustersSql,
-    "d09_neardup_corpus" -> neardupCorpusSql
+    "d09_neardup_corpus" -> neardupCorpusSql,
+    "d10_temperature_mix" -> temperatureMixSql
   )
 }
