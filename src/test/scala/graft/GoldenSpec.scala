@@ -25,7 +25,9 @@ class GoldenSpec extends AnyFunSuite {
   private val goldenNames = Seq(
     "q01_trips_per_day", "d01_exact_dedup",
     "t03_quality_scores", "w01_tumbling_hourly",
-    "r06_asof_join", "s01_cosine_topk")
+    "r06_asof_join", "s01_cosine_topk",
+    // round-5 families: near-dup clustering, packing, IVF search
+    "d08_neardup_clusters", "p02_pack_profile", "s07_ivf_search")
 
   private def render(df: DataFrame): Seq[String] = {
     val header = df.columns.mkString("\t")
