@@ -473,9 +473,54 @@ object Similarity {
        |ORDER BY q_id, "rank"""".stripMargin
 
   // ---------------------------------------------------------------
+  /** s08 — kNN JOIN (k = 1): every vector's nearest neighbor within
+    * its LSH bucket — the semantic-dedup / retrieval-eval primitive
+    * Spark has no native operator for. Candidate generation is the
+    * bucket equi self-join (O(Σ bucket²), never all-pairs); the
+    * arg-max per vector runs through the bounded [[TopKScoreId]]
+    * aggregate, so the shuffle carries one candidate per vector per
+    * map task. Vectors alone in their bucket produce no row
+    * (identical semantics in the oracle); ties break to the lowest
+    * neighbor id via the aggregate's (score desc, id asc) order.
+    */
+  def knnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(spark, dir, bucket = true)
+      .select("vec_id", "embedding", "nrm", "bucket")
+    val a = emb.select(col("bucket"), col("vec_id"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = emb.select(col("bucket"), col("vec_id").as("nn_id"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("cosine", Exact.round4(
+        expr(sparkDot("emb_a", "emb_b")) / (col("nrm_a") * col("nrm_b"))))
+      .groupBy("vec_id")
+      .agg(expr("topk_score_id(cosine, nn_id, 1)").as("tk"))
+      .select(col("vec_id"),
+        col("tk")(0)("id").as("nn_id"),
+        col("tk")(0)("score").as("cosine"))
+      .orderBy("vec_id")
+  }
+
+  val knnJoinSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding, $duckNorm AS nrm,
+       |    $duckBucketExpr AS bucket
+       |  FROM embeddings
+       |), s AS (
+       |  SELECT a.vec_id, b.vec_id AS nn_id,
+       |    ${Exact.round4Sql(duckDot("a.embedding", "b.embedding") + " / (a.nrm * b.nrm)")} AS cosine
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+       |SELECT vec_id, nn_id, cosine FROM s
+       |QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                           ORDER BY cosine DESC, nn_id) = 1
+       |ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s04_ivf_cells" -> ivfCells _,
     "s07_ivf_search" -> ivfSearch _,
+    "s08_knn_join" -> knnJoin _,
     "s05_multiprobe_ann" -> multiProbeAnn _,
     "s06_quantized_topk" -> quantizedTopK _,
     "s01_cosine_topk" -> cosineTopK _,
@@ -486,6 +531,7 @@ object Similarity {
   def oracles: Map[String, String] = Map(
     "s04_ivf_cells" -> ivfCellsSql,
     "s07_ivf_search" -> ivfSearchSql,
+    "s08_knn_join" -> knnJoinSql,
     "s05_multiprobe_ann" -> multiProbeAnnSql,
     "s06_quantized_topk" -> quantizedTopKSql,
     "s01_cosine_topk" -> cosineTopKSql,

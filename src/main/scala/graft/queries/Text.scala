@@ -513,7 +513,61 @@ object Text {
        |FROM a ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  /** t12 — vocabulary coverage / OOV rate: induce the top-`vocabSize`
+    * corpus vocabulary (count desc, word asc — fully deterministic)
+    * and measure, per document, the fraction of tokens falling
+    * outside it. The tokenizer-coverage stat every vocab/BPE decision
+    * is judged by.
+    *
+    * Scale shape: the vocabulary is bounded (`vocabSize` rows) →
+    * broadcast; the OOV count is a broadcast LEFT ANTI join on the
+    * exploded token stream + partial-combining counts. The global
+    * top-k vocab sort is a TakeOrdered over (distinct words) — never
+    * the token stream. Docs with zero tokens drop out on both sides.
+    */
+  val vocabSize = 10
+
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode_outer(
+        expr("filter(split(lower(text), ' '), t -> t != '')")).as("w"))
+      .filter(col("w").isNotNull)
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("w"))
+      .limit(vocabSize)
+      .select("w")
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val oov = toks.join(broadcast(vocab), Seq("w"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_oov"))
+    sizes.join(oov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        Exact.round4(coalesce(col("n_oov"), lit(0L)).cast("double")
+          / col("n_tok")).as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
+  val vocabCoverageSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS w
+       |  FROM documents
+       |), vocab AS (
+       |  SELECT w FROM toks GROUP BY w
+       |  ORDER BY COUNT(*) DESC, w LIMIT $vocabSize
+       |), sizes AS (
+       |  SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY 1
+       |), oov AS (
+       |  SELECT doc_id, COUNT(*) AS n_oov FROM toks
+       |  WHERE w NOT IN (SELECT w FROM vocab) GROUP BY 1)
+       |SELECT s.doc_id, s.n_tok, COALESCE(o.n_oov, 0) AS n_oov,
+       |  ${Exact.round4Sql("CAST(COALESCE(o.n_oov, 0) AS DOUBLE) / s.n_tok")} AS oov_rate
+       |FROM sizes s LEFT JOIN oov o ON s.doc_id = o.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_vocab_coverage" -> vocabCoverage _,
     "t11_pii_redaction" -> piiRedaction _,
     "t10_tfidf_top_terms" -> tfidfTopTerms _,
     "t09_repetition_stats" -> repetitionStats _,
@@ -528,6 +582,7 @@ object Text {
   )
 
   def oracles: Map[String, String] = Map(
+    "t12_vocab_coverage" -> vocabCoverageSql,
     "t11_pii_redaction" -> piiRedactionSql,
     "t10_tfidf_top_terms" -> tfidfTopTermsSql,
     "t09_repetition_stats" -> repetitionStatsSql,

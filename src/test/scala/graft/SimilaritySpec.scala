@@ -115,4 +115,20 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (exact intersect got).size.toDouble / got.size
     assert(recall >= 0.5, f"IVF precision-vs-exact $recall%.2f too low")
   }
+
+  test("kNN join: one nearest neighbor per non-singleton-bucket vector") {
+    val knn = Similarity.knnJoin(spark, sfDir).collect()
+    // one row per covered vector, never a self-match
+    assert(knn.map(_.getLong(0)).distinct.length === knn.length)
+    knn.foreach(r => assert(r.getLong(0) !== r.getLong(1)))
+    val total = Tables.embeddings(spark, sfDir).count()
+    assert(knn.length > 0 && knn.length <= total)
+    knn.foreach(r => assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0))
+    // symmetry of the underlying metric: when a→b and b→a both chose
+    // each other, the two rows carry the identical cosine
+    val byId = knn.map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val mutual = byId.filter { case (a, (b, _)) => byId.get(b).exists(_._1 == a) }
+    assert(mutual.nonEmpty, "expected at least one mutual-NN pair")
+    mutual.foreach { case (a, (b, c)) => assert(byId(b)._2 === c) }
+  }
 }
