@@ -583,30 +583,47 @@ object Dedup {
     val edges = pairs
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint()
-    var labels = edges.groupBy(col("d1").as("node"))
-      .agg(min("d2").as("nbr"))
-      .select(col("node"), least(col("node"), col("nbr")).as("lbl"))
-      .localCheckpoint()
-    var converged = false
-    var iters = 0
-    while (!converged && iters < maxIters) {
-      val prop = edges.join(labels, col("d2") === col("node"))
-        .select(col("d1").as("node"), col("lbl"))
-      val next = labels.union(prop)
-        .groupBy("node").agg(min("lbl").as("lbl"))
-        .localCheckpoint() // eager: materializes the round
-      // one aggregate action per round probes convergence (any label
-      // strictly smaller than last round's?) — O(1) driver data
-      converged = next.as("n")
-        .join(labels.as("o"), "node")
-        .filter(col("n.lbl") < col("o.lbl"))
-        .limit(1).count() == 0L
-      labels = next
-      iters += 1
-    }
-    require(converged,
-      s"connected components did not converge in $maxIters rounds")
-    labels
+    // Right-size the LOOP's shuffle parallelism to the GRAPH, not the
+    // corpus: near-dup graphs are a sliver of the input (pairs ≪
+    // docs), and a ~10-job fixpoint at corpus-scale shuffle.partitions
+    // schedules hundreds of near-empty tasks per query. One count on
+    // the checkpointed edges picks ~100k edges/partition (floor 4) —
+    // at 100 TB a genuinely huge graph keeps full parallelism. The
+    // loop body is fully EAGER (every round localCheckpoints), so the
+    // scoped conf override only ever affects the loop's own shuffles;
+    // it is restored before the lazy downstream plan runs.
+    val sess = pairs.sparkSession
+    val parts = math.max(4, math.min(
+      sess.sparkContext.defaultParallelism,
+      (edges.count() / 100000L).toInt))
+    val prevShuffle = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      var labels = edges.groupBy(col("d1").as("node"))
+        .agg(min("d2").as("nbr"))
+        .select(col("node"), least(col("node"), col("nbr")).as("lbl"))
+        .localCheckpoint()
+      var converged = false
+      var iters = 0
+      while (!converged && iters < maxIters) {
+        val prop = edges.join(labels, col("d2") === col("node"))
+          .select(col("d1").as("node"), col("lbl"))
+        val next = labels.union(prop)
+          .groupBy("node").agg(min("lbl").as("lbl"))
+          .localCheckpoint() // eager: materializes the round
+        // one aggregate action per round probes convergence (any label
+        // strictly smaller than last round's?) — O(1) driver data
+        converged = next.as("n")
+          .join(labels.as("o"), "node")
+          .filter(col("n.lbl") < col("o.lbl"))
+          .limit(1).count() == 0L
+        labels = next
+        iters += 1
+      }
+      require(converged,
+        s"connected components did not converge in $maxIters rounds")
+      labels
+    } finally sess.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   /** Component labels over the verified near-dup pair graph. */
