@@ -245,15 +245,105 @@ object Multimodal {
       |SELECT doc_id, w AS width, h AS height, w * h AS n_px, px_sum
       |FROM px ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** One decoded WAV: format + frame count + amplitude sums read back
+    * from the RIFF container by the JDK's audio stack.
+    */
+  case class WavFeatures(
+      doc_id: Long, sample_rate: Long, n_frames: Long,
+      amp_sum: Long, energy: Long)
+
+  /** mm04 — a GENUINE audio decode: `javax.sound.sampled` ships a
+    * real WAV/RIFF codec, so the audio modality also needs no stub.
+    * Encode synthesizes a deterministic PCM16 mono waveform per
+    * document (length and samples are closed-form in doc_id), wraps
+    * it in a real WAV container via `AudioSystem.write`; decode
+    * parses the container back with `AudioSystem.getAudioInputStream`
+    * and derives frame count, amplitude sum, and integer energy
+    * (Σ s², exact in long) from the raw frames. PCM16 is lossless, so
+    * the DuckDB oracle regenerates the numbers arithmetically — a
+    * header, endianness, or frame-layout regression breaks the hash.
+    *
+    * Same batch-codec shape as mm03: two partition-preserving
+    * mapPartitions stages, payloads never shuffle.
+    */
+  val wavSampleRate = 8000f
+
+  def wavRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val decoded = Tables.balanced(
+        Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
+      .mapPartitions { it =>
+        val fmt = new javax.sound.sampled.AudioFormat(
+          wavSampleRate, 16, 1, true, false) // PCM16 mono little-endian
+        it.map { id =>
+          val n = (256 + id % 512).toInt
+          val bytes = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = (((id * 7 + i * 31) % 65536) - 32768).toInt
+            bytes(2 * i) = (s & 0xff).toByte
+            bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, bos.toByteArray) // real RIFF/WAVE payload
+        }
+      }
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val fmt = ais.getFormat
+          val frames = ais.getFrameLength
+          val raw = ais.readAllBytes()
+          var ampSum = 0L
+          var energy = 0L
+          var i = 0
+          while (i < raw.length - 1) {
+            val s = ((raw(i) & 0xff) | (raw(i + 1) << 8)).toShort.toLong
+            ampSum += s
+            energy += s * s
+            i += 2
+          }
+          WavFeatures(id, fmt.getSampleRate.toLong, frames, ampSum, energy)
+        }
+      }
+    decoded.toDF().orderBy("doc_id")
+  }
+
+  /** Oracle: the waveform regenerated by pure arithmetic. */
+  val wavRoundtripSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, 256 + doc_id % 512 AS n FROM documents
+       |), s AS (
+       |  SELECT doc_id, n,
+       |    CAST(SUM((doc_id * 7 + i * 31) % 65536 - 32768) AS BIGINT) AS amp_sum,
+       |    CAST(SUM(((doc_id * 7 + i * 31) % 65536 - 32768)
+       |           * ((doc_id * 7 + i * 31) % 65536 - 32768)) AS BIGINT) AS energy
+       |  FROM d, range(0, 768) r(i)
+       |  WHERE i < n
+       |  GROUP BY doc_id, n)
+       |SELECT doc_id, ${wavSampleRate.toLong} AS sample_rate,
+       |  n AS n_frames, amp_sum, energy
+       |FROM s ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm01_media_stats" -> mediaStats _,
     "mm02_feature_rollup" -> featureRollup _,
-    "mm03_png_roundtrip" -> pngRoundtrip _
+    "mm03_png_roundtrip" -> pngRoundtrip _,
+    "mm04_wav_roundtrip" -> wavRoundtrip _
   )
 
   def oracles: Map[String, String] = Map(
     "mm01_media_stats" -> mediaStatsSql,
     "mm02_feature_rollup" -> featureRollupSql,
-    "mm03_png_roundtrip" -> pngRoundtripSql
+    "mm03_png_roundtrip" -> pngRoundtripSql,
+    "mm04_wav_roundtrip" -> wavRoundtripSql
   )
 }
