@@ -54,19 +54,25 @@ object Packing {
       .orderBy("lang", "doc_id")
   }
 
+  // Every derived integer is CAST(... AS BIGINT): DuckDB's windowed
+  // SUM(int) is HUGEINT (int128), which the driver's pandas bridge
+  // renders as float64 — the values then hash as "123.0" vs Spark's
+  // "123" and the compare fails on dtype alone (round-5 p01/p02).
   val packChunksSql: String =
     s"""WITH t AS (
        |  SELECT lang, doc_id, $duckNTok AS n_tok FROM documents
        |), o AS (
        |  SELECT lang, doc_id, n_tok,
-       |    COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+       |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS tok_offset
        |  FROM t)
        |SELECT lang, doc_id, n_tok, tok_offset,
-       |  tok_offset // $chunkTokens AS first_chunk,
-       |  (tok_offset + GREATEST(n_tok, 1) - 1) // $chunkTokens AS last_chunk,
-       |  (tok_offset + GREATEST(n_tok, 1) - 1) // $chunkTokens
-       |    - tok_offset // $chunkTokens + 1 AS spans
+       |  CAST(tok_offset // $chunkTokens AS BIGINT) AS first_chunk,
+       |  CAST((tok_offset + GREATEST(n_tok, 1) - 1) // $chunkTokens AS BIGINT)
+       |    AS last_chunk,
+       |  CAST((tok_offset + GREATEST(n_tok, 1) - 1) // $chunkTokens
+       |    - tok_offset // $chunkTokens + 1 AS BIGINT) AS spans
        |FROM o ORDER BY lang, doc_id""".stripMargin
 
   /** p02 — shard-level packing profile: chunks produced, packing
@@ -101,7 +107,7 @@ object Packing {
        |  FROM o)
        |SELECT lang, COUNT(*) AS docs,
        |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
-       |  MAX(last_chunk) + 1 AS chunks,
+       |  CAST(MAX(last_chunk) + 1 AS BIGINT) AS chunks,
        |  CAST(SUM(CASE WHEN last_chunk > first_chunk THEN 1 ELSE 0 END) AS BIGINT)
        |    AS split_docs,
        |  CAST(SUM(n_tok) - MAX(last_chunk) * $chunkTokens AS BIGINT) AS tail_tokens

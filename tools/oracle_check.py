@@ -1,69 +1,80 @@
 #!/usr/bin/env python3
-"""Local stand-in for the driver's DuckDB correctness gate.
+"""Dev-loop twin of the driver's DuckDB correctness compare.
 
-Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir> [namePrefix,...]
 
-Reads <verifyOutDir>/oracle_sql.json, runs each SQL in DuckDB with the
-sfDir parquet tables registered as views, loads the Spark parquet result
-from <verifyOutDir>/<name>/, sorts columns by name (driver behavior),
-and compares row-for-row. Dev tool only — the real gate is driver-side.
+Mimics the driver's gate closely enough to catch its failure modes
+before a round ends:
+  - loads each <out>/<name> parquet (Spark result) and runs the
+    matching SQL from <out>/oracle_sql.json in DuckDB over the sfDir
+    tables;
+  - brings BOTH sides through pandas (so DuckDB HUGEINT -> float64
+    dtype bombs surface here, exactly as they do driver-side);
+  - sorts columns by name, sorts rows by all columns, compares the
+    string rendering of every cell.
 """
-import sys, json, glob, math
+import sys, json, glob
+
 import duckdb
-import pyarrow.parquet as pq
 
-TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
 
-def normalize(rows):
-    out = []
-    for row in rows:
-        vals = []
-        for v in row:
-            if isinstance(v, float):
-                if math.isnan(v): vals.append("NaN")
-                else: vals.append(f"{v:.9g}")
-            else: vals.append(str(v))
-        out.append(tuple(vals))
-    return out
 
-def main(sf_dir, out_dir):
+def cells(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    def render(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return repr(v)
+        return str(v)
+    return [[render(v) for v in row] for row in df.itertuples(index=False)], df
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    prefixes = sys.argv[3].split(",") if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
-    for name, sql in sorted(oracle.items()):
-        try:
-            duck = con.execute(sql)
-            dcols = [c[0] for c in duck.description]
-            drows = duck.fetchall()
-        except Exception as e:
-            print(f"FAIL {name}: duckdb error: {e}")
-            n_fail += 1; continue
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
-        if not files:
-            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
-        tbl = pq.read_table(sorted(files))
-        scols = tbl.column_names
-        if sorted(scols) != sorted(dcols):
-            print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
-            n_fail += 1; continue
-        order = sorted(scols)
-        srows = list(zip(*[tbl.column(c).to_pylist() for c in order]))
-        didx = [dcols.index(c) for c in order]
-        drows2 = [tuple(r[i] for i in didx) for r in drows]
-        a, b = normalize(srows), normalize(drows2)
-        if a == b:
-            print(f"PASS {name} ({len(a)} rows)"); n_pass += 1
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle_sql = json.load(open(f"{out_dir}/oracle_sql.json"))
+    bad = 0
+    for name, sql in sorted(oracle_sql.items()):
+        if prefixes and not any(name.startswith(p) for p in prefixes):
+            continue
+        parts = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not parts:
+            print(f"{name:32s} MISSING spark output")
+            bad += 1
+            continue
+        spark = con.execute(
+            f"SELECT * FROM read_parquet({parts!r})").fetchdf()
+        oracle = con.execute(sql).fetchdf()
+        s_cells, s_df = cells(spark)
+        o_cells, o_df = cells(oracle)
+        schema_ok = sorted(spark.columns) == sorted(oracle.columns)
+        rows_ok = len(spark) == len(oracle)
+        hash_ok = s_cells == o_cells
+        if schema_ok and rows_ok and hash_ok:
+            print(f"{name:32s} OK     rows={len(spark)}")
         else:
-            n_fail += 1
-            print(f"FAIL {name}: rows spark={len(a)} duck={len(b)}")
-            for i, (x, y) in enumerate(zip(a, b)):
-                if x != y:
-                    print(f"  first diff @row {i} cols={order}\n   spark={x}\n   duck ={y}")
-                    break
-    print(f"== {n_pass} pass / {n_fail} fail")
-    return 1 if n_fail else 0
+            bad += 1
+            print(f"{name:32s} FAIL   schema={schema_ok} rows={rows_ok} "
+                  f"({len(spark)}/{len(oracle)}) hash={hash_ok}")
+            if schema_ok and rows_ok:
+                shown = 0
+                for i, (a, b) in enumerate(zip(s_cells, o_cells)):
+                    if a != b and shown < 3:
+                        print(f"   row {i}: spark={a}")
+                        print(f"   row {i}: duck ={b}")
+                        shown += 1
+                print(f"   spark dtypes: {dict(s_df.dtypes.astype(str))}")
+                print(f"   duck  dtypes: {dict(o_df.dtypes.astype(str))}")
+    sys.exit(1 if bad else 0)
+
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    main()
