@@ -269,6 +269,45 @@ object Multimodal {
     */
   val wavSampleRate = 8000f
 
+  /** WAV SPI providers resolved ONCE per executor JVM. Going through
+    * `AudioSystem.write`/`getAudioInputStream` re-runs a ServiceLoader
+    * scan of `META-INF/services` across the full classpath on EVERY
+    * call — under Spark's task context classloader (hundreds of jars)
+    * that scan dominated the codec by ~5× and contended across the 32
+    * task threads. Same per-record-hidden-cost family as ImageIO's
+    * temp-file stream cache in [[pngRoundtrip]].
+    */
+  private object WavCodec {
+    import javax.sound.sampled.spi.{AudioFileReader, AudioFileWriter}
+    import scala.jdk.CollectionConverters._
+    lazy val writer: AudioFileWriter =
+      java.util.ServiceLoader
+        .load(classOf[AudioFileWriter], classOf[AudioFileWriter].getClassLoader)
+        .asScala
+        .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+        .getOrElse(sys.error("no WAV AudioFileWriter provider in this JDK"))
+    lazy val reader: AudioFileReader =
+      java.util.ServiceLoader
+        .load(classOf[AudioFileReader], classOf[AudioFileReader].getClassLoader)
+        .asScala
+        .find { r =>
+          try { // probe: the WAV reader accepts a RIFF header
+            r.getAudioFileFormat(new java.io.ByteArrayInputStream(probeWav))
+            true
+          } catch { case _: Exception => false }
+        }
+        .getOrElse(sys.error("no WAV AudioFileReader provider in this JDK"))
+    private lazy val probeWav: Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(wavSampleRate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](4)), fmt, 2L)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+  }
+
   def wavRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val decoded = Tables.balanced(
@@ -290,14 +329,14 @@ object Multimodal {
           val ais = new javax.sound.sampled.AudioInputStream(
             new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
           val bos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(ais,
+          WavCodec.writer.write(ais,
             javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
           (id, bos.toByteArray) // real RIFF/WAVE payload
         }
       }
       .mapPartitions { it =>
         it.map { case (id, payload) =>
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          val ais = WavCodec.reader.getAudioInputStream(
             new java.io.ByteArrayInputStream(payload))
           val fmt = ais.getFormat
           val frames = ais.getFrameLength

@@ -232,14 +232,37 @@ object Kpis {
       .select(expr(
         s"stack(${quantileCols.size}, $stackArgs) AS (col_name, v)"))
       .groupBy("col_name", "v").agg(count(lit(1)).as("cnt"))
-    // cumulative rank window runs over DISTINCT values only —
-    // O(distinct) rows per column partition, never the raw stream
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("col_name").orderBy("v")
-    val cum = hist
-      .withColumn("cumEnd", sum("cnt").over(w))
+    // Cumulative ranks via a TWO-PHASE DISTRIBUTED PREFIX SUM. A
+    // single `Window.partitionBy(col_name)` puts every distinct value
+    // of a column in ONE task — l_extendedprice is 97% unique, so that
+    // window sorted ~the whole stream on one core (and at 100 TB a
+    // ~10M-entry cents histogram would serialize there too). Instead:
+    // range-partition the histogram on (col_name, v), cumsum WITHIN
+    // each partition in parallel, and add each partition's starting
+    // offset from a tiny (cols × partitions) per-partition-totals
+    // table that also carries the per-column n. The histogram is
+    // persisted because both the offsets pass and the main pass read
+    // it — one bounded O(distinct)-row cache instead of a second
+    // scan→stack→aggregate of the raw table.
+    import org.apache.spark.sql.expressions.Window
+    val parted = hist
+      .repartitionByRange(spark.sparkContext.defaultParallelism,
+        col("col_name"), col("v"))
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wOff = Window.partitionBy("col_name").orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy("col_name", "pid")
+      .agg(sum("cnt").as("psum"))
+      .withColumn("offset", coalesce(sum("psum").over(wOff), lit(0L)))
+      .withColumn("n", sum("psum").over(Window.partitionBy("col_name")))
+      .select("col_name", "pid", "offset", "n")
+    val wLoc = Window.partitionBy("col_name", "pid").orderBy("v")
+    val cum = parted
+      .withColumn("cumLoc", sum("cnt").over(wLoc))
+      .join(broadcast(offsets), Seq("col_name", "pid"))
+      .withColumn("cumEnd", col("cumLoc") + col("offset"))
       .withColumn("cumStart", col("cumEnd") - col("cnt"))
-    val n = hist.groupBy("col_name").agg(sum("cnt").as("n"))
     val probs = Seq(0.05 -> "p05", 0.5 -> "p50", 0.95 -> "p95")
     def pos(p: Double) = (col("n") - 1).cast("double") * lit(p)
     // order statistics k=floor(pos) and ceil(pos) picked out of the
@@ -253,7 +276,7 @@ object Kpis {
         max(when(col("cumStart") <= hi && hi < col("cumEnd"), col("v")))
           .as(s"hi_$nm"))
     }
-    cum.join(broadcast(n), "col_name")
+    cum
       .groupBy(col("col_name"), col("n"))
       .agg(ordAggs.head, ordAggs.tail: _*)
       .select(col("col_name") +: probs.map { case (p, nm) =>
