@@ -603,6 +603,17 @@ object Dedup {
         .agg(min("d2").as("nbr"))
         .select(col("node"), least(col("node"), col("nbr")).as("lbl"))
         .localCheckpoint()
+      // Convergence probe: labels are MONOTONE non-increasing over a
+      // fixed node set, so the round changed nothing iff Σ lbl is
+      // unchanged. One shuffle-free scan of the just-checkpointed
+      // round replaces the next⋈previous join the probe used to run.
+      // decimal(38,0): Σ of 64-bit ids over a planetary-scale node set
+      // must not wrap; null (empty graph) folds to 0 = instant fixpoint
+      def lblSum(df: DataFrame): java.math.BigDecimal = {
+        val v = df.agg(sum(col("lbl").cast("decimal(38,0)"))).first()
+        if (v.isNullAt(0)) java.math.BigDecimal.ZERO else v.getDecimal(0)
+      }
+      var prevSum = lblSum(labels)
       var converged = false
       var iters = 0
       while (!converged && iters < maxIters) {
@@ -611,12 +622,9 @@ object Dedup {
         val next = labels.union(prop)
           .groupBy("node").agg(min("lbl").as("lbl"))
           .localCheckpoint() // eager: materializes the round
-        // one aggregate action per round probes convergence (any label
-        // strictly smaller than last round's?) — O(1) driver data
-        converged = next.as("n")
-          .join(labels.as("o"), "node")
-          .filter(col("n.lbl") < col("o.lbl"))
-          .limit(1).count() == 0L
+        val nextSum = lblSum(next)
+        converged = nextSum == prevSum
+        prevSum = nextSum
         labels = next
         iters += 1
       }

@@ -144,8 +144,11 @@ object Relational {
     * sketch-only form is the whole point (fixed memory, one pass, no
     * key shuffle).
     */
+  // no `balanced` rebalance: HLL register updates are ~ns-per-row —
+  // nowhere near the CPU-per-row bar that pays for a full-width
+  // shuffle of the table (the gate exists for shingle/codec stages)
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
-    Tables.balanced(Tables.orders(spark, dir)).agg(
+    Tables.orders(spark, dir).agg(
       count(lit(1)).as("orders"),
       approx_count_distinct("o_custkey").as("approx_customers"),
       approx_count_distinct("o_custkey", 0.01).as("approx_customers_1pct"))
