@@ -106,7 +106,13 @@ object Dedup {
     * pairs sharing ≥1 band key — an equality self-join on (band,
     * key), never a cartesian.
     */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    lshCandidates(spark, dir).orderBy("d1", "d2")
+
+  /** The d02 candidate pipeline without its presentation sort —
+    * [[neardupVerified]] (d11) consumes it as a relation.
+    */
+  private[graft] def lshCandidates(spark: SparkSession, dir: String): DataFrame = {
     val sigAggs = hashAs.zip(hashBs).zipWithIndex.map { case ((a, b), i) =>
       min(expr(s"($a * sh + $b) % $P")).as(s"sig$i")
     }
@@ -143,10 +149,12 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("n_bands"))
-      .orderBy("d1", "d2")
   }
 
-  val minhashLshSql: String = {
+  /** DuckDB CTE block for the d02 candidate pipeline — exposes a
+    * `cand` CTE (d1, d2, n_bands); shared by the d02 and d11 oracles.
+    */
+  val lshCandidatesCteSql: String = {
     val sigCols = hashAs.zip(hashBs).zipWithIndex.map { case ((a, b), i) =>
       s"MIN(($a * sh + $b) % $P) AS sig$i"
     }.mkString(",\n    ")
@@ -154,7 +162,7 @@ object Dedup {
       val Seq(s0, s1, s2, s3) = (0 until 4).map(k => s"sig${4 * j + k}")
       s"((($s0 * 31 + $s1) * 31 + $s2) * 31 + $s3) AS key$j"
     }.mkString(",\n    ")
-    s"""WITH sh AS (
+    s"""sh AS (
        |  SELECT doc_id, $shingleFpsSql AS fps FROM documents
        |), ex AS (
        |  SELECT doc_id, unnest(fps) AS sh FROM sh
@@ -170,12 +178,66 @@ object Dedup {
        |  SELECT doc_id, CAST(j AS INT) AS band,
        |    CASE CAST(j AS INT) WHEN 0 THEN key0 WHEN 1 THEN key1
        |         WHEN 2 THEN key2 ELSE key3 END AS key
-       |  FROM keys, range(0, 4) r(j))
-       |SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_bands
-       |FROM bands a JOIN bands b
-       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-       |GROUP BY 1, 2 ORDER BY d1, d2""".stripMargin
+       |  FROM keys, range(0, 4) r(j)
+       |), cand AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_bands
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)""".stripMargin
   }
+
+  val minhashLshSql: String =
+    s"""WITH $lshCandidatesCteSql
+       |SELECT d1, d2, n_bands FROM cand ORDER BY d1, d2""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** d11 — EDIT-DISTANCE VERIFICATION of the d02 LSH candidates: the
+    * production near-dup pipeline's "verify with an exact metric"
+    * stage run with a metric INDEPENDENT of the shingle family both
+    * d02 and d03 share (like r06's native-ASOF oracle, the point is an
+    * algorithm-diverse cross-check). Candidates get exact Levenshtein
+    * distance and a normalized similarity 1 − lev/max(len); pairs at
+    * ≥ `editSimThreshold` survive.
+    *
+    * Scale posture: the candidate set is ≪ the corpus (banded equality
+    * join output), so Spark broadcasts it against `documents` twice —
+    * document text never shuffles, and the quadratic-cost exact metric
+    * runs on candidate pairs only, never all pairs.
+    *
+    * Engine caveat, documented: Spark's `levenshtein` counts CHARS,
+    * DuckDB's counts BYTES; they agree on this ASCII corpus (pinned by
+    * DedupSpec) and diverge on multi-byte code points.
+    */
+  val editSimThreshold = 0.8
+
+  def neardupVerified(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    lshCandidates(spark, dir)
+      .select("d1", "d2")
+      .join(docs.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
+      .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
+      .withColumn("lev", levenshtein(col("t1"), col("t2")).cast("long"))
+      .withColumn("edit_sim", Exact.round4(
+        lit(1.0) - col("lev").cast("double") /
+          greatest(length(col("t1")), length(col("t2")))))
+      .filter(col("edit_sim") >= editSimThreshold)
+      .select("d1", "d2", "lev", "edit_sim")
+      .orderBy("d1", "d2")
+  }
+
+  val neardupVerifiedSql: String =
+    s"""WITH $lshCandidatesCteSql,
+       |v AS (
+       |  SELECT d1, d2, levenshtein(ta.text, tb.text) AS lev,
+       |    ${Exact.round4Sql(
+            "1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE) " +
+              "/ GREATEST(length(ta.text), length(tb.text))")} AS edit_sim
+       |  FROM cand JOIN documents ta ON ta.doc_id = d1
+       |            JOIN documents tb ON tb.doc_id = d2)
+       |SELECT d1, d2, CAST(lev AS BIGINT) AS lev, edit_sim FROM v
+       |WHERE edit_sim >= $editSimThreshold
+       |ORDER BY d1, d2""".stripMargin
 
   // ---------------------------------------------------------------
   /** d03 — exact n-gram Jaccard near-dup pairs via inverted-index
@@ -711,7 +773,8 @@ object Dedup {
     "d04_simhash" -> simhash _,
     "d08_neardup_clusters" -> neardupClusters _,
     "d09_neardup_corpus" -> neardupCorpus _,
-    "d10_temperature_mix" -> temperatureMix _
+    "d10_temperature_mix" -> temperatureMix _,
+    "d11_neardup_verified" -> neardupVerified _
   )
 
   def oracles: Map[String, String] = Map(
@@ -724,6 +787,7 @@ object Dedup {
     "d04_simhash" -> simhashSql,
     "d08_neardup_clusters" -> neardupClustersSql,
     "d09_neardup_corpus" -> neardupCorpusSql,
-    "d10_temperature_mix" -> temperatureMixSql
+    "d10_temperature_mix" -> temperatureMixSql,
+    "d11_neardup_verified" -> neardupVerifiedSql
   )
 }

@@ -113,13 +113,59 @@ object Packing {
        |  CAST(SUM(n_tok) - MAX(last_chunk) * $chunkTokens AS BIGINT) AS tail_tokens
        |FROM p GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** p03 — deterministic SHARD MANIFEST: the artifact a training run
+    * reads to know what it is consuming. Every document is assigned a
+    * shard by a closed-form multiplicative hash of doc_id (portable
+    * arithmetic — NOT an engine hash function, so any system can
+    * recompute placement), and each shard row carries doc/char counts,
+    * the id range, and an ORDER-INDEPENDENT content checksum
+    * (`bit_xor` of the 60-bit text fingerprints) that re-verifies
+    * byte-identical delivery after any repartition/rewrite.
+    *
+    * Scale posture: one partial-combining aggregate keyed by shard —
+    * the shuffle carries `nShards × tasks` pre-combined rows, never
+    * documents; XOR keeps the checksum bounded and associative at any
+    * row count. The multiplier/addend stay < 2³¹ so `(id % P)·a + b`
+    * cannot overflow a long under ANSI semantics.
+    */
+  val nShards = 16
+  private val P = 2147483647L // 2^31 - 1
+  private val shardExpr =
+    s"((doc_id % $P) * 1299709 + 104729) % $P % $nShards"
+
+  def shardManifest(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("shard", expr(shardExpr))
+      .withColumn("fp", Text.fp64(col("text")))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum("n_chars").as("chars"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"),
+        expr("bit_xor(fp)").as("checksum"))
+      .orderBy("shard")
+
+  val shardManifestSql: String =
+    s"""SELECT $shardExpr AS shard,
+       |  COUNT(*) AS docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+       |  MIN(doc_id) AS min_doc,
+       |  MAX(doc_id) AS max_doc,
+       |  BIT_XOR(${Text.fp64Sql("text")}) AS checksum
+       |FROM documents
+       |GROUP BY 1 ORDER BY shard""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_pack_chunks" -> packChunks _,
-    "p02_pack_profile" -> packProfile _
+    "p02_pack_profile" -> packProfile _,
+    "p03_shard_manifest" -> shardManifest _
   )
 
   def oracles: Map[String, String] = Map(
     "p01_pack_chunks" -> packChunksSql,
-    "p02_pack_profile" -> packProfileSql
+    "p02_pack_profile" -> packProfileSql,
+    "p03_shard_manifest" -> shardManifestSql
   )
 }

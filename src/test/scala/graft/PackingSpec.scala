@@ -32,6 +32,18 @@ class PackingSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("shard manifest partitions the corpus and is layout-invariant") {
+    val docs = Tables.documents(spark, sfDir).count()
+    val m = Packing.shardManifest(spark, sfDir).collect()
+    assert(m.map(_.getLong(m.head.fieldIndex("docs"))).sum === docs)
+    assert(m.forall { r =>
+      val s = r.getLong(0); s >= 0 && s < Packing.nShards
+    })
+    // the XOR checksum must not depend on row order / partitioning
+    val again = Packing.shardManifest(spark, sfDir).collect()
+    assert(m.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("profile conserves tokens and bounds the tail chunk") {
     val prof = Packing.packProfile(spark, sfDir).collect()
     prof.foreach { r =>

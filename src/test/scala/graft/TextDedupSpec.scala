@@ -67,6 +67,41 @@ class TextDedupSpec extends AnyFunSuite {
     assert(r.getLong(2) <= 32767L)
   }
 
+  test("d11 verified pairs: subset of candidates, sim in threshold..1") {
+    val cand = Dedup.minhashLsh(spark, sfDir)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ver = Dedup.neardupVerified(spark, sfDir).collect()
+    ver.foreach { r =>
+      assert(cand.contains((r.getLong(0), r.getLong(1))))
+      val sim = r.getDouble(r.fieldIndex("edit_sim"))
+      assert(sim >= Dedup.editSimThreshold && sim <= 1.0)
+    }
+  }
+
+  test("d11 threshold genuinely filters: a weak candidate pair is dropped") {
+    val s = spark
+    import s.implicits._
+    // same shingle vocabulary (so LSH would pair them) but heavily
+    // divergent texts — edit similarity far below the 0.8 threshold
+    val t1 = "alpha beta gamma delta " * 8
+    val t2 = "gamma delta alpha beta " + ("zz yy xx ww vv uu tt ss " * 8)
+    val docs = Seq((1L, t1), (2L, t2)).toDF("d", "text")
+    val sim = docs.as("a").join(docs.as("b"), col("a.d") < col("b.d"))
+      .select((lit(1.0) - levenshtein(col("a.text"), col("b.text"))
+        .cast("double") /
+        greatest(length(col("a.text")), length(col("b.text")))).as("s"))
+      .head().getDouble(0)
+    assert(sim < Dedup.editSimThreshold)
+  }
+
+  test("d11 engine caveat holds: the corpus is pure ASCII") {
+    // Spark levenshtein counts chars, DuckDB's counts bytes; the hash
+    // gate is only valid while they coincide — i.e. ASCII text
+    val nonAscii = Tables.documents(spark, sfDir)
+      .filter(octet_length(col("text")) =!= length(col("text"))).count()
+    assert(nonAscii === 0)
+  }
+
   test("dedup corpus size equals the number of distinct contents") {
     val groups = Dedup.exactDedup(spark, sfDir).count()
     val corpus = Dedup.dedupCorpus(spark, sfDir).count()
