@@ -111,5 +111,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((TopKScoreId.fnId, TopKScoreId.info, TopKScoreId.builder))
     e.injectFunction((OptimizerBarrier.fnId, OptimizerBarrier.info,
       OptimizerBarrier.builder))
+    e.injectFunction((NfcNormalize.fnId, NfcNormalize.info,
+      NfcNormalize.builder))
   }
 }

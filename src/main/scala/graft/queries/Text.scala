@@ -566,7 +566,70 @@ object Text {
        |FROM sizes s LEFT JOIN oov o ON s.doc_id = o.doc_id
        |ORDER BY s.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** t13 — Unicode NFC normalization over the corpus, via the native
+    * [[NfcNormalize]] codegen expression (Spark ships no normalizer;
+    * a UDF would break whole-stage codegen). The same logical content
+    * arrives precomposed (é) and decomposed (e + U+0301) in real
+    * corpora, so every hash-keyed dedup needs this pass first; the
+    * query reports per-document whether NFC changed the text, the
+    * code-point delta, and the post-NFC fingerprint a dedup would key
+    * on.
+    *
+    * The corpus is ASCII (pinned in TextDedupSpec), so like t11's PII
+    * augment a deterministic decomposed-sequence suffix (keyed on
+    * doc_id, one branch left unaugmented) makes the cross-engine gate
+    * real: DuckDB's `nfc_normalize` must compose the identical bytes
+    * for the md5s to match.
+    *
+    * Map-side only — no shuffle at all but the presentation sort.
+    */
+  private val nfcSuffixes = Seq(
+    // combining marks spelled as escapes: a source-file NFC pass (an
+    // editor, a formatter) must not silently erase the fixture
+    "cafe\u0301 re\u0301sume\u0301", // e + COMBINING ACUTE
+    "A\u030angstro\u0308m",           // A + RING ABOVE, o + DIAERESIS
+    "pin\u0303a o\u0302tel")          // n + TILDE, o + CIRCUMFLEX
+
+  def nfcNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val suffix = element_at(
+      array(nfcSuffixes.map(lit): _*), (col("doc_id") % 3 + 1).cast("int"))
+    val aug = when(col("doc_id") % 4 === 3, col("text"))
+      .otherwise(concat(col("text"), lit(" "), suffix))
+    Tables.documents(spark, dir)
+      .withColumn("aug", aug)
+      .withColumn("nfc", expr("nfc_normalize(aug)"))
+      .select(
+        col("doc_id"),
+        (col("nfc") =!= col("aug")).cast("int").as("changed"),
+        (length(col("aug")) - length(col("nfc"))).cast("long")
+          .as("composed_points"),
+        md5(col("nfc")).as("nfc_fp"))
+      .orderBy("doc_id")
+  }
+
+  val nfcNormalizeSql: String = {
+    val cases = nfcSuffixes.zipWithIndex
+      .map { case (s, i) => s"WHEN $i THEN text || ' ' || '$s'" }
+      .mkString("\n      ")
+    s"""WITH a AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 4 = 3 THEN text ELSE
+       |      CASE doc_id % 3
+       |      $cases
+       |      END
+       |    END AS aug
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(nfc_normalize(aug) <> aug AS INT) AS changed,
+       |  CAST(length(aug) - length(nfc_normalize(aug)) AS BIGINT)
+       |    AS composed_points,
+       |  md5(nfc_normalize(aug)) AS nfc_fp
+       |FROM a ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_nfc_normalize" -> nfcNormalize _,
     "t12_vocab_coverage" -> vocabCoverage _,
     "t11_pii_redaction" -> piiRedaction _,
     "t10_tfidf_top_terms" -> tfidfTopTerms _,
@@ -582,6 +645,7 @@ object Text {
   )
 
   def oracles: Map[String, String] = Map(
+    "t13_nfc_normalize" -> nfcNormalizeSql,
     "t12_vocab_coverage" -> vocabCoverageSql,
     "t11_pii_redaction" -> piiRedactionSql,
     "t10_tfidf_top_terms" -> tfidfTopTermsSql,
