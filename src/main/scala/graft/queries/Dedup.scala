@@ -410,6 +410,140 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
+  /** d12 — DUPLICATE N-GRAM SPAN detection, the primitive behind
+    * exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": remove repeated ≥k-token
+    * substrings corpus-wide, not whole near-dup documents): hash every
+    * k-token window, mark windows whose hash occurs in MORE THAN ONE
+    * document, and report per document how many window positions are
+    * duplicated and how many tokens the merged duplicate spans cover
+    * (overlapping windows union-merged, so the fraction is a true
+    * coverage, not a double-count).
+    *
+    * Scale shape: windows explode to ~token count rows but partial
+    * aggregation shuffles one row per DISTINCT window hash (carrying
+    * only min/max doc_id — cross-doc test, no distinct-count sketch);
+    * the join back is an equi join on the hash; the interval merge is
+    * a per-document window over DUPLICATE positions only — a sliver of
+    * the stream. Within-doc repetition is deliberately excluded (t09
+    * covers it) so a doc repeating its own phrase isn't "duplicated".
+    */
+  val spanTokens = 8
+
+  def dupNgramSpans(spark: SparkSession, dir: String): DataFrame = {
+    val k = spanTokens
+    // CASE guard, not greatest(…, 0): Spark's sequence(1, 0) yields a
+    // DESCENDING [1, 0], not an empty array — a <k-token doc would
+    // fabricate two bogus windows
+    val winFp =
+      s"""CASE WHEN size(toks) < $k THEN CAST(array() AS ARRAY<BIGINT>)
+         |ELSE transform(
+         |  sequence(1, size(toks) - ${k - 1}),
+         |  i -> CAST(conv(substring(md5(array_join(slice(toks, i, $k), ' ')), 1, 15), 16, 10) AS BIGINT))
+         |END""".stripMargin
+    val wins = Tables.documents(spark, dir)
+      .withColumn("toks",
+        expr("filter(split(lower(text), ' '), t -> t != '')"))
+      .select(col("doc_id"), size(col("toks")).as("n_tok"),
+        posexplode_outer(expr(winFp)))
+      .toDF("doc_id", "n_tok", "pos0", "wh")
+      .filter(col("wh").isNotNull)
+      .select(col("doc_id"), col("n_tok"), (col("pos0") + 1).as("pos"),
+        col("wh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cross-document duplicate window hashes: min/max doc disagree
+    val dupHashes = wins.groupBy("wh")
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .select("wh")
+    val dupWins = wins.join(dupHashes, "wh")
+      .select("doc_id", "n_tok", "pos")
+    // union-merge overlapping [pos, pos+k-1] spans: a chain breaks
+    // when the gap to the previous start is >= k; covered tokens per
+    // chain = last - first + k
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val chains = dupWins
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) >= k, 1).otherwise(0))
+      .withColumn("chain", sum("brk").over(
+        w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy("doc_id", "n_tok", "chain")
+      .agg(count(lit(1)).as("wins"),
+        (max("pos") - min("pos") + k).as("covered"))
+    val perDoc = chains.groupBy("doc_id", "n_tok")
+      .agg(sum("wins").as("dup_windows"),
+        sum("covered").as("dup_tokens"))
+    Tables.documents(spark, dir)
+      .withColumn("toks",
+        expr("filter(split(lower(text), ' '), t -> t != '')"))
+      .select(col("doc_id"), size(col("toks")).as("n_tok"))
+      .join(perDoc.select("doc_id", "dup_windows", "dup_tokens"),
+        Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tok").cast("long").as("n_tok"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        Exact.round4(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          greatest(col("n_tok"), lit(1))).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val dupNgramSpansSql: String = {
+    val k = spanTokens
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS t
+       |  FROM documents
+       |), wins AS (
+       |  -- scalar-list range + unnest: DuckDB's TABLE-function range
+       |  -- rejects lateral column arguments
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok, CAST(i AS INT) AS pos,
+       |    CAST(CONCAT('0x', SUBSTR(md5(array_to_string(
+       |      list_slice(t, i, i + ${k - 1}), ' ')), 1, 15)) AS BIGINT) AS wh
+       |  FROM (
+       |    SELECT doc_id, t, unnest(range(1, len(t) - ${k - 2})) AS i
+       |    FROM toks)
+       |), dup AS (
+       |  SELECT wh FROM wins GROUP BY wh
+       |  HAVING MIN(doc_id) <> MAX(doc_id)
+       |), dw AS (
+       |  SELECT w.doc_id, w.n_tok, w.pos FROM wins w JOIN dup USING (wh)
+       |), gaps AS (
+       |  SELECT doc_id, n_tok, pos,
+       |    CASE WHEN pos - LAG(pos) OVER
+       |        (PARTITION BY doc_id ORDER BY pos) >= $k
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM dw
+       |), ch AS (
+       |  SELECT doc_id, n_tok, pos,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chain
+       |  FROM gaps
+       |), per_chain AS (
+       |  SELECT doc_id, n_tok, chain, COUNT(*) AS wins,
+       |    MAX(pos) - MIN(pos) + $k AS covered
+       |  FROM ch GROUP BY doc_id, n_tok, chain
+       |), per_doc AS (
+       |  SELECT doc_id, CAST(SUM(wins) AS BIGINT) AS dup_windows,
+       |    CAST(SUM(covered) AS BIGINT) AS dup_tokens
+       |  FROM per_chain GROUP BY doc_id
+       |), base AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok FROM toks)
+       |SELECT b.doc_id, b.n_tok,
+       |  COALESCE(p.dup_windows, 0) AS dup_windows,
+       |  COALESCE(p.dup_tokens, 0) AS dup_tokens,
+       |  ${Exact.round4Sql(
+            "CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) / GREATEST(b.n_tok, 1)")}
+       |    AS dup_frac
+       |FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   /** d05 — the deduplicated corpus itself (what a training-data
     * pipeline actually ships): keep-first by content hash, original
     * columns preserved. Two-phase shape that scales: group the
@@ -774,7 +908,8 @@ object Dedup {
     "d08_neardup_clusters" -> neardupClusters _,
     "d09_neardup_corpus" -> neardupCorpus _,
     "d10_temperature_mix" -> temperatureMix _,
-    "d11_neardup_verified" -> neardupVerified _
+    "d11_neardup_verified" -> neardupVerified _,
+    "d12_dup_ngram_spans" -> dupNgramSpans _
   )
 
   def oracles: Map[String, String] = Map(
@@ -788,6 +923,7 @@ object Dedup {
     "d08_neardup_clusters" -> neardupClustersSql,
     "d09_neardup_corpus" -> neardupCorpusSql,
     "d10_temperature_mix" -> temperatureMixSql,
-    "d11_neardup_verified" -> neardupVerifiedSql
+    "d11_neardup_verified" -> neardupVerifiedSql,
+    "d12_dup_ngram_spans" -> dupNgramSpansSql
   )
 }

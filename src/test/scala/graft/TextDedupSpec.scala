@@ -102,6 +102,18 @@ class TextDedupSpec extends AnyFunSuite {
     assert(nonAscii === 0)
   }
 
+  test("d12 duplicate spans: coverage bounded and internally consistent") {
+    val df = Dedup.dupNgramSpans(spark, sfDir)
+    val bad = df.filter(
+      col("dup_tokens") > col("n_tok") ||
+        col("dup_frac") < 0 || col("dup_frac") > 1 ||
+        (col("dup_windows") > 0 && col("dup_tokens") < Dedup.spanTokens) ||
+        (col("dup_windows") === 0 && col("dup_tokens") =!= 0)).count()
+    assert(bad === 0)
+    // duplication is cross-document: it can never mark exactly one doc
+    assert(df.filter(col("dup_windows") > 0).count() !== 1L)
+  }
+
   test("dedup corpus size equals the number of distinct contents") {
     val groups = Dedup.exactDedup(spark, sfDir).count()
     val corpus = Dedup.dedupCorpus(spark, sfDir).count()
