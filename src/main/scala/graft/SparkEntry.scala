@@ -25,11 +25,12 @@ object SparkEntry {
     Kpis.queries ++ Relational.queries ++ Text.queries ++
       Dedup.queries ++ Similarity.queries ++ MlQueries.queries ++
       StreamingQueries.queries ++ IoQueries.queries ++
-      Multimodal.queries ++ Temporal.queries ++ Packing.queries
+      Multimodal.queries ++ Temporal.queries ++ Packing.queries ++
+      Clustering.queries
 
   def oracleSql: Map[String, String] =
     Kpis.oracles ++ Relational.oracles ++ Text.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ StreamingQueries.oracles ++
       IoQueries.oracles ++ Multimodal.oracles ++ Temporal.oracles ++
-      Packing.oracles
+      Packing.oracles ++ Clustering.oracles
 }

@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** km01/km02 — REPRODUCIBLE k-means over the embedding corpus, the
+  * clustering pass behind semantic dedup / SemDeDup-style pruning and
+  * cluster-balanced data mixing.
+  *
+  * Distributed float k-means is normally NOT reproducible: centroid
+  * updates sum floats in partition order, so every run (and every
+  * engine) drifts. This implementation runs Lloyd's algorithm on an
+  * INTEGER LATTICE: embeddings are quantized once
+  * (`floor(x·1000)` — float→double widening and ×1000 are exact IEEE
+  * ops, so both engines produce identical integers), every distance is
+  * an exact int64, and centroid updates are floor-div integer means.
+  * Result: bit-identical clusters on any partitioning, any engine —
+  * which is what makes a DuckDB hash oracle possible for an iterative
+  * ML algorithm (4 unrolled Lloyd rounds, k=8, deterministic
+  * smallest-vec_id init, ties to the lowest cluster id).
+  *
+  * Scale shape (the 100 TB contract):
+  *   - per round, ONE scan of the quantized corpus (persisted once) —
+  *     assignment is map-side arithmetic against k·dim BROADCAST
+  *     LITERALS (k·dim = 512 longs, the same O(k·d) driver metadata
+  *     MLlib's KMeans collects per iteration), and the update
+  *     aggregates (cluster, dim) partial sums — shuffle rows bounded
+  *     by k·dim·tasks, never the corpus.
+  *   - distances use the codegen [[DotProduct]] expression
+  *     (d² = |q|² − 2q·c + |c|²), not interpreted HOF folds; integer
+  *     values ≤ 2⁵³ make the double dot product exact.
+  *   - rounds are FIXED (no convergence probe): reproducibility and a
+  *     bounded job count beat a data-dependent loop for a corpus-wide
+  *     preprocessing pass.
+  */
+object Clustering {
+
+  val kClusters = 8
+  val lloydIters = 4
+  val quantScale = 1000
+
+  /** Quantized embedding frame: (vec_id, q bigint[], qd double[]). */
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(
+        s"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * $quantScale) AS BIGINT))")
+        .as("q"))
+      .withColumn("qd", expr("transform(q, x -> CAST(x AS DOUBLE))"))
+
+  /** One assignment pass as columns: (cluster, dist2) against literal
+    * centroids. dist² = |q|² − 2q·c + |c|² with the codegen dot
+    * product; first-minimum tie break = lowest cluster id, matching
+    * the oracle's `ORDER BY d, cid`.
+    */
+  private def withAssignment(df: DataFrame, cents: Array[Array[Long]]): DataFrame = {
+    val distExprs = cents.map { c =>
+      val cArr = s"array(${c.mkString(", ")})"
+      val cd = s"transform($cArr, x -> CAST(x AS DOUBLE))"
+      val c2 = c.map(v => v * v).sum
+      s"(dot_product(qd, qd) - 2.0d * dot_product(qd, $cd) + ${c2}.0d)"
+    }
+    df.withColumn("dists", expr(s"array(${distExprs.mkString(", ")})"))
+      .withColumn("cluster",
+        expr("CAST(array_position(dists, array_min(dists)) - 1 AS INT)"))
+      .withColumn("dist2", expr("CAST(array_min(dists) AS BIGINT)"))
+      .drop("dists")
+  }
+
+  /** The converged (fixed-round) assignment frame shared by km01/km02:
+    * runs `lloydIters` eager assign→update rounds (each update is a
+    * k·dim collect, O(k·d) driver metadata), then assigns once more
+    * against the final centroids lazily for the returned plan.
+    */
+  private def assigned(spark: SparkSession, dir: String): DataFrame = {
+    DotProduct.register(spark) // defensive: session may lack extensions
+    val qe = quantized(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents: Array[Array[Long]] = qe.orderBy("vec_id").limit(kClusters)
+      .select("q").collect()
+      .map(_.getSeq[Long](0).toArray)
+    for (_ <- 1 to lloydIters) {
+      val sums = withAssignment(qe, cents)
+        .select(col("cluster"), posexplode(col("q")).as(Seq("i", "v")))
+        .groupBy("cluster", "i")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone()) // empty cluster keeps its centroid
+      sums.foreach { r =>
+        val (cl, i) = (r.getInt(0), r.getInt(1))
+        next(cl)(i) =
+          math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong
+      }
+      cents = next
+    }
+    withAssignment(qe, cents)
+  }
+
+  /** km01 — per-vector cluster assignment + exact squared distance. */
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame =
+    assigned(spark, dir)
+      .select("vec_id", "cluster", "dist2")
+      .orderBy("vec_id")
+
+  /** km02 — cluster profile: size and exact integer inertia. */
+  def kmeansProfile(spark: SparkSession, dir: String): DataFrame =
+    assigned(spark, dir)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), sum("dist2").as("inertia"))
+      .orderBy("cluster")
+
+  // ---------------------------------------------------------------
+  // DuckDB oracle: the same 4 Lloyd rounds UNROLLED as generated CTEs
+  // over exploded (vec_id, i, q) element rows — an independent
+  // relational spelling (joins + window argmin) of the same exact
+  // integer algorithm.
+
+  private def oracleCtes: String = {
+    val k = kClusters
+    val sb = new StringBuilder
+    sb.append(
+      s"""qe AS (
+         |  SELECT vec_id, CAST(i AS INT) AS i,
+         |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $quantScale) AS BIGINT) AS q
+         |  FROM (
+         |    SELECT vec_id, embedding,
+         |      unnest(range(1, len(embedding) + 1)) AS i
+         |    FROM embeddings)
+         |), c0 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (PARTITION BY i ORDER BY vec_id) - 1 AS INT) AS cid,
+         |    i, q
+         |  FROM qe
+         |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)
+         |)""".stripMargin)
+    for (t <- 1 to lloydIters) {
+      sb.append(s""",
+         |a$t AS (
+         |  SELECT e.vec_id, c.cid,
+         |    SUM((e.q - c.q) * (e.q - c.q)) AS d
+         |  FROM qe e JOIN c${t - 1} c ON e.i = c.i
+         |  GROUP BY e.vec_id, c.cid
+         |), b$t AS (
+         |  SELECT vec_id, cid, d FROM (
+         |    SELECT vec_id, cid, d,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM a$t)
+         |  WHERE rn = 1
+         |), u$t AS (
+         |  SELECT b.cid, e.i,
+         |    CAST(FLOOR(CAST(SUM(e.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS q
+         |  FROM qe e JOIN b$t b ON e.vec_id = b.vec_id
+         |  GROUP BY b.cid, e.i
+         |), c$t AS (
+         |  SELECT p.cid, p.i, COALESCE(u.q, p.q) AS q
+         |  FROM c${t - 1} p LEFT JOIN u$t u ON u.cid = p.cid AND u.i = p.i
+         |)""".stripMargin)
+    }
+    val T = lloydIters
+    sb.append(s""",
+       |afin AS (
+       |  SELECT e.vec_id, c.cid,
+       |    SUM((e.q - c.q) * (e.q - c.q)) AS d
+       |  FROM qe e JOIN c$T c ON e.i = c.i
+       |  GROUP BY e.vec_id, c.cid
+       | ), fin AS (
+       |  SELECT vec_id, cid AS cluster, CAST(d AS BIGINT) AS dist2 FROM (
+       |    SELECT vec_id, cid, d,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM afin)
+       |  WHERE rn = 1
+       |)""".stripMargin)
+    sb.toString
+  }
+
+  val kmeansAssignSql: String =
+    s"""WITH $oracleCtes
+       |SELECT vec_id, cluster, dist2 FROM fin ORDER BY vec_id""".stripMargin
+
+  val kmeansProfileSql: String =
+    s"""WITH $oracleCtes
+       |SELECT cluster, COUNT(*) AS n, CAST(SUM(dist2) AS BIGINT) AS inertia
+       |FROM fin GROUP BY cluster ORDER BY cluster""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "km01_kmeans_assign" -> kmeansAssign _,
+    "km02_kmeans_profile" -> kmeansProfile _
+  )
+
+  def oracles: Map[String, String] = Map(
+    "km01_kmeans_assign" -> kmeansAssignSql,
+    "km02_kmeans_profile" -> kmeansProfileSql
+  )
+}
