@@ -109,6 +109,33 @@ object Clustering {
       .orderBy("cluster")
 
   // ---------------------------------------------------------------
+  /** km03 — PROTOTYPE SAMPLE: the `centralQuota` most-central vectors
+    * per cluster (smallest exact distance, vec_id tie-break) — the
+    * prototype-selection pass downstream of clustering (inspect a
+    * cluster, seed a labeling round, build a balanced probe set).
+    *
+    * Scale shape: selection is the bounded [[TopKScoreId]] aggregate —
+    * each map task contributes ≤ quota rows per cluster to the
+    * shuffle; no `rank() OVER (PARTITION BY cluster)` sort of the full
+    * corpus (the naive spelling the oracle uses, fine at oracle
+    * scale). dist² ≤ dim·(2·scale)² ≈ 7e7 stays exact as the
+    * aggregate's double score.
+    */
+  val centralQuota = 10
+
+  def centralSample(spark: SparkSession, dir: String): DataFrame = {
+    TopKScoreId.register(spark)
+    assigned(spark, dir)
+      .withColumn("score", -col("dist2").cast("double"))
+      .groupBy("cluster")
+      .agg(expr(s"topk_score_id(score, vec_id, $centralQuota)").as("tk"))
+      .select(col("cluster"), posexplode(col("tk")))
+      .select(col("cluster"), (col("pos") + 1).as("rank"),
+        col("col.id").as("vec_id"))
+      .orderBy("cluster", "rank")
+  }
+
+  // ---------------------------------------------------------------
   // DuckDB oracle: the same 4 Lloyd rounds UNROLLED as generated CTEs
   // over exploded (vec_id, i, q) element rows — an independent
   // relational spelling (joins + window argmin) of the same exact
@@ -180,13 +207,25 @@ object Clustering {
        |SELECT cluster, COUNT(*) AS n, CAST(SUM(dist2) AS BIGINT) AS inertia
        |FROM fin GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  val centralSampleSql: String =
+    s"""WITH $oracleCtes,
+       |r AS (
+       |  SELECT cluster, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY dist2, vec_id)
+       |      AS "rank"
+       |  FROM fin)
+       |SELECT cluster, "rank", vec_id FROM r WHERE "rank" <= $centralQuota
+       |ORDER BY cluster, "rank"""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "km01_kmeans_assign" -> kmeansAssign _,
-    "km02_kmeans_profile" -> kmeansProfile _
+    "km02_kmeans_profile" -> kmeansProfile _,
+    "km03_central_sample" -> centralSample _
   )
 
   def oracles: Map[String, String] = Map(
     "km01_kmeans_assign" -> kmeansAssignSql,
-    "km02_kmeans_profile" -> kmeansProfileSql
+    "km02_kmeans_profile" -> kmeansProfileSql,
+    "km03_central_sample" -> centralSampleSql
   )
 }

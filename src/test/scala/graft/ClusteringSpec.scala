@@ -32,6 +32,23 @@ class ClusteringSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("central sample: quota-capped ranks, and no outsider beats a prototype") {
+    val sample = Clustering.centralSample(spark, sfDir)
+    val assign = Clustering.kmeansAssign(spark, sfDir)
+    val bad = sample.filter(
+      col("rank") < 1 || col("rank") > Clustering.centralQuota).count()
+    assert(bad === 0)
+    // every sampled vector's dist2 is <= every unsampled same-cluster one
+    val joined = sample.join(assign, Seq("vec_id", "cluster"))
+    val worstIn = joined.groupBy("cluster").agg(max("dist2").as("worst"))
+    val outsiders = assign.join(
+        sample.select("vec_id"), Seq("vec_id"), "left_anti")
+      .groupBy("cluster").agg(min("dist2").as("bestOut"))
+    val violations = worstIn.join(outsiders, "cluster")
+      .filter(col("worst") > col("bestOut")).count()
+    assert(violations === 0)
+  }
+
   test("matches an independent driver-side Lloyd reimplementation") {
     // plain-Scala k-means over the same quantized lattice — an
     // algorithm-level cross-check of the distributed joins/aggregates
