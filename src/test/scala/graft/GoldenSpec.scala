@@ -27,7 +27,10 @@ class GoldenSpec extends AnyFunSuite {
     "t03_quality_scores", "w01_tumbling_hourly",
     "r06_asof_join", "s01_cosine_topk",
     // round-5 families: near-dup clustering, packing, IVF search
-    "d08_neardup_clusters", "p02_pack_profile", "s07_ivf_search")
+    "d08_neardup_clusters", "p02_pack_profile", "s07_ivf_search",
+    // round-6 families: span dedup, NFC, k-means, shard manifest
+    "d12_dup_ngram_spans", "t13_nfc_normalize",
+    "km01_kmeans_assign", "p03_shard_manifest")
 
   private def render(df: DataFrame): Seq[String] = {
     val header = df.columns.mkString("\t")
