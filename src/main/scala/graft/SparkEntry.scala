@@ -26,11 +26,11 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ MlQueries.queries ++
       StreamingQueries.queries ++ IoQueries.queries ++
       Multimodal.queries ++ Temporal.queries ++ Packing.queries ++
-      Clustering.queries
+      Clustering.queries ++ Quantization.queries
 
   def oracleSql: Map[String, String] =
     Kpis.oracles ++ Relational.oracles ++ Text.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ StreamingQueries.oracles ++
       IoQueries.oracles ++ Multimodal.oracles ++ Temporal.oracles ++
-      Packing.oracles ++ Clustering.oracles
+      Packing.oracles ++ Clustering.oracles ++ Quantization.oracles
 }

@@ -113,5 +113,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       OptimizerBarrier.builder))
     e.injectFunction((NfcNormalize.fnId, NfcNormalize.info,
       NfcNormalize.builder))
+    e.injectFunction((PqEncode.fnId, PqEncode.info, PqEncode.builder))
   }
 }

@@ -39,8 +39,10 @@ object Clustering {
   val lloydIters = 4
   val quantScale = 1000
 
-  /** Quantized embedding frame: (vec_id, q bigint[], qd double[]). */
-  private def quantized(spark: SparkSession, dir: String): DataFrame =
+  /** Quantized embedding frame: (vec_id, q bigint[], qd double[]) —
+    * shared with [[Quantization]] (PQ trains on the same lattice).
+    */
+  private[graft] def quantized(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr(
         s"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * $quantScale) AS BIGINT))")
