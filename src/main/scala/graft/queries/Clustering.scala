@@ -26,9 +26,10 @@ import org.apache.spark.sql.functions._
   *     MLlib's KMeans collects per iteration), and the update
   *     aggregates (cluster, dim) partial sums — shuffle rows bounded
   *     by k·dim·tasks, never the corpus.
-  *   - distances use the codegen [[DotProduct]] expression
-  *     (d² = |q|² − 2q·c + |c|²), not interpreted HOF folds; integer
-  *     values ≤ 2⁵³ make the double dot product exact.
+  *   - distances run inside the codegen [[PqEncode]] expression (a
+  *     full-vector assignment is PQ with one subspace), not
+  *     interpreted HOF folds — and its referenced codebook keeps the
+  *     generated source identical across rounds (one compile).
   *   - rounds are FIXED (no convergence probe): reproducibility and a
   *     bounded job count beat a data-dependent loop for a corpus-wide
   *     preprocessing pass.
@@ -39,34 +40,31 @@ object Clustering {
   val lloydIters = 4
   val quantScale = 1000
 
-  /** Quantized embedding frame: (vec_id, q bigint[], qd double[]) —
-    * shared with [[Quantization]] (PQ trains on the same lattice).
+  /** Quantized embedding frame: (vec_id, q bigint[]) — shared with
+    * [[Quantization]] (PQ trains on the same lattice).
     */
   private[graft] def quantized(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr(
         s"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * $quantScale) AS BIGINT))")
         .as("q"))
-      .withColumn("qd", expr("transform(q, x -> CAST(x AS DOUBLE))"))
 
-  /** One assignment pass as columns: (cluster, dist2) against literal
-    * centroids. dist² = |q|² − 2q·c + |c|² with the codegen dot
-    * product; first-minimum tie break = lowest cluster id, matching
-    * the oracle's `ORDER BY d, cid`.
+  /** One assignment pass as columns: (cluster, dist2) against the
+    * centroids. Full-vector k-means IS product quantization with one
+    * subspace, so this rides [[PqEncode]]: the centroid set travels as
+    * a foldable nested-array literal (a codegen reference, not source
+    * text), so all Lloyd rounds share ONE compiled method — the
+    * original literal-inlined spelling re-generated different source
+    * per round and paid ~1 s of whole-stage-codegen compile each.
+    * PqEncode's strict-< keeps the lowest cluster id on distance
+    * ties, matching the oracle's `ORDER BY d, cid`.
     */
-  private def withAssignment(df: DataFrame, cents: Array[Array[Long]]): DataFrame = {
-    val distExprs = cents.map { c =>
-      val cArr = s"array(${c.mkString(", ")})"
-      val cd = s"transform($cArr, x -> CAST(x AS DOUBLE))"
-      val c2 = c.map(v => v * v).sum
-      s"(dot_product(qd, qd) - 2.0d * dot_product(qd, $cd) + ${c2}.0d)"
-    }
-    df.withColumn("dists", expr(s"array(${distExprs.mkString(", ")})"))
-      .withColumn("cluster",
-        expr("CAST(array_position(dists, array_min(dists)) - 1 AS INT)"))
-      .withColumn("dist2", expr("CAST(array_min(dists) AS BIGINT)"))
-      .drop("dists")
-  }
+  private def withAssignment(df: DataFrame, cents: Array[Array[Long]]): DataFrame =
+    df.withColumn("enc", call_function("pq_encode",
+        col("q"), typedLit(Seq(cents.map(_.toSeq).toSeq))))
+      .withColumn("cluster", expr("CAST(element_at(enc, 1) AS INT)"))
+      .withColumn("dist2", expr("element_at(enc, 2)"))
+      .drop("enc")
 
   /** The converged (fixed-round) assignment frame shared by km01/km02:
     * runs `lloydIters` eager assign→update rounds (each update is a
@@ -74,7 +72,7 @@ object Clustering {
     * against the final centroids lazily for the returned plan.
     */
   private def assigned(spark: SparkSession, dir: String): DataFrame = {
-    DotProduct.register(spark) // defensive: session may lack extensions
+    PqEncode.register(spark) // defensive: session may lack extensions
     val qe = quantized(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents: Array[Array[Long]] = qe.orderBy("vec_id").limit(kClusters)
