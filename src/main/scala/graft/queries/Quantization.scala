@@ -258,13 +258,53 @@ object Quantization {
        |SELECT q_id, "rank", vec_id, adist FROM r WHERE "rank" <= $topK
        |ORDER BY q_id, "rank"""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** w09 — STREAMING PQ featurization: the exact batch s09 pipeline on
+    * `readStream` — codebooks train batch-side (the static prep, like
+    * w08's benchmark shingle set), then arriving vectors are coded by
+    * the SAME [[PqEncode]] expression as a stateless streaming
+    * projection. One expression serves batch and stream — the
+    * Spark-native featurize-at-ingest story; at scale the memory sink
+    * swaps for the real one and the plan runs continuously.
+    *
+    * Oracle: byte-identical to s09 (same codebooks, same codes), so it
+    * reuses [[pqCodesSql]] — arrival order cannot affect a stateless
+    * per-record projection.
+    */
+  def streamingPqCodes(spark: SparkSession, dir: String): DataFrame = {
+    PqEncode.register(spark)
+    val cand = candidates(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val books = trainCodebooks(cand)
+    val path = s"$dir/embeddings.parquet"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_pq")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("embeddings.parquet"), java.nio.file.Paths.get(path))
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .filter(col("vec_id") >= Similarity.nQueries)
+      .select(col("vec_id"), expr(
+        s"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * ${Clustering.quantScale}) AS BIGINT))")
+        .as("q"))
+    val coded = withCodes(stream, books)
+      .select(col("vec_id") +:
+        (0 until m).map(s => col(s"code$s")) :+ col("qerr"): _*)
+    val q = coded.writeStream
+      .format("memory").queryName("w09_mem").outputMode("append").start()
+    try q.processAllAvailable()
+    finally { q.stop(); TempArtifacts.deleteNow(streamDir) }
+    spark.table("w09_mem").orderBy("vec_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s09_pq_codes" -> pqCodes _,
-    "s10_pq_search" -> pqSearch _
+    "s10_pq_search" -> pqSearch _,
+    "w09_streaming_pq" -> streamingPqCodes _
   )
 
   def oracles: Map[String, String] = Map(
     "s09_pq_codes" -> pqCodesSql,
-    "s10_pq_search" -> pqSearchSql
+    "s10_pq_search" -> pqSearchSql,
+    "w09_streaming_pq" -> pqCodesSql
   )
 }

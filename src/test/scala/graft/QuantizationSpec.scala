@@ -46,6 +46,14 @@ class QuantizationSpec extends AnyFunSuite {
     assert(mean > 0.2, s"mean recall@10 = $mean")
   }
 
+  test("streaming PQ coding equals the batch coding row-for-row") {
+    val batch = Quantization.pqCodes(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val stream = Quantization.streamingPqCodes(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(stream === batch)
+  }
+
   test("adist is a lower-bound-consistent sum: nonnegative, ranked ascending") {
     val res = Quantization.pqSearch(spark, sfDir).collect()
     res.groupBy(_.getLong(0)).values.foreach { rows =>
