@@ -567,6 +567,95 @@ object Text {
        |ORDER BY s.doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** t14 — BM25 RANKING (Okapi, k1=1.2, b=0.75): score every document
+    * against a query and return the top 20 — the retrieval scorer
+    * behind corpus search / eval-set mining. The query is the corpus's
+    * own top-`bm25QueryTerms` non-stopword terms by document
+    * frequency (deterministic: df desc, term asc), so both engines
+    * derive it identically from the data.
+    *
+    * Determinism hardening beyond t10: a per-DOC score sums several
+    * per-term floats, and Spark's partial aggregation adds them in
+    * partition order — a run-to-run hash hazard t10 never has (its
+    * score is a pure per-row function). Each term's contribution is
+    * therefore FLOOR-rounded to 4 dp first, making the document score
+    * a sum of integers-in-disguise: exact, associative,
+    * order-independent (the Exact.scala money discipline applied to
+    * relevance scores).
+    *
+    * Scale shape: tf/df are partial-combining aggregates bounded by
+    * distinct (doc, term); the query-term set and the (N, avgdl)
+    * scalar row are broadcast; the final top-k is a sort-limit
+    * (TakeOrderedAndProject), never a full global sort.
+    */
+  val bm25QueryTerms = 5
+  val bm25TopK = 20
+  private val bm25K1 = "1.2"
+  private val bm25B = "0.75"
+
+  def bm25Rank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val words = docs.withColumn("toks", tokens(lower(col("text"))))
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode_outer(col("toks")).as("w"))
+      .filter(col("w").isNotNull) // explode_outer: see Dedup.minhashLsh
+    val tf = words.groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val qterms = dfreq
+      .filter(!col("w").isin(stopwords: _*))
+      .orderBy(desc("df"), col("w")).limit(bm25QueryTerms)
+    val stats = docs
+      .withColumn("dl", size(tokens(lower(col("text")))))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val contrib = tf
+      .join(broadcast(qterms.select("w", "df")), "w")
+      .crossJoin(broadcast(stats))
+      .withColumn("c4", expr(
+        s"""CAST(FLOOR(
+           |  ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+           |  (tf * ($bm25K1 + 1.0)) /
+           |  (tf + $bm25K1 * (1.0 - $bm25B + $bm25B * dl / avgdl))
+           |  * 10000) AS BIGINT)""".stripMargin))
+    contrib.groupBy("doc_id")
+      .agg((sum("c4") / 10000.0).as("bm25"),
+        count(lit(1)).as("terms_hit"))
+      .orderBy(desc("bm25"), col("doc_id"))
+      .limit(bm25TopK)
+  }
+
+  val bm25RankSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(${tokensSql("lower(text)")}) AS w,
+       |    CAST(len(${tokensSql("lower(text)")}) AS INT) AS dl
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, dl, w, COUNT(*) AS tf FROM t GROUP BY 1, 2, 3
+       |), dfq AS (
+       |  SELECT w, COUNT(*) AS df FROM tf GROUP BY 1
+       |), q AS (
+       |  SELECT w, df FROM dfq WHERE w NOT IN ($stopwordsSqlList)
+       |  ORDER BY df DESC, w LIMIT $bm25QueryTerms
+       |), st AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(CAST(len(${tokensSql("lower(text)")}) AS INT)) AS DOUBLE)
+       |      / COUNT(*) AS avgdl
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id,
+       |    CAST(FLOOR(
+       |      ln((n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0) *
+       |      (tf * ($bm25K1 + 1.0)) /
+       |      (tf + $bm25K1 * (1.0 - $bm25B + $bm25B * dl / avgdl))
+       |      * 10000) AS BIGINT) AS c4
+       |  FROM tf JOIN q USING (w) CROSS JOIN st
+       |)
+       |SELECT doc_id, SUM(c4) / 10000.0 AS bm25,
+       |  COUNT(*) AS terms_hit
+       |FROM c GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id LIMIT $bm25TopK""".stripMargin
+
+  // ---------------------------------------------------------------
   /** t13 — Unicode NFC normalization over the corpus, via the native
     * [[NfcNormalize]] codegen expression (Spark ships no normalizer;
     * a UDF would break whole-stage codegen). The same logical content
@@ -629,6 +718,7 @@ object Text {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_bm25_rank" -> bm25Rank _,
     "t13_nfc_normalize" -> nfcNormalize _,
     "t12_vocab_coverage" -> vocabCoverage _,
     "t11_pii_redaction" -> piiRedaction _,
@@ -645,6 +735,7 @@ object Text {
   )
 
   def oracles: Map[String, String] = Map(
+    "t14_bm25_rank" -> bm25RankSql,
     "t13_nfc_normalize" -> nfcNormalizeSql,
     "t12_vocab_coverage" -> vocabCoverageSql,
     "t11_pii_redaction" -> piiRedactionSql,

@@ -102,6 +102,18 @@ class TextDedupSpec extends AnyFunSuite {
     assert(nonAscii === 0)
   }
 
+  test("t14 BM25: descending scores, positive, term hits within query size") {
+    val rows = Text.bm25Rank(spark, sfDir).collect()
+    assert(rows.length === Text.bm25TopK)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sortBy((s: Double) => -s)))
+    assert(scores.forall(_ > 0))
+    assert(rows.forall { r =>
+      val hits = r.getLong(2)
+      hits >= 1 && hits <= Text.bm25QueryTerms
+    })
+  }
+
   test("d12 duplicate spans: coverage bounded and internally consistent") {
     val df = Dedup.dupNgramSpans(spark, sfDir)
     val bad = df.filter(
