@@ -113,6 +113,21 @@ object Dedup {
     * [[neardupVerified]] (d11) consumes it as a relation.
     */
   private[graft] def lshCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val bands = lshBands(spark, dir)
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** The persisted (doc_id, band, key) MinHash signature table — the
+    * materialized index artifact shared by d02's self-join and d13's
+    * increment-vs-base screen.
+    */
+  private[graft] def lshBands(spark: SparkSession, dir: String): DataFrame = {
     val sigAggs = hashAs.zip(hashBs).zipWithIndex.map { case ((a, b), i) =>
       min(expr(s"($a * sh + $b) % $P")).as(s"sig$i")
     }
@@ -137,18 +152,11 @@ object Dedup {
     // ReusedExchange (round-2 verdict "What's wrong" 3). Banded rows
     // are 3 longs/doc×4 — tiny next to the signature compute they gate;
     // MEMORY_AND_DISK keeps the 100 TB case spill-safe.
-    val bands = sigs.select(col("doc_id") +: keyExprs: _*)
+    sigs.select(col("doc_id") +: keyExprs: _*)
       .select(col("doc_id"),
         posexplode(array((0 until 4).map(j => col(s"key$j")): _*)))
       .toDF("doc_id", "band", "key")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = bands.as("a")
-    val b = bands.as("b")
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("n_bands"))
   }
 
   /** DuckDB CTE block for the d02 candidate pipeline — exposes a
@@ -544,6 +552,84 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
+  /** d13 — INCREMENTAL (delta) DEDUP: screen an INCOMING batch against
+    * an EXISTING corpus — the op a continuously-fed training pipeline
+    * runs on every crawl increment, where re-deduplicating the whole
+    * corpus per day is exactly what does NOT scale. The newest
+    * `incrementalSplit`-fraction of doc_ids stands in for the incoming
+    * batch; each incoming doc gets a verdict:
+    *   2 = exact duplicate of a base doc (content hash match),
+    *   1 = near-duplicate (shares a MinHash LSH band with a base doc),
+    *   0 = unique → admit to the corpus.
+    *
+    * Scale shape: the base corpus is touched ONLY through two compact
+    * derived artifacts — its content-hash set and its banded signature
+    * table (both O(docs), both the things a real pipeline keeps
+    * materialized between increments). The joins are equi joins keyed
+    * by hash/band — the increment (small) against indexed artifacts,
+    * never corpus × corpus; verdicts partial-aggregate per doc.
+    */
+  val incrementalSplitId = 400L // doc_id >= this = the incoming batch
+
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isNew = col("doc_id") >= incrementalSplitId
+    // exact layer: content hashes
+    val baseHashes = docs.filter(!isNew)
+      .select(md5(col("text")).as("fp")).distinct()
+    val exact = docs.filter(isNew)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(baseHashes, Seq("fp"), "left_semi")
+      .select(col("doc_id")).withColumn("exact_dup", lit(1))
+    // near layer: banded MinHash signatures (the persisted band table
+    // from the d02 pipeline, split by side)
+    val bands = lshBands(spark, dir)
+    val baseBands = bands.filter(col("doc_id") < incrementalSplitId)
+      .select("band", "key").distinct()
+    val near = bands.filter(col("doc_id") >= incrementalSplitId)
+      .join(baseBands, Seq("band", "key"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("near_dup", lit(1))
+    docs.filter(isNew).select("doc_id", "lang")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .withColumn("verdict",
+        when(col("exact_dup") === 1, 2)
+          .when(col("near_dup") === 1, 1)
+          .otherwise(0))
+      .select("doc_id", "lang", "verdict")
+      .orderBy("doc_id")
+  }
+
+  val incrementalDedupSql: String = {
+    s"""WITH $lshCandidatesCteSql,
+       |base_fp AS (
+       |  SELECT DISTINCT md5(text) AS fp FROM documents
+       |  WHERE doc_id < $incrementalSplitId
+       |), exact_d AS (
+       |  SELECT DISTINCT doc_id FROM documents
+       |  WHERE doc_id >= $incrementalSplitId
+       |    AND md5(text) IN (SELECT fp FROM base_fp)
+       |), base_bands AS (
+       |  SELECT DISTINCT band, key FROM bands
+       |  WHERE doc_id < $incrementalSplitId
+       |), near_d AS (
+       |  SELECT DISTINCT b.doc_id FROM bands b
+       |  JOIN base_bands USING (band, key)
+       |  WHERE b.doc_id >= $incrementalSplitId
+       |)
+       |SELECT d.doc_id, d.lang,
+       |  CASE WHEN e.doc_id IS NOT NULL THEN 2
+       |       WHEN n.doc_id IS NOT NULL THEN 1
+       |       ELSE 0 END AS verdict
+       |FROM documents d
+       |LEFT JOIN exact_d e ON d.doc_id = e.doc_id
+       |LEFT JOIN near_d n ON d.doc_id = n.doc_id
+       |WHERE d.doc_id >= $incrementalSplitId
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   /** d05 — the deduplicated corpus itself (what a training-data
     * pipeline actually ships): keep-first by content hash, original
     * columns preserved. Two-phase shape that scales: group the
@@ -909,7 +995,8 @@ object Dedup {
     "d09_neardup_corpus" -> neardupCorpus _,
     "d10_temperature_mix" -> temperatureMix _,
     "d11_neardup_verified" -> neardupVerified _,
-    "d12_dup_ngram_spans" -> dupNgramSpans _
+    "d12_dup_ngram_spans" -> dupNgramSpans _,
+    "d13_incremental_dedup" -> incrementalDedup _
   )
 
   def oracles: Map[String, String] = Map(
@@ -924,6 +1011,7 @@ object Dedup {
     "d09_neardup_corpus" -> neardupCorpusSql,
     "d10_temperature_mix" -> temperatureMixSql,
     "d11_neardup_verified" -> neardupVerifiedSql,
-    "d12_dup_ngram_spans" -> dupNgramSpansSql
+    "d12_dup_ngram_spans" -> dupNgramSpansSql,
+    "d13_incremental_dedup" -> incrementalDedupSql
   )
 }
