@@ -574,11 +574,16 @@ object Dedup {
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val isNew = col("doc_id") >= incrementalSplitId
-    // exact layer: content hashes
+    // exact layer: content hashes. optimizer_barrier: the semi join
+    // infers isnotnull(fp), and alias-inlining would pull the full
+    // md5(text) into a Filter below the rebalance Exchange (the
+    // PlanAuditSpec trap) — the fence keeps one hash per row, post
+    // rebalance
+    val fp = expr("optimizer_barrier(md5(text))")
     val baseHashes = docs.filter(!isNew)
-      .select(md5(col("text")).as("fp")).distinct()
+      .select(fp.as("fp")).distinct()
     val exact = docs.filter(isNew)
-      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .select(col("doc_id"), fp.as("fp"))
       .join(baseHashes, Seq("fp"), "left_semi")
       .select(col("doc_id")).withColumn("exact_dup", lit(1))
     // near layer: banded MinHash signatures (the persisted band table

@@ -29,7 +29,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "t03_quality_scores", "t04_fingerprints", "t08_rolling_fingerprints",
     "t09_repetition_stats",
     "q11_clean_pipeline", "q12_feature_pipeline", "q20_clean_light",
-    "s01_cosine_topk", "s06_quantized_topk")
+    "s01_cosine_topk", "s06_quantized_topk",
+    // round-6 md5-heavy additions
+    "d11_neardup_verified", "d12_dup_ngram_spans",
+    "d13_incremental_dedup", "t13_nfc_normalize", "t14_bm25_rank",
+    "p03_shard_manifest")
 
   audited.foreach { name =>
     test(s"$name: no expensive expression inside a Filter") {
