@@ -256,17 +256,53 @@ object IoQueries {
       |  COUNT(DISTINCT md5(text)) AS distinct_texts
       |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin
 
+  /** c05 — Z-order layout profile: Morton key of (hour-of-day,
+    * user-bucket) per event, bucketed to the granularity a file/row
+    * group would hold. Each bucket's tight min/max on BOTH dimensions
+    * is exactly the footer-stats rectangle a z-ordered write gives a
+    * pruning scan ([[ZOrder.writeZOrdered]] is the write path; IoSpec
+    * proves the locality win over a time-sorted layout with real
+    * parquet files). Map-side key arithmetic + one bounded group-by —
+    * the profile itself is scan-shaped.
+    */
+  def zorderProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("h", hour(col("ts")))
+      .withColumn("u", (col("user_id") % 256).cast("int"))
+      .withColumn("z", expr(ZOrder.interleaveExpr("h", "u")))
+      .groupBy(expr("z div 1024").as("zbucket"))
+      .agg(count(lit(1)).as("events"),
+        min("h").as("h_min"), max("h").as("h_max"),
+        min("u").as("u_min"), max("u").as("u_max"))
+      .orderBy("zbucket")
+
+  val zorderProfileSql: String = {
+    val z = ZOrder.interleaveSql("h", "u")
+    s"""WITH d AS (
+       |  SELECT hour(CAST(ts AS TIMESTAMP)) AS h,
+       |    CAST(user_id % 256 AS INT) AS u
+       |  FROM events
+       |), k AS (
+       |  SELECT h, u, $z // 1024 AS zbucket FROM d)
+       |SELECT zbucket, COUNT(*) AS events,
+       |  MIN(h) AS h_min, MAX(h) AS h_max,
+       |  MIN(u) AS u_min, MAX(u) AS u_max
+       |FROM k GROUP BY zbucket ORDER BY zbucket""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_csv_roundtrip" -> csvRoundTrip _,
     "c02_safe_display" -> safeDisplay _,
     "c03_rand_sample" -> randSample _,
-    "c04_jsonl_roundtrip" -> jsonlRoundTrip _
+    "c04_jsonl_roundtrip" -> jsonlRoundTrip _,
+    "c05_zorder_profile" -> zorderProfile _
   )
 
   def oracles: Map[String, String] = Map(
     "c01_csv_roundtrip" -> csvRoundTripSql,
     "c02_safe_display" -> safeDisplaySql,
     // c03 rows-only: rand(seed) is partition-dependent by design
-    "c04_jsonl_roundtrip" -> jsonlRoundTripSql
+    "c04_jsonl_roundtrip" -> jsonlRoundTripSql,
+    "c05_zorder_profile" -> zorderProfileSql
   )
 }

@@ -136,4 +136,33 @@ class IoSpec extends AnyFunSuite {
     assert(back.count() === docs.count())
     assert(docs.exceptAll(back).count() === 0)
   }
+
+  test("z-ordered layout: per-file stat rectangles beat a time-sorted write") {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("h", hour(col("ts")))
+      .withColumn("u", (col("user_id") % 256).cast("int"))
+      .select("event_id", "h", "u", "value")
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder")
+    val zPath = s"$base/z"
+    val tPath = s"$base/t"
+    try {
+      ZOrder.writeZOrdered(ev, "h", "u", zPath, 8)
+      ev.repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id")
+        .write.mode("overwrite").parquet(tPath)
+      // the (h, u) bounding box a pruning scan sees per file — the
+      // z-ordered layout must cover materially less area than the
+      // arrival-ordered one (files here = row groups = stat units)
+      def area(path: String): Long =
+        new java.io.File(path).listFiles()
+          .filter(_.getName.endsWith(".parquet")).map { f =>
+            val r = spark.read.parquet(f.toString)
+              .agg(min("h"), max("h"), min("u"), max("u")).head()
+            (r.getInt(1) - r.getInt(0) + 1).toLong *
+              (r.getInt(3) - r.getInt(2) + 1)
+          }.sum
+      val (zA, tA) = (area(zPath), area(tPath))
+      assert(zA * 2 < tA, s"z-order area $zA vs time-sorted $tA")
+    } finally TempArtifacts.deleteNow(base)
+  }
 }
