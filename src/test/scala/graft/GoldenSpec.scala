@@ -28,9 +28,12 @@ class GoldenSpec extends AnyFunSuite {
     "r06_asof_join", "s01_cosine_topk",
     // round-5 families: near-dup clustering, packing, IVF search
     "d08_neardup_clusters", "p02_pack_profile", "s07_ivf_search",
-    // round-6 families: span dedup, NFC, k-means, shard manifest
+    // round-6 families: span dedup, NFC, k-means, shard manifest,
+    // PQ, BM25, incremental dedup, z-order layout
     "d12_dup_ngram_spans", "t13_nfc_normalize",
-    "km01_kmeans_assign", "p03_shard_manifest")
+    "km01_kmeans_assign", "p03_shard_manifest",
+    "s09_pq_codes", "t14_bm25_rank", "d13_incremental_dedup",
+    "c05_zorder_profile")
 
   private def render(df: DataFrame): Seq[String] = {
     val header = df.columns.mkString("\t")
