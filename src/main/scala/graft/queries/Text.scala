@@ -656,6 +656,95 @@ object Text {
        |ORDER BY bm25 DESC, doc_id LIMIT $bm25TopK""".stripMargin
 
   // ---------------------------------------------------------------
+  /** t15 — BIGRAM-LM QUALITY SCORING: train an add-one-smoothed
+    * bigram language model on the corpus itself and score every
+    * document by mean per-bigram log-probability — the
+    * KenLM/CCNet-style perplexity filter every web-scale pipeline
+    * runs (gibberish and boilerplate score low; fluent text scores
+    * high). p(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁·)+V).
+    *
+    * Determinism: the same discipline as t14 — each DISTINCT bigram's
+    * log-prob is floor-rounded to 4 dp, multiplied by its integer
+    * per-doc count, and summed as integers, so document scores are
+    * partial-aggregation-order independent.
+    *
+    * Scale shape: the per-doc bigram stream is aggregated to
+    * (doc, w₁, w₂, n) BEFORE any join (bounded by distinct per-doc
+    * bigrams, not token count); model counts c₂/c₁ partial-aggregate;
+    * V is one broadcast scalar; scoring joins are equi on the bigram.
+    */
+  def bigramQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bigrams = docs
+      .withColumn("toks", tokens(lower(col("text"))))
+      .select(col("doc_id"), explode_outer(expr(
+        """CASE WHEN size(toks) < 2 THEN CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)
+          |ELSE zip_with(slice(toks, 1, size(toks) - 1),
+          |              slice(toks, 2, size(toks) - 1),
+          |              (a, b) -> struct(a AS w1, b AS w2))
+          |END""".stripMargin)).as("bg"))
+      .filter(col("bg").isNotNull) // explode_outer: see Dedup.minhashLsh
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val perDoc = bigrams.groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("n"))
+    val c2 = perDoc.groupBy("w1", "w2").agg(sum("n").as("c2"))
+    val c1 = perDoc.groupBy("w1").agg(sum("n").as("c1"))
+    val vocab = docs
+      .select(explode_outer(tokens(lower(col("text")))).as("w"))
+      .filter(col("w").isNotNull)
+      .agg(countDistinct("w").as("v"))
+    val scored = perDoc
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp4", expr(
+        "n * CAST(FLOOR(ln((c2 + 1.0) / (c1 + v)) * 10000) AS BIGINT)"))
+      .groupBy("doc_id")
+      .agg(sum("lp4").as("lp4sum"), sum("n").as("n_bigrams"))
+    docs.select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        Exact.round4(coalesce(
+          col("lp4sum").cast("double") / (col("n_bigrams") * 10000.0),
+          lit(0.0))).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  val bigramQualitySql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${tokensSql("lower(text)")} AS toks FROM documents
+       |), bg AS (
+       |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM (
+       |    SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)
+       |), per_doc AS (
+       |  SELECT doc_id, w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2, 3
+       |), c2 AS (
+       |  SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS c2 FROM per_doc GROUP BY 1, 2
+       |), c1 AS (
+       |  SELECT w1, CAST(SUM(n) AS BIGINT) AS c1 FROM per_doc GROUP BY 1
+       |), vocab AS (
+       |  SELECT COUNT(DISTINCT w) AS v FROM (
+       |    SELECT unnest(${tokensSql("lower(text)")}) AS w FROM documents)
+       |), scored AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(n * CAST(FLOOR(ln((c2 + 1.0) / (c1 + v)) * 10000) AS BIGINT)) AS BIGINT)
+       |      AS lp4sum,
+       |    CAST(SUM(n) AS BIGINT) AS n_bigrams
+       |  FROM per_doc JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
+       |  GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |  COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       |  ${Exact.round4Sql(
+            "COALESCE(CAST(s.lp4sum AS DOUBLE) / (s.n_bigrams * 10000.0), 0.0)")}
+       |    AS avg_logprob
+       |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   /** t13 — Unicode NFC normalization over the corpus, via the native
     * [[NfcNormalize]] codegen expression (Spark ships no normalizer;
     * a UDF would break whole-stage codegen). The same logical content
@@ -718,6 +807,7 @@ object Text {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_bigram_quality" -> bigramQuality _,
     "t14_bm25_rank" -> bm25Rank _,
     "t13_nfc_normalize" -> nfcNormalize _,
     "t12_vocab_coverage" -> vocabCoverage _,
@@ -735,6 +825,7 @@ object Text {
   )
 
   def oracles: Map[String, String] = Map(
+    "t15_bigram_quality" -> bigramQualitySql,
     "t14_bm25_rank" -> bm25RankSql,
     "t13_nfc_normalize" -> nfcNormalizeSql,
     "t12_vocab_coverage" -> vocabCoverageSql,

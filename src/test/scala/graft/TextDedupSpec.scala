@@ -102,6 +102,16 @@ class TextDedupSpec extends AnyFunSuite {
     assert(nonAscii === 0)
   }
 
+  test("t15 bigram LM: nonpositive scores, bigram counts match token counts") {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(Text.tokens(lower(col("text")))).as("nt"))
+    val bad = Text.bigramQuality(spark, sfDir)
+      .join(toks, "doc_id")
+      .filter(col("n_bigrams") =!= greatest(col("nt") - 1, lit(0)) ||
+        col("avg_logprob") > 0).count()
+    assert(bad === 0)
+  }
+
   test("t14 BM25: descending scores, positive, term hits within query size") {
     val rows = Text.bm25Rank(spark, sfDir).collect()
     assert(rows.length === Text.bm25TopK)
