@@ -157,15 +157,82 @@ object Packing {
        |FROM documents
        |GROUP BY 1 ORDER BY shard""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** p04 — OVERLAPPING CHUNKING, the retrieval-side twin of p01:
+    * where pretraining packs documents into a continuous token stream
+    * (p01), a RAG/embedding index splits each document into
+    * fixed-size windows with overlap so no answer span straddles a
+    * boundary unseen. Each chunk row carries its token range and a
+    * deterministic chunk key (doc_id · maxChunks + index) an index
+    * can join back on. Pure map-side arithmetic
+    * (sequence/posexplode), no shuffle but the presentation sort;
+    * per-doc chunk counts are ⌈(n−overlap)/stride⌉-bounded, so the
+    * fan-out is linear in token count at any scale.
+    */
+  val ragChunkTokens = 64
+  val ragChunkStride = 48 // 16-token overlap
+  val maxChunksPerDoc = 1024L
+
+  def ragChunks(spark: SparkSession, dir: String): DataFrame = {
+    val n = "greatest(CAST(n_tok AS INT), 1)"
+    // chunk starts: 1, 1+stride, … while start <= n - overlap (last
+    // chunk may be short but never empty; a short doc yields 1 chunk)
+    val starts =
+      s"""CASE WHEN $n <= $ragChunkTokens THEN array(1)
+         |ELSE transform(
+         |  sequence(0, CAST(ceil(($n - $ragChunkTokens) / CAST($ragChunkStride AS DOUBLE)) AS INT)),
+         |  i -> 1 + i * $ragChunkStride)
+         |END""".stripMargin
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(sparkNTok).as("n_tok"))
+      .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"),
+        posexplode(expr(starts)))
+      .toDF("doc_id", "n_tok", "idx", "start_tok")
+      .select(
+        col("doc_id"),
+        (col("doc_id") * maxChunksPerDoc + col("idx")).as("chunk_key"),
+        col("idx").cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(col("start_tok") + ragChunkTokens - 1, greatest(col("n_tok"), lit(1L)))
+          .cast("long").as("end_tok"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val ragChunksSql: String = {
+    val n = "GREATEST(CAST(n_tok AS INT), 1)"
+    s"""WITH t AS (
+       |  SELECT doc_id, $duckNTok AS n_tok FROM documents
+       |), s AS (
+       |  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       |    CAST(i AS INT) AS idx, 1 + CAST(i AS INT) * $ragChunkStride AS start_tok
+       |  FROM (
+       |    SELECT doc_id, n_tok,
+       |      unnest(range(0,
+       |        CASE WHEN $n <= $ragChunkTokens THEN 1
+       |        ELSE CAST(ceil(($n - $ragChunkTokens) / CAST($ragChunkStride AS DOUBLE)) AS INT) + 1
+       |        END)) AS i
+       |    FROM t)
+       |)
+       |SELECT doc_id,
+       |  doc_id * $maxChunksPerDoc + idx AS chunk_key,
+       |  CAST(idx AS BIGINT) AS chunk_idx,
+       |  CAST(start_tok AS BIGINT) AS start_tok,
+       |  CAST(LEAST(start_tok + ${ragChunkTokens - 1},
+       |             GREATEST(n_tok, 1)) AS BIGINT) AS end_tok
+       |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_pack_chunks" -> packChunks _,
     "p02_pack_profile" -> packProfile _,
-    "p03_shard_manifest" -> shardManifest _
+    "p03_shard_manifest" -> shardManifest _,
+    "p04_rag_chunks" -> ragChunks _
   )
 
   def oracles: Map[String, String] = Map(
     "p01_pack_chunks" -> packChunksSql,
     "p02_pack_profile" -> packProfileSql,
-    "p03_shard_manifest" -> shardManifestSql
+    "p03_shard_manifest" -> shardManifestSql,
+    "p04_rag_chunks" -> ragChunksSql
   )
 }

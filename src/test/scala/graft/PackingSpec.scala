@@ -44,6 +44,32 @@ class PackingSpec extends AnyFunSuite {
     assert(m.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("rag chunks: full coverage with the configured overlap, no gaps") {
+    val rows = Packing.ragChunks(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(Text.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._3 === 1L) // first chunk starts at token 1
+      // every token is covered: next start <= previous end + 1
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 <= a._4 + 1)
+        case _ =>
+      }
+      // last chunk reaches the end of the document
+      assert(sorted.last._4 === math.max(toks(doc), 1).toLong)
+      // consecutive chunks overlap by exactly chunk - stride tokens
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 - a._3 === Packing.ragChunkStride.toLong)
+        case _ =>
+      }
+    }
+  }
+
   test("profile conserves tokens and bounds the tail chunk") {
     val prof = Packing.packProfile(spark, sfDir).collect()
     prof.foreach { r =>

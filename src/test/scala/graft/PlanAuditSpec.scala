@@ -33,7 +33,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // round-6 md5-heavy additions
     "d11_neardup_verified", "d12_dup_ngram_spans",
     "d13_incremental_dedup", "t13_nfc_normalize", "t14_bm25_rank",
-    "p03_shard_manifest")
+    "p03_shard_manifest", "t15_bigram_quality")
 
   audited.foreach { name =>
     test(s"$name: no expensive expression inside a Filter") {
