@@ -80,13 +80,18 @@ object Bench {
       name -> sec
     }
 
-    def render(entries: Seq[(String, Double)], extra: String): String = {
+    def render(entries: Seq[(String, Double)], extra: String,
+               maxFails: Int = Int.MaxValue): String = {
       val qs = entries
         .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
-      val fails = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+      // the printed line truncates the failed list too — a mass
+      // failure (~80 names) would alone overflow the tail window the
+      // budget exists for; the count always survives
+      val fs = failed.reverse
+      val fails = fs.take(maxFails).map("\"" + _ + "\"").mkString("[", ",", "]")
       val total = results.map(_._2).sum
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,$extra"failed":$fails,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,$extra"failed":$fails,"failed_count":${fs.length},"sf":"$sfDir"}"""
     }
     // Full per-query map → bench_local.json (committed; the per-round
     // audit trail). The PRINTED line must stay short: the driver
@@ -101,10 +106,13 @@ object Bench {
     val budget = 1600
     val bySlowest = results.sortBy(-_._2)
     var shown = bySlowest.length
+    var failCap = 15
     def printed(n: Int) = render(
       bySlowest.take(n),
-      s""""queries_shown":$n,"queries_total":${results.length},"full":"bench_local.json",""")
+      s""""queries_shown":$n,"queries_total":${results.length},"full":"bench_local.json",""",
+      failCap)
     while (shown > 1 && printed(shown).length > budget) shown -= 1
+    while (failCap > 0 && printed(shown).length > budget) failCap -= 1
     println(printed(shown))
     spark.stop()
     sys.exit(0)

@@ -49,6 +49,24 @@ object Clustering {
         s"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * $quantScale) AS BIGINT))")
         .as("q"))
 
+  /** The PERSISTED lattice, memoized per (session, dir): km01–03,
+    * s09/s10 and w09 all iterate over this frame, and a per-call
+    * `.persist` accumulated one redundant cached copy per query in
+    * any JVM that doesn't clearCache between queries (the test
+    * suite). The re-`persist` on every retrieval is deliberate: it is
+    * a no-op while cached and re-registers the plan after a
+    * Bench/Verify `clearCache`, so the iterative loops never lose
+    * their cache mid-query.
+    */
+  private val qeMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def quantizedPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val df = qeMemo.getOrElseUpdate((spark, dir), quantized(spark, dir))
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
+  }
+
   /** One assignment pass as columns: (cluster, dist2) against the
     * centroids. Full-vector k-means IS product quantization with one
     * subspace, so this rides [[PqEncode]]: the centroid set travels as
@@ -73,8 +91,7 @@ object Clustering {
     */
   private def assigned(spark: SparkSession, dir: String): DataFrame = {
     PqEncode.register(spark) // defensive: session may lack extensions
-    val qe = quantized(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qe = quantizedPersisted(spark, dir)
     var cents: Array[Array[Long]] = qe.orderBy("vec_id").limit(kClusters)
       .select("q").collect()
       .map(_.getSeq[Long](0).toArray)

@@ -124,10 +124,22 @@ object Dedup {
   }
 
   /** The persisted (doc_id, band, key) MinHash signature table — the
-    * materialized index artifact shared by d02's self-join and d13's
-    * increment-vs-base screen.
+    * materialized index artifact shared by d02's self-join, d11's
+    * verification, and d13's increment-vs-base screen. Memoized per
+    * (session, dir) so repeated queries in one JVM share ONE cached
+    * copy; the re-`persist` on retrieval is a no-op while cached and
+    * re-registers the plan after a Bench/Verify `clearCache`.
     */
+  private val bandsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   private[graft] def lshBands(spark: SparkSession, dir: String): DataFrame = {
+    val df = bandsMemo.getOrElseUpdate((spark, dir), buildLshBands(spark, dir))
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
+  }
+
+  private def buildLshBands(spark: SparkSession, dir: String): DataFrame = {
     val sigAggs = hashAs.zip(hashBs).zipWithIndex.map { case ((a, b), i) =>
       min(expr(s"($a * sh + $b) % $P")).as(s"sig$i")
     }
@@ -569,11 +581,24 @@ object Dedup {
     * by hash/band — the increment (small) against indexed artifacts,
     * never corpus × corpus; verdicts partial-aggregate per doc.
     */
-  val incrementalSplitId = 400L // doc_id >= this = the incoming batch
+  /** Incoming batch = the newest `incrementalFraction` of doc_ids at
+    * ANY corpus size (a one-row max aggregate fixes the boundary —
+    * bounded driver metadata), so the bench always measures the
+    * documented regime: a small increment against a large base's
+    * derived artifacts, never the reverse.
+    */
+  val incrementalFraction = 0.2
+
+  private[graft] def incrementalSplitId(spark: SparkSession, dir: String): Long = {
+    val maxId = Tables.documents(spark, dir)
+      .agg(max("doc_id")).head().getLong(0)
+    math.ceil((maxId + 1) * (1.0 - incrementalFraction)).toLong
+  }
 
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val isNew = col("doc_id") >= incrementalSplitId
+    val splitId = incrementalSplitId(spark, dir)
+    val isNew = col("doc_id") >= splitId
     // exact layer: content hashes. optimizer_barrier: the semi join
     // infers isnotnull(fp), and alias-inlining would pull the full
     // md5(text) into a Filter below the rebalance Exchange (the
@@ -589,9 +614,9 @@ object Dedup {
     // near layer: banded MinHash signatures (the persisted band table
     // from the d02 pipeline, split by side)
     val bands = lshBands(spark, dir)
-    val baseBands = bands.filter(col("doc_id") < incrementalSplitId)
+    val baseBands = bands.filter(col("doc_id") < splitId)
       .select("band", "key").distinct()
-    val near = bands.filter(col("doc_id") >= incrementalSplitId)
+    val near = bands.filter(col("doc_id") >= splitId)
       .join(baseBands, Seq("band", "key"), "left_semi")
       .select("doc_id").distinct()
       .withColumn("near_dup", lit(1))
@@ -607,21 +632,26 @@ object Dedup {
   }
 
   val incrementalDedupSql: String = {
+    // the oracle derives the identical boundary from the data itself
+    val frac = 1.0 - incrementalFraction
     s"""WITH $lshCandidatesCteSql,
-       |base_fp AS (
+       |split AS (
+       |  SELECT CAST(CEIL((MAX(doc_id) + 1) * $frac) AS BIGINT) AS sid
+       |  FROM documents
+       |), base_fp AS (
        |  SELECT DISTINCT md5(text) AS fp FROM documents
-       |  WHERE doc_id < $incrementalSplitId
+       |  WHERE doc_id < (SELECT sid FROM split)
        |), exact_d AS (
        |  SELECT DISTINCT doc_id FROM documents
-       |  WHERE doc_id >= $incrementalSplitId
+       |  WHERE doc_id >= (SELECT sid FROM split)
        |    AND md5(text) IN (SELECT fp FROM base_fp)
        |), base_bands AS (
        |  SELECT DISTINCT band, key FROM bands
-       |  WHERE doc_id < $incrementalSplitId
+       |  WHERE doc_id < (SELECT sid FROM split)
        |), near_d AS (
        |  SELECT DISTINCT b.doc_id FROM bands b
        |  JOIN base_bands USING (band, key)
-       |  WHERE b.doc_id >= $incrementalSplitId
+       |  WHERE b.doc_id >= (SELECT sid FROM split)
        |)
        |SELECT d.doc_id, d.lang,
        |  CASE WHEN e.doc_id IS NOT NULL THEN 2
@@ -630,7 +660,7 @@ object Dedup {
        |FROM documents d
        |LEFT JOIN exact_d e ON d.doc_id = e.doc_id
        |LEFT JOIN near_d n ON d.doc_id = n.doc_id
-       |WHERE d.doc_id >= $incrementalSplitId
+       |WHERE d.doc_id >= (SELECT sid FROM split)
        |ORDER BY d.doc_id""".stripMargin
   }
 

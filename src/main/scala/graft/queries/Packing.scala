@@ -171,7 +171,10 @@ object Packing {
     */
   val ragChunkTokens = 64
   val ragChunkStride = 48 // 16-token overlap
-  val maxChunksPerDoc = 1024L
+  // 2³² chunk slots per doc: a doc would need ~2×10¹⁴ tokens to
+  // collide into the next doc's keyspace, and doc_id·2³²+idx still
+  // fits a long for any 31-bit doc_id — uniqueness by construction
+  val maxChunksPerDoc = 1L << 32
 
   def ragChunks(spark: SparkSession, dir: String): DataFrame = {
     val n = "greatest(CAST(n_tok AS INT), 1)"

@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 /** s09/s10 — PRODUCT QUANTIZATION (PQ), the index structure behind
   * billion-vector ANN (FAISS IVFPQ family): split each embedding into
   * `m` subvectors, train a tiny per-subspace codebook, store each
-  * vector as `m` small codes (here 8×3 bits ≈ 24 bits vs 64×4 bytes —
-  * a ~85× compression of the scan set), and answer queries by
+  * vector as `m` small codes (here 8×4 bits = 32 bits vs 64×4 bytes —
+  * a 64× compression of the scan set), and answer queries by
   * ASYMMETRIC DISTANCE (ADC): per query, precompute the distance from
   * each query subvector to every codebook centroid once, then score a
   * candidate by summing `m` table lookups — no float math per
@@ -39,9 +39,12 @@ object Quantization {
   val pqIters = 3     // fixed Lloyd rounds per subspace
   val topK = 10
 
-  /** Candidate (indexed) set: everything but the query batch. */
+  /** Candidate (indexed) set: everything but the query batch — a
+    * filter over the memoized persisted lattice (one shared cache
+    * entry; see [[Clustering.quantizedPersisted]]).
+    */
   private def candidates(spark: SparkSession, dir: String): DataFrame =
-    Clustering.quantized(spark, dir)
+    Clustering.quantizedPersisted(spark, dir)
       .filter(col("vec_id") >= Similarity.nQueries)
 
   /** Adds `code0..code{m-1}` (int) and `qerr` (long, Σ subspace
@@ -104,7 +107,6 @@ object Quantization {
   def pqCodes(spark: SparkSession, dir: String): DataFrame = {
     PqEncode.register(spark)
     val cand = candidates(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val books = trainCodebooks(cand)
     withCodes(cand, books)
       .select(col("vec_id") +:
@@ -119,7 +121,6 @@ object Quantization {
     PqEncode.register(spark)
     TopKScoreId.register(spark)
     val cand = candidates(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val books = trainCodebooks(cand)
     val codes = withCodes(cand, books)
       .select(col("vec_id"), posexplode(expr(
@@ -274,7 +275,6 @@ object Quantization {
   def streamingPqCodes(spark: SparkSession, dir: String): DataFrame = {
     PqEncode.register(spark)
     val cand = candidates(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val books = trainCodebooks(cand)
     val path = s"$dir/embeddings.parquet"
     val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_pq")

@@ -267,7 +267,11 @@ object IoQueries {
     */
   def zorderProfile(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .withColumn("h", hour(col("ts")))
+      // h spans only 5 bits (0–23); ×11 stretches it across the full
+      // 8-bit range (0–253) so its HIGH bits vary too — without the
+      // stretch, every bucket boundary above bit 9 falls on h bits
+      // that are constantly 0 and the profile shows no hour locality
+      .withColumn("h", (hour(col("ts")) * 11).cast("int"))
       .withColumn("u", (col("user_id") % 256).cast("int"))
       .withColumn("z", expr(ZOrder.interleaveExpr("h", "u")))
       .groupBy(expr("z div 1024").as("zbucket"))
@@ -279,7 +283,7 @@ object IoQueries {
   val zorderProfileSql: String = {
     val z = ZOrder.interleaveSql("h", "u")
     s"""WITH d AS (
-       |  SELECT hour(CAST(ts AS TIMESTAMP)) AS h,
+       |  SELECT CAST(hour(CAST(ts AS TIMESTAMP)) * 11 AS INT) AS h,
        |    CAST(user_id % 256 AS INT) AS u
        |  FROM events
        |), k AS (

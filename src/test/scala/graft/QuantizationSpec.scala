@@ -41,7 +41,7 @@ class QuantizationSpec extends AnyFunSuite {
       approx(qid).intersect(ex).size.toDouble / ex.size
     }
     val mean = recalls.sum / recalls.size
-    // 3-bit-per-subspace PQ is coarse; demand genuine signal, not
+    // 4-bit-per-subspace PQ is coarse; demand genuine signal, not
     // perfection: mean recall@10 well above the ~2% random baseline
     assert(mean > 0.2, s"mean recall@10 = $mean")
   }

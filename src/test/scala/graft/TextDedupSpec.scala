@@ -139,16 +139,15 @@ class TextDedupSpec extends AnyFunSuite {
   test("d13 incremental dedup: verdicts consistent with the d02 pair graph") {
     val res = Dedup.incrementalDedup(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val splitId = Dedup.incrementalSplitId(spark, sfDir)
     val incoming = Tables.documents(spark, sfDir)
-      .filter(col("doc_id") >= Dedup.incrementalSplitId).count()
+      .filter(col("doc_id") >= splitId).count()
     assert(res.size.toLong === incoming)
     assert(res.values.forall(v => v >= 0 && v <= 2))
     // any incoming doc paired with a BASE doc in d02 must be flagged
     val mustFlag = Dedup.minhashLsh(spark, sfDir).collect().flatMap { r =>
       val (d1, d2) = (r.getLong(0), r.getLong(1))
-      if (d1 < Dedup.incrementalSplitId && d2 >= Dedup.incrementalSplitId)
-        Some(d2)
-      else None
+      if (d1 < splitId && d2 >= splitId) Some(d2) else None
     }.toSet
     mustFlag.foreach(id => assert(res(id) >= 1, s"doc $id unflagged"))
   }

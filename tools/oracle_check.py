@@ -21,9 +21,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def cells(df):
+def cells(df, sort_rows):
+    # sort_rows=False keeps OUTPUT order (single-part Spark parquet +
+    # DuckDB both preserve query order), so a dropped/broken final
+    # ORDER BY fails here like it would driver-side; the sorted form
+    # is only used to distinguish "order-only" from value mismatches
     df = df[sorted(df.columns)]
-    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    if sort_rows:
+        df = df.sort_values(list(df.columns), kind="mergesort")
+    df = df.reset_index(drop=True)
     def render(v):
         if v is None:
             return "NULL"
@@ -53,8 +59,8 @@ def main():
         spark = con.execute(
             f"SELECT * FROM read_parquet({parts!r})").fetchdf()
         oracle = con.execute(sql).fetchdf()
-        s_cells, s_df = cells(spark)
-        o_cells, o_df = cells(oracle)
+        s_cells, s_df = cells(spark, sort_rows=False)
+        o_cells, o_df = cells(oracle, sort_rows=False)
         schema_ok = sorted(spark.columns) == sorted(oracle.columns)
         rows_ok = len(spark) == len(oracle)
         hash_ok = s_cells == o_cells
@@ -62,8 +68,11 @@ def main():
             print(f"{name:32s} OK     rows={len(spark)}")
         else:
             bad += 1
+            order_only = (schema_ok and rows_ok and
+                          cells(spark, True)[0] == cells(oracle, True)[0])
             print(f"{name:32s} FAIL   schema={schema_ok} rows={rows_ok} "
-                  f"({len(spark)}/{len(oracle)}) hash={hash_ok}")
+                  f"({len(spark)}/{len(oracle)}) hash={hash_ok}"
+                  + ("  [ORDER-ONLY mismatch]" if order_only else ""))
             if schema_ok and rows_ok:
                 shown = 0
                 for i, (a, b) in enumerate(zip(s_cells, o_cells)):
