@@ -296,15 +296,145 @@ object Quantization {
     spark.table("w09_mem").orderBy("vec_id")
   }
 
+  // ---------------------------------------------------------------
+  /** s11 — IVFPQ SEARCH, the production billion-vector composite
+    * (FAISS `IVFx,PQy`): the coarse IVF quantizer (s04's max-cosine
+    * cells) prunes the candidate set to the query's `nProbe` cells,
+    * and ONLY those candidates are scored — by PQ asymmetric distance
+    * (s10's code-table lookups), never raw vectors. Both index
+    * artifacts (cell assignment, PQ codes) are exactly the ones s04
+    * and s09 build, so this is composition, not new machinery.
+    *
+    * Scale: the scan-side work drops from |corpus| ADC sums to
+    * |probed cells| — the IVF pruning — while each remaining
+    * candidate costs m table lookups instead of a dim-length float
+    * dot. Probe lists and the ADC table are driver-bounded broadcast;
+    * final top-k through the bounded aggregate.
+    */
+  val ivfTopK = 5
+
+  def ivfPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    PqEncode.register(spark)
+    TopKScoreId.register(spark)
+    val cand = candidates(spark, dir)
+    val books = trainCodebooks(cand)
+    val codes = withCodes(cand, books)
+      .select(col("vec_id"), posexplode(expr(
+        s"array(${(0 until m).map(s => s"code$s").mkString(", ")})"))
+        .as(Seq("s", "code")))
+    // IVF side — s04's recipe verbatim: 8 seed centroids, exact-int
+    // argmax-cosine cell per candidate, nProbe best cells per query
+    val emb = Similarity.withNorm(spark, dir)
+    val cents = emb.filter(col("vec_id") < 8).select(
+      col("vec_id").as("cell"), col("embedding").as("c_emb"),
+      col("nrm").as("c_nrm"))
+    val cos4 = floor(
+      expr(Similarity.sparkDot("embedding", "c_emb")) /
+        (col("nrm") * col("c_nrm")) * 10000 + lit(0.5)).cast("long")
+    val cellOf = emb.filter(col("vec_id") >= Similarity.nQueries)
+      .crossJoin(broadcast(cents))
+      .withColumn("cos4", cos4)
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos4"), (-col("cell")).as("negcell"))).as("w"))
+      .select(col("vec_id"), (-col("w.negcell")).as("cell"))
+    val probes = emb.filter(col("vec_id") < Similarity.nQueries)
+      .crossJoin(broadcast(cents))
+      .withColumn("cos4", cos4)
+      .groupBy(col("vec_id").as("q_id"))
+      .agg(expr(
+        s"topk_score_id(CAST(cos4 AS DOUBLE), cell, ${Similarity.nProbe})")
+        .as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("probe"))
+      .select(col("q_id"), col("probe.id").as("cell"))
+    // ADC table (driver-bounded, as in s10)
+    val qvecs = Clustering.quantized(spark, dir)
+      .filter(col("vec_id") < Similarity.nQueries)
+      .select("vec_id", "q").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val dtRows = for {
+      (qid, qv) <- qvecs.toSeq
+      s <- 0 until m
+      (cent, code) <- books(s).zipWithIndex
+    } yield {
+      var d = 0L
+      var j = 0
+      while (j < subDim) {
+        val diff = qv(s * subDim + j) - cent(j); d += diff * diff; j += 1
+      }
+      (qid, s, code, d)
+    }
+    val sess = spark
+    import sess.implicits._
+    val dt = dtRows.toDF("q_id", "s", "code", "d")
+    codes
+      .join(cellOf, "vec_id")                 // candidate → its cell
+      .join(broadcast(probes), Seq("cell"))   // keep probed cells only
+      .join(broadcast(dt), Seq("q_id", "s", "code"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("d").as("adist"))
+      .withColumn("score", -col("adist").cast("double"))
+      .groupBy("q_id")
+      .agg(expr(s"topk_score_id(score, vec_id, $ivfTopK)").as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("vec_id"),
+        (-col("col.score")).cast("long").as("adist"))
+      .orderBy("q_id", "rank")
+  }
+
+  val ivfPqSearchSql: String =
+    s"""WITH $oracleCtes,
+       |n AS (
+       |  SELECT vec_id, embedding, ${Similarity.duckNorm} AS nrm FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cell, embedding AS c_emb, nrm AS c_nrm
+       |  FROM n WHERE vec_id < 8
+       |), cscore AS (
+       |  SELECT n.vec_id, cell,
+       |    CAST(floor(${Similarity.duckDot("n.embedding", "c_emb")} / (n.nrm * c_nrm)
+       |      * 10000 + 0.5) AS BIGINT) AS cos4
+       |  FROM n CROSS JOIN cents
+       |), cell_of AS (
+       |  SELECT vec_id, cell FROM cscore WHERE vec_id >= ${Similarity.nQueries}
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY cos4 DESC, cell) = 1
+       |), probes AS (
+       |  SELECT vec_id AS q_id, cell FROM cscore
+       |  WHERE vec_id < ${Similarity.nQueries}
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY cos4 DESC, cell) <= ${Similarity.nProbe}
+       |), dt AS (
+       |  SELECT q.vec_id AS q_id, c.s, c.cid AS code,
+       |    SUM((q.q - c.q) * (q.q - c.q)) AS d
+       |  FROM sub q JOIN cb$pqIters c ON q.s = c.s AND q.j = c.j
+       |  WHERE q.vec_id < ${Similarity.nQueries}
+       |  GROUP BY 1, 2, 3
+       |), adc AS (
+       |  SELECT p.q_id, codes.vec_id, CAST(SUM(dt.d) AS BIGINT) AS adist
+       |  FROM codes
+       |  JOIN cell_of ON cell_of.vec_id = codes.vec_id
+       |  JOIN probes p ON p.cell = cell_of.cell
+       |  JOIN dt ON dt.q_id = p.q_id AND dt.s = codes.s AND dt.code = codes.code
+       |  GROUP BY 1, 2
+       |), r AS (
+       |  SELECT q_id, vec_id, adist,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, vec_id)
+       |      AS "rank"
+       |  FROM adc)
+       |SELECT q_id, "rank", vec_id, adist FROM r WHERE "rank" <= $ivfTopK
+       |ORDER BY q_id, "rank"""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s09_pq_codes" -> pqCodes _,
     "s10_pq_search" -> pqSearch _,
+    "s11_ivfpq_search" -> ivfPqSearch _,
     "w09_streaming_pq" -> streamingPqCodes _
   )
 
   def oracles: Map[String, String] = Map(
     "s09_pq_codes" -> pqCodesSql,
     "s10_pq_search" -> pqSearchSql,
+    "s11_ivfpq_search" -> ivfPqSearchSql,
     "w09_streaming_pq" -> pqCodesSql
   )
 }

@@ -74,19 +74,19 @@ object Similarity {
   }.mkString(" + ")
 
   /** Spark: dot of two embedding columns by name. */
-  private def sparkDot(a: String, b: String): String =
+  private[graft] def sparkDot(a: String, b: String): String =
     s"dot_product($a, $b)"
-  private def duckDot(a: String, b: String): String =
+  private[graft] def duckDot(a: String, b: String): String =
     s"""list_aggregate(list_transform(range(1, ${dim + 1}),
        |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')""".stripMargin
 
   private val sparkNorm: String = "sqrt(dot_product(embedding, embedding))"
-  private val duckNorm: String =
+  private[graft] val duckNorm: String =
     """sqrt(list_aggregate(list_transform(embedding,
       |  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))""".stripMargin
 
   /** embeddings + norm (+ LSH bucket when asked) — map-side only. */
-  private def withNorm(spark: SparkSession, dir: String,
+  private[graft] def withNorm(spark: SparkSession, dir: String,
                        bucket: Boolean = false): DataFrame = {
     DotProduct.register(spark) // idempotent; covers non-configured sessions
     TopKScoreId.register(spark)
@@ -104,7 +104,7 @@ object Similarity {
     * query batches. Identical output: rank = position in the
     * (score DESC, vec_id ASC)-ordered top-k array.
     */
-  private def topkPerGroup(scored: DataFrame, groupCols: Seq[String],
+  private[graft] def topkPerGroup(scored: DataFrame, groupCols: Seq[String],
                            k: Int): DataFrame =
     scored.groupBy(groupCols.map(col): _*)
       .agg(expr(s"topk_score_id(cosine, vec_id, $k)").as("tk"))

@@ -46,6 +46,24 @@ class QuantizationSpec extends AnyFunSuite {
     assert(mean > 0.2, s"mean recall@10 = $mean")
   }
 
+  test("IVFPQ agrees with full PQ search on every shared (query, vec) pair") {
+    val full = Quantization.pqSearch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    val pruned = Quantization.ivfPqSearch(spark, sfDir).collect()
+    assert(pruned.nonEmpty)
+    var shared = 0
+    pruned.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      full.get(key).foreach { d =>
+        assert(d === r.getLong(3), s"adist mismatch for $key")
+        shared += 1
+      }
+    }
+    // the probed cells genuinely contain near neighbors: a healthy
+    // fraction of IVFPQ's picks coincide with the unpruned search
+    assert(shared > pruned.length / 4, s"only $shared shared pairs")
+  }
+
   test("streaming PQ coding equals the batch coding row-for-row") {
     val batch = Quantization.pqCodes(spark, sfDir)
       .collect().map(_.toSeq).toSeq
