@@ -665,6 +665,91 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
+  /** w10 — the d13 dedup gate AT INGEST TIME: incoming documents
+    * arrive as a STREAM and are screened against the base corpus's
+    * two static artifacts (content-hash set, banded signature table)
+    * before admission — the production shape where dedup is part of
+    * the ingest path, not a nightly batch.
+    *
+    * Streaming-native differences from d13, both deliberate:
+    *   - MinHash signatures are computed PER RECORD with array HOFs
+    *     (`array_min(transform(...))`) instead of the batch
+    *     explode+codegen-min pipeline — a streaming record carries all
+    *     its shingles, so the per-doc fold (≈ shingles × 16 steps) is
+    *     the right shape at ingest rates, and no stateful signature
+    *     aggregation is needed.
+    *   - match detection is two stateless stream-static LEFT OUTER
+    *     joins (hash set; band table), then one streaming max-verdict
+    *     aggregation keyed by doc_id (complete mode into the memory
+    *     sink, the w08 pattern; at scale: update mode into the real
+    *     sink).
+    *
+    * Output ≡ d13 (arrival order cannot change a per-doc verdict), so
+    * the oracle is d13's SQL verbatim.
+    */
+  def streamingIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val splitId = incrementalSplitId(spark, dir)
+    // static artifacts from the batch reader — the things a real
+    // pipeline keeps materialized between increments
+    val docs = Tables.documents(spark, dir)
+    val baseHashes = docs.filter(col("doc_id") < splitId)
+      .select(expr("optimizer_barrier(md5(text))").as("bfp")).distinct()
+    val baseBands = lshBands(spark, dir)
+      .filter(col("doc_id") < splitId)
+      .select(col("band").as("bband"), col("key").as("bkey")).distinct()
+    // incoming stream (symlink-dir staging, as w05/w08)
+    val path = s"$dir/documents.parquet"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_i")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("documents.parquet"), java.nio.file.Paths.get(path))
+    val schema = spark.read.parquet(path).schema
+    val incoming = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .filter(col("doc_id") >= splitId)
+    // per-record MinHash band keys via array HOFs (see scaladoc)
+    val sigExprs = hashAs.zip(hashBs).zipWithIndex.map { case ((a, b), i) =>
+      s"array_min(transform(fps, x -> ($a * x + $b) % $P)) AS sig$i"
+    }
+    val keyExprs = (0 until 4).map { j =>
+      val Seq(s0, s1, s2, s3) = (0 until 4).map(k => s"sig${4 * j + k}")
+      s"((($s0 * 31 + $s1) * 31 + $s2) * 31 + $s3)"
+    }
+    val banded = incoming
+      .withColumn("toks",
+        expr("filter(split(lower(text), ' '), t -> t != '')"))
+      .withColumn("fps", expr(shingleFpsExpr))
+      .selectExpr(Seq("doc_id", "lang", "md5(text) AS fp") ++ sigExprs: _*)
+      .select(col("doc_id"), col("lang"), col("fp"),
+        posexplode_outer(expr(s"array(${keyExprs.mkString(", ")})")))
+      .toDF("doc_id", "lang", "fp", "band", "key")
+    // one row per doc, STATELESSLY: the band posexplode always emits
+    // band 0 (or a single null-band row for a shingle-less doc) — no
+    // streaming dropDuplicates, so the query has exactly one stateful
+    // operator (the final verdict aggregation)
+    val exactScore = banded
+      .filter(col("band") === 0 || col("band").isNull)
+      .select("doc_id", "lang", "fp")
+      .join(baseHashes, col("fp") === col("bfp"), "left_outer")
+      .select(col("doc_id"), col("lang"),
+        when(col("bfp").isNotNull, 2).otherwise(0).as("score"))
+    val nearScore = banded
+      .join(baseBands,
+        col("band") === col("bband") && col("key") === col("bkey"),
+        "left_outer")
+      .select(col("doc_id"), col("lang"),
+        when(col("bkey").isNotNull, 1).otherwise(0).as("score"))
+    val verdicts = exactScore.union(nearScore)
+      .groupBy("doc_id", "lang")
+      .agg(max("score").as("verdict"))
+    val q = verdicts.writeStream
+      .format("memory").queryName("w10_mem").outputMode("complete").start()
+    try q.processAllAvailable()
+    finally { q.stop(); TempArtifacts.deleteNow(streamDir) }
+    spark.table("w10_mem")
+      .select("doc_id", "lang", "verdict")
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------
   /** d05 — the deduplicated corpus itself (what a training-data
     * pipeline actually ships): keep-first by content hash, original
     * columns preserved. Two-phase shape that scales: group the
@@ -1031,7 +1116,8 @@ object Dedup {
     "d10_temperature_mix" -> temperatureMix _,
     "d11_neardup_verified" -> neardupVerified _,
     "d12_dup_ngram_spans" -> dupNgramSpans _,
-    "d13_incremental_dedup" -> incrementalDedup _
+    "d13_incremental_dedup" -> incrementalDedup _,
+    "w10_streaming_increment" -> streamingIncrementalDedup _
   )
 
   def oracles: Map[String, String] = Map(
@@ -1047,6 +1133,8 @@ object Dedup {
     "d10_temperature_mix" -> temperatureMixSql,
     "d11_neardup_verified" -> neardupVerifiedSql,
     "d12_dup_ngram_spans" -> dupNgramSpansSql,
-    "d13_incremental_dedup" -> incrementalDedupSql
+    "d13_incremental_dedup" -> incrementalDedupSql,
+    // arrival order cannot change per-doc verdicts → d13's oracle
+    "w10_streaming_increment" -> incrementalDedupSql
   )
 }

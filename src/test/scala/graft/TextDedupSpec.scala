@@ -152,6 +152,14 @@ class TextDedupSpec extends AnyFunSuite {
     mustFlag.foreach(id => assert(res(id) >= 1, s"doc $id unflagged"))
   }
 
+  test("w10 streaming ingest gate equals the batch d13 verdicts row-for-row") {
+    val batch = Dedup.incrementalDedup(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val stream = Dedup.streamingIncrementalDedup(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(stream === batch)
+  }
+
   test("dedup corpus size equals the number of distinct contents") {
     val groups = Dedup.exactDedup(spark, sfDir).count()
     val corpus = Dedup.dedupCorpus(spark, sfDir).count()
