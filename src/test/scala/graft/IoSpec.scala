@@ -137,6 +137,20 @@ class IoSpec extends AnyFunSuite {
     assert(docs.exceptAll(back).count() === 0)
   }
 
+  test("z-order interleave is a bijection over the full 8-bit x 8-bit grid") {
+    val s = spark
+    import s.implicits._
+    val grid = s.range(0, 65536)
+      .select((col("id") % 256).cast("int").as("a"),
+        (col("id") / 256).cast("int").as("b"))
+    val keys = grid.select(expr(ZOrder.interleaveExpr("a", "b")).as("z"))
+    val stats = keys.agg(
+      countDistinct("z"), min("z"), max("z")).head()
+    assert(stats.getLong(0) === 65536L) // injective on the grid
+    assert(stats.getLong(1) === 0L)
+    assert(stats.getLong(2) === 65535L) // and onto [0, 2^16)
+  }
+
   test("z-ordered layout: per-file stat rectangles beat a time-sorted write") {
     val ev = Tables.events(spark, sfDir)
       .withColumn("h", hour(col("ts")))
