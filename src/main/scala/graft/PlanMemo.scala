@@ -1,0 +1,55 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Shared per-(session, key) memo for persisted intermediate frames.
+  *
+  * Several query families iterate over one expensive intermediate (the
+  * quantized embedding lattice, the LSH band table, the quantile
+  * histogram). A per-call `.persist` accumulated one redundant cached
+  * copy per invocation in any JVM that doesn't clearCache between
+  * queries (the test suite), so those sites memoize the *plan* and
+  * re-issue a no-op `persist` on every retrieval — re-registering the
+  * cache after a Bench/Verify `clearCache` without ever duplicating it.
+  *
+  * The memo itself must not leak across sessions: entries pin
+  * SparkSession and cached-plan references, so a long-lived multi-
+  * session process (round-6 advice) would retain stopped sessions for
+  * the JVM lifetime. A one-time listener per session evicts all of that
+  * session's entries when its SparkContext ends.
+  */
+object PlanMemo {
+
+  private val memos = TrieMap.empty[(SparkSession, String), DataFrame]
+  private val hooked = TrieMap.empty[SparkSession, Unit]
+
+  /** Memoized, persisted build of `key` for this session. The builder
+    * runs at most once per (session, key); every call re-persists
+    * (no-op while cached) so iterative consumers survive a global
+    * `clearCache` issued between queries.
+    */
+  def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    hookEviction(spark)
+    val df = memos.getOrElseUpdate((spark, key), build)
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    df
+  }
+
+  /** Number of live entries (visible for tests). */
+  private[graft] def size: Int = memos.size
+
+  private def hookEviction(spark: SparkSession): Unit =
+    hooked.getOrElseUpdate(spark, {
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit = {
+          memos.filterInPlace { case ((s, _), _) => s ne spark }
+          hooked.remove(spark)
+          ()
+        }
+      })
+    })
+}

@@ -19,22 +19,37 @@ import org.apache.spark.sql.functions._
 object ZOrder {
 
   val bits = 8 // per dimension → 16-bit Morton key
+  private val mask = (1 << bits) - 1
 
-  /** Spark SQL spelling of the 8×8-bit Morton interleave of `a`,`b`
-    * (each masked to 8 bits by the caller).
+  /** Portable nonnegative 8-bit mask. Truncating `div` (Spark) vs
+    * flooring `//` (DuckDB) and sign-of-dividend `%` would make an
+    * unmasked NEGATIVE dimension interleave to divergent (and
+    * non-bijective) keys across engines, so the mask lives HERE, not
+    * by caller convention. `(x % 256 + 256) % 256` is engine-agnostic:
+    * both engines' `%` carries the dividend's sign, so the double-mod
+    * lands in [0, 255] in both, and is the identity for inputs already
+    * in range (existing c05 hashes unchanged).
     */
-  def interleaveExpr(a: String, b: String): String =
+  private def nonneg(x: String) =
+    s"(((($x) % ${mask + 1}) + ${mask + 1}) % ${mask + 1})"
+
+  /** Spark SQL spelling of the 8×8-bit Morton interleave of `a`,`b`. */
+  def interleaveExpr(a: String, b: String): String = {
+    val (ma, mb) = (nonneg(a), nonneg(b))
     (0 until bits).map { i =>
-      s"((($a) div ${1 << i}) % 2) * ${1L << (2 * i)} + " +
-        s"((($b) div ${1 << i}) % 2) * ${1L << (2 * i + 1)}"
+      s"(($ma div ${1 << i}) % 2) * ${1L << (2 * i)} + " +
+        s"(($mb div ${1 << i}) % 2) * ${1L << (2 * i + 1)}"
     }.mkString("(", " + ", ")")
+  }
 
   /** DuckDB spelling — `//` for integer division, otherwise identical. */
-  def interleaveSql(a: String, b: String): String =
+  def interleaveSql(a: String, b: String): String = {
+    val (ma, mb) = (nonneg(a), nonneg(b))
     (0 until bits).map { i =>
-      s"((($a) // ${1 << i}) % 2) * ${1L << (2 * i)} + " +
-        s"((($b) // ${1 << i}) % 2) * ${1L << (2 * i + 1)}"
+      s"(($ma // ${1 << i}) % 2) * ${1L << (2 * i)} + " +
+        s"(($mb // ${1 << i}) % 2) * ${1L << (2 * i + 1)}"
     }.mkString("(", " + ", ")")
+  }
 
   /** Write `df` parquet clustered by the Morton key of (d1, d2):
     * range-partition on the key (files = key ranges = rectangles),

@@ -58,14 +58,8 @@ object Clustering {
     * Bench/Verify `clearCache`, so the iterative loops never lose
     * their cache mid-query.
     */
-  private val qeMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
-  private[graft] def quantizedPersisted(spark: SparkSession, dir: String): DataFrame = {
-    val df = qeMemo.getOrElseUpdate((spark, dir), quantized(spark, dir))
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    df
-  }
+  private[graft] def quantizedPersisted(spark: SparkSession, dir: String): DataFrame =
+    PlanMemo.cached(spark, s"clustering.lattice:$dir")(quantized(spark, dir))
 
   /** One assignment pass as columns: (cluster, dist2) against the
     * centroids. Full-vector k-means IS product quantization with one

@@ -130,14 +130,8 @@ object Dedup {
     * copy; the re-`persist` on retrieval is a no-op while cached and
     * re-registers the plan after a Bench/Verify `clearCache`.
     */
-  private val bandsMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
-  private[graft] def lshBands(spark: SparkSession, dir: String): DataFrame = {
-    val df = bandsMemo.getOrElseUpdate((spark, dir), buildLshBands(spark, dir))
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    df
-  }
+  private[graft] def lshBands(spark: SparkSession, dir: String): DataFrame =
+    PlanMemo.cached(spark, s"dedup.lshBands:$dir")(buildLshBands(spark, dir))
 
   private def buildLshBands(spark: SparkSession, dir: String): DataFrame = {
     val sigAggs = hashAs.zip(hashBs).zipWithIndex.map { case ((a, b), i) =>
@@ -168,7 +162,7 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(array((0 until 4).map(j => col(s"key$j")): _*)))
       .toDF("doc_id", "band", "key")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist happens in lshBands' PlanMemo.cached wrapper
   }
 
   /** DuckDB CTE block for the d02 candidate pipeline — exposes a
@@ -239,8 +233,12 @@ object Dedup {
       .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
       .withColumn("lev", levenshtein(col("t1"), col("t2")).cast("long"))
       .withColumn("edit_sim", Exact.round4(
+        // lit(1) floor: two EMPTY texts would divide by zero — Spark
+        // yields NULL where DuckDB double-divides differently, a
+        // latent engine divergence (unreachable today only because
+        // empty texts produce no shingles, hence no LSH candidates)
         lit(1.0) - col("lev").cast("double") /
-          greatest(length(col("t1")), length(col("t2")))))
+          greatest(length(col("t1")), length(col("t2")), lit(1))))
       .filter(col("edit_sim") >= editSimThreshold)
       .select("d1", "d2", "lev", "edit_sim")
       .orderBy("d1", "d2")
@@ -252,7 +250,7 @@ object Dedup {
        |  SELECT d1, d2, levenshtein(ta.text, tb.text) AS lev,
        |    ${Exact.round4Sql(
             "1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE) " +
-              "/ GREATEST(length(ta.text), length(tb.text))")} AS edit_sim
+              "/ GREATEST(length(ta.text), length(tb.text), 1)")} AS edit_sim
        |  FROM cand JOIN documents ta ON ta.doc_id = d1
        |            JOIN documents tb ON tb.doc_id = d2)
        |SELECT d1, d2, CAST(lev AS BIGINT) AS lev, edit_sim FROM v
@@ -292,20 +290,27 @@ object Dedup {
     * bounded by `maxShingleDf`, so per-row memory and pair fan-out
     * stay capped at 100 TB exactly like the old anti-join cap did.
     */
-  def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    // memoized: d03 sorts these pairs, d08/d09 run connected
+    // components over them — one persisted pair set serves all three
+    // (the same shared-index pattern as lshBands for d02/d11/d13)
+    PlanMemo.cached(spark, s"dedup.jaccardPairs:$dir")(
+      buildJaccardPairs(spark, dir))
+
+  private def buildJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val ex = shingled(spark, dir)
       // explode_outer + null filter, not explode: see minhashLsh — an
       // inner explode's inferred non-empty predicate pushes the full
       // shingle expression below the rebalance Exchange.
       .select(col("doc_id"), explode_outer(col("fps")).as("sh"))
       .filter(col("sh").isNotNull)
-    // persist: `posting` feeds per-doc sizes AND pair emission; without
-    // it the shingle pipeline runs twice. Rows are bounded (≤ df-cap
-    // ids per list); MEMORY_AND_DISK = spill-safe at scale.
-    val posting = ex.groupBy("sh")
-      .agg(collect_list(col("doc_id")).as("docs"))
-      .filter(size(col("docs")) <= maxShingleDf)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // memoized persist: `posting` feeds per-doc sizes AND pair
+    // emission; without it the shingle pipeline runs twice. Rows are
+    // bounded (≤ df-cap ids per list); MEMORY_AND_DISK = spill-safe.
+    val posting = PlanMemo.cached(spark, s"dedup.posting:$dir")(
+      ex.groupBy("sh")
+        .agg(collect_list(col("doc_id")).as("docs"))
+        .filter(size(col("docs")) <= maxShingleDf))
     val sizes = posting
       .select(explode(col("docs")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -461,16 +466,18 @@ object Dedup {
          |  sequence(1, size(toks) - ${k - 1}),
          |  i -> CAST(conv(substring(md5(array_join(slice(toks, i, $k), ' ')), 1, 15), 16, 10) AS BIGINT))
          |END""".stripMargin
-    val wins = Tables.documents(spark, dir)
-      .withColumn("toks",
-        expr("filter(split(lower(text), ' '), t -> t != '')"))
-      .select(col("doc_id"), size(col("toks")).as("n_tok"),
-        posexplode_outer(expr(winFp)))
-      .toDF("doc_id", "n_tok", "pos0", "wh")
-      .filter(col("wh").isNotNull)
-      .select(col("doc_id"), col("n_tok"), (col("pos0") + 1).as("pos"),
-        col("wh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // memoized persist (dup-hash derivation + join-back both read it;
+    // a bare per-call persist leaked one cached copy per invocation)
+    val wins = PlanMemo.cached(spark, s"dedup.spanWins:$dir")(
+      Tables.documents(spark, dir)
+        .withColumn("toks",
+          expr("filter(split(lower(text), ' '), t -> t != '')"))
+        .select(col("doc_id"), size(col("toks")).as("n_tok"),
+          posexplode_outer(expr(winFp)))
+        .toDF("doc_id", "n_tok", "pos0", "wh")
+        .filter(col("wh").isNotNull)
+        .select(col("doc_id"), col("n_tok"), (col("pos0") + 1).as("pos"),
+          col("wh")))
     // cross-document duplicate window hashes: min/max doc disagree
     val dupHashes = wins.groupBy("wh")
       .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
@@ -1036,9 +1043,16 @@ object Dedup {
     } finally sess.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
-  /** Component labels over the verified near-dup pair graph. */
+  /** Component labels over the verified near-dup pair graph.
+    * Memoized: the fixpoint is EAGER (it runs jobs at build time), and
+    * d08 + d09 both need it — without the memo the whole propagation
+    * loop ran twice per session. The labels frame is localCheckpoint-
+    * backed, so its blocks survive a Bench/Verify `clearCache`; the
+    * memo's re-persist is a cheap extra safety net on top.
+    */
   private def ccLabels(spark: SparkSession, dir: String): DataFrame =
-    connectedComponents(jaccardPairs(spark, dir).select("d1", "d2"))
+    PlanMemo.cached(spark, s"dedup.ccLabels:$dir")(
+      connectedComponents(jaccardPairs(spark, dir).select("d1", "d2")))
 
   def neardupClusters(spark: SparkSession, dir: String): DataFrame = {
     val labels = ccLabels(spark, dir)

@@ -245,11 +245,14 @@ object Kpis {
     // it — one bounded O(distinct)-row cache instead of a second
     // scan→stack→aggregate of the raw table.
     import org.apache.spark.sql.expressions.Window
-    val parted = hist
+    // memoized: the histogram is read by both the offsets pass and the
+    // main pass; a bare per-call persist (never unpersisted, since the
+    // returned frame is lazy) accumulated one redundant cached copy
+    // per invocation in a JVM that doesn't clearCache between queries
+    val parted = PlanMemo.cached(spark, s"kpis.quantileHist:$dir")(hist
       .repartitionByRange(spark.sparkContext.defaultParallelism,
         col("col_name"), col("v"))
-      .withColumn("pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("pid", spark_partition_id()))
     val wOff = Window.partitionBy("col_name").orderBy("pid")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = parted.groupBy("col_name", "pid")

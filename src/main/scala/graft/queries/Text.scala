@@ -603,8 +603,8 @@ object Text {
     // read tf — without the cache the tokenize→explode→aggregate
     // pipeline (the dominant cost) runs twice; rows are bounded by
     // distinct (doc, term)
-    val tf = words.groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = PlanMemo.cached(spark, s"text.bm25tf:$dir")(
+      words.groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val qterms = dfreq
       .filter(!col("w").isin(stopwords: _*))
@@ -692,9 +692,9 @@ object Text {
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     // persisted: per_doc feeds the model counts (c2, c1) AND the
     // scoring join — three consumers of the bigram explode pipeline
-    val perDoc = bigrams.groupBy("doc_id", "w1", "w2")
-      .agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perDoc = PlanMemo.cached(spark, s"text.bigramPerDoc:$dir")(
+      bigrams.groupBy("doc_id", "w1", "w2")
+        .agg(count(lit(1)).as("n")))
     val c2 = perDoc.groupBy("w1", "w2").agg(sum("n").as("c2"))
     val c1 = perDoc.groupBy("w1").agg(sum("n").as("c1"))
     val vocab = docs

@@ -149,6 +149,12 @@ class IoSpec extends AnyFunSuite {
     assert(stats.getLong(0) === 65536L) // injective on the grid
     assert(stats.getLong(1) === 0L)
     assert(stats.getLong(2) === 65535L) // and onto [0, 2^16)
+    // negative inputs mask INSIDE the helper (round-6 advice): the
+    // same dimension shifted by any multiple of 256 interleaves to
+    // the identical key, so callers need no by-convention masking
+    val shifted = grid.select(
+      expr(ZOrder.interleaveExpr("a - 256", "b - 512")).as("z"))
+    assert(keys.exceptAll(shifted).count() === 0L)
   }
 
   test("z-ordered layout: per-file stat rectangles beat a time-sorted write") {

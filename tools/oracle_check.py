@@ -51,7 +51,9 @@ def main():
     for name, sql in sorted(oracle_sql.items()):
         if prefixes and not any(name.startswith(p) for p in prefixes):
             continue
-        parts = glob.glob(f"{out_dir}/{name}/*.parquet")
+        # sorted: glob order is filesystem-dependent; part-00000..N must
+        # concatenate in write order for the order-sensitive compare
+        parts = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not parts:
             print(f"{name:32s} MISSING spark output")
             bad += 1
