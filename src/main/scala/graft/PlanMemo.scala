@@ -25,6 +25,7 @@ import org.apache.spark.storage.StorageLevel
 object PlanMemo {
 
   private val memos = TrieMap.empty[(SparkSession, String), DataFrame]
+  private val values = TrieMap.empty[(SparkSession, String), Any]
   private val hooked = TrieMap.empty[SparkSession, Unit]
 
   /** Memoized, persisted build of `key` for this session. The builder
@@ -39,14 +40,25 @@ object PlanMemo {
     df
   }
 
+  /** Memoized DRIVER-SIDE value (e.g. trained Lloyd centroids —
+    * deterministic O(k·d) metadata, the same thing a broadcast
+    * literal carries). The builder may run eager Spark jobs; it runs
+    * at most once per (session, key).
+    */
+  def cachedValue[T](spark: SparkSession, key: String)(build: => T): T = {
+    hookEviction(spark)
+    values.getOrElseUpdate((spark, key), build).asInstanceOf[T]
+  }
+
   /** Number of live entries (visible for tests). */
-  private[graft] def size: Int = memos.size
+  private[graft] def size: Int = memos.size + values.size
 
   private def hookEviction(spark: SparkSession): Unit =
     hooked.getOrElseUpdate(spark, {
       spark.sparkContext.addSparkListener(new SparkListener {
         override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit = {
           memos.filterInPlace { case ((s, _), _) => s ne spark }
+          values.filterInPlace { case ((s, _), _) => s ne spark }
           hooked.remove(spark)
           ()
         }

@@ -83,25 +83,40 @@ object Clustering {
     * k·dim collect, O(k·d) driver metadata), then assigns once more
     * against the final centroids lazily for the returned plan.
     */
-  private def assigned(spark: SparkSession, dir: String): DataFrame = {
+  private def assigned(spark: SparkSession, dir: String): DataFrame =
+    assignedOn(spark, s"clustering:$dir", quantizedPersisted(spark, dir))
+
+  /** Train-then-assign over an arbitrary (vec_id, q) lattice frame —
+    * shared with [[Dedup.semanticDedup]], which clusters an augmented
+    * corpus. The trained centroids are memoized per (session, key):
+    * the Lloyd loop is EAGER (one collect per round), and km01/02/03
+    * each needed the same centroids — without the memo the whole
+    * training ran three times per session. The centroids are O(k·d)
+    * deterministic metadata, so caching them is exactly as safe as
+    * caching the literal codebook they become.
+    */
+  private[graft] def assignedOn(
+      spark: SparkSession, key: String, qe: DataFrame): DataFrame = {
     PqEncode.register(spark) // defensive: session may lack extensions
-    val qe = quantizedPersisted(spark, dir)
-    var cents: Array[Array[Long]] = qe.orderBy("vec_id").limit(kClusters)
-      .select("q").collect()
-      .map(_.getSeq[Long](0).toArray)
-    for (_ <- 1 to lloydIters) {
-      val sums = withAssignment(qe, cents)
-        .select(col("cluster"), posexplode(col("q")).as(Seq("i", "v")))
-        .groupBy("cluster", "i")
-        .agg(sum("v").as("s"), count(lit(1)).as("n"))
-        .collect()
-      val next = cents.map(_.clone()) // empty cluster keeps its centroid
-      sums.foreach { r =>
-        val (cl, i) = (r.getInt(0), r.getInt(1))
-        next(cl)(i) =
-          math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong
+    val cents = PlanMemo.cachedValue(spark, s"clustering.cents:$key") {
+      var c: Array[Array[Long]] = qe.orderBy("vec_id").limit(kClusters)
+        .select("q").collect()
+        .map(_.getSeq[Long](0).toArray)
+      for (_ <- 1 to lloydIters) {
+        val sums = withAssignment(qe, c)
+          .select(col("cluster"), posexplode(col("q")).as(Seq("i", "v")))
+          .groupBy("cluster", "i")
+          .agg(sum("v").as("s"), count(lit(1)).as("n"))
+          .collect()
+        val next = c.map(_.clone()) // empty cluster keeps its centroid
+        sums.foreach { r =>
+          val (cl, i) = (r.getInt(0), r.getInt(1))
+          next(cl)(i) =
+            math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong
+        }
+        c = next
       }
-      cents = next
+      c
     }
     withAssignment(qe, cents)
   }
@@ -152,7 +167,7 @@ object Clustering {
   // relational spelling (joins + window argmin) of the same exact
   // integer algorithm.
 
-  private def oracleCtes: String = {
+  private[graft] def oracleCtes(src: String = "embeddings"): String = {
     val k = kClusters
     val sb = new StringBuilder
     sb.append(
@@ -162,12 +177,12 @@ object Clustering {
          |  FROM (
          |    SELECT vec_id, embedding,
          |      unnest(range(1, len(embedding) + 1)) AS i
-         |    FROM embeddings)
+         |    FROM $src)
          |), c0 AS (
          |  SELECT CAST(ROW_NUMBER() OVER (PARTITION BY i ORDER BY vec_id) - 1 AS INT) AS cid,
          |    i, q
          |  FROM qe
-         |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)
+         |  WHERE vec_id IN (SELECT vec_id FROM $src ORDER BY vec_id LIMIT $k)
          |)""".stripMargin)
     for (t <- 1 to lloydIters) {
       sb.append(s""",
@@ -210,16 +225,16 @@ object Clustering {
   }
 
   val kmeansAssignSql: String =
-    s"""WITH $oracleCtes
+    s"""WITH ${oracleCtes()}
        |SELECT vec_id, cluster, dist2 FROM fin ORDER BY vec_id""".stripMargin
 
   val kmeansProfileSql: String =
-    s"""WITH $oracleCtes
+    s"""WITH ${oracleCtes()}
        |SELECT cluster, COUNT(*) AS n, CAST(SUM(dist2) AS BIGINT) AS inertia
        |FROM fin GROUP BY cluster ORDER BY cluster""".stripMargin
 
   val centralSampleSql: String =
-    s"""WITH $oracleCtes,
+    s"""WITH ${oracleCtes()},
        |r AS (
        |  SELECT cluster, vec_id,
        |    ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY dist2, vec_id)

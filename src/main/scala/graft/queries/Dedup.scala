@@ -672,6 +672,130 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
+  /** d14 — SEMANTIC DEDUP, the SemDeDup recipe (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus EMBEDDINGS with k-means,
+    * compare pairs only WITHIN a cluster, call cosine ≥ θ a semantic
+    * duplicate, and keep one representative per duplicate group.
+    * This is the dedup layer MinHash cannot reach — paraphrases and
+    * near-translations share no shingles but sit together in
+    * embedding space.
+    *
+    * Composition of three existing verified pieces: the integer-
+    * lattice Lloyd trainer ([[Clustering.assignedOn]] — bit-identical
+    * cells in both engines), the sequential-fold cosine
+    * ([[DotProduct]], the s01/s03 discipline), and the d08 connected-
+    * components fixpoint (duplicate groups may chain A~B~C with
+    * cos(A,C) < θ — CC resolves chains exactly like the MinHash
+    * pipeline does).
+    *
+    * The raw synthetic embeddings are near-orthogonal (max pairwise
+    * cosine ≈ 0.51), so like t11/t13 the query PLANTS its fixture
+    * deterministically: vectors with vec_id % 10 ∈ {7, 9} are
+    * replaced by their decade-base vector plus a tiny index-keyed
+    * perturbation — an engine-portable spelling (pure double
+    * arithmetic) that both sides compute identically, giving planted
+    * duplicate triples {base, base+7, base+9} with cosine ≈ 0.9999
+    * against a ≤ 0.52 background.
+    *
+    * Scale posture: pair generation is O(Σ cell²), never corpus²; in
+    * a real deployment k grows with the corpus (SemDeDup uses 11 k
+    * clusters for 100 M docs) so cells stay bounded; the cosine runs
+    * in codegen; CC shuffles (node, label) pairs only.
+    */
+  val semTheta = 0.9
+  private val semDim = 64
+
+  /** Augmented (vec_id, emb double[]) frame — persisted: the lattice
+    * quantization, the norm pass, and BOTH pair-join sides read it.
+    */
+  private def semAug(spark: SparkSession, dir: String): DataFrame =
+    PlanMemo.cached(spark, s"dedup.semAug:$dir") {
+      val emb = Tables.embeddings(spark, dir)
+      val base = emb.select(col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"))
+      emb.withColumn("b_id", col("vec_id") - col("vec_id") % 10)
+        .join(base, "b_id")
+        .select(col("vec_id"),
+          when(col("vec_id") % 10 === 7 || col("vec_id") % 10 === 9,
+            // Spark transform's i is 0-based, the oracle's list index
+            // is 1-based: (i + 1) here ≡ i there
+            expr(s"""transform(b_emb, (x, i) ->
+                    |  CAST(x AS DOUBLE) +
+                    |  ((vec_id * $semDim + i + 1) % 7 - 3) * 0.001D)""".stripMargin))
+            .otherwise(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+            .as("emb"))
+    }
+
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    DotProduct.register(spark)
+    val aug = semAug(spark, dir)
+    val qe = aug.select(col("vec_id"), expr(
+      s"transform(emb, x -> CAST(FLOOR(x * ${Clustering.quantScale}) AS BIGINT))").as("q"))
+    val cells = Clustering.assignedOn(spark, s"semdedup:$dir", qe)
+      .select("vec_id", "cluster")
+    val e = aug
+      .withColumn("nrm", sqrt(expr("dot_product(emb, emb)")))
+      .join(cells, "vec_id")
+    val a = e.select(col("cluster"), col("vec_id").as("d1"),
+      col("emb").as("e1"), col("nrm").as("n1"))
+    val b = e.select(col("cluster"), col("vec_id").as("d2"),
+      col("emb").as("e2"), col("nrm").as("n2"))
+    val pairs = a.join(b, "cluster")
+      .filter(col("d1") < col("d2"))
+      .filter(Exact.round4(expr("dot_product(e1, e2)") /
+        (col("n1") * col("n2"))) >= semTheta)
+      .select("d1", "d2")
+    val labels = connectedComponents(pairs)
+      .withColumnRenamed("node", "vec_id")
+    Tables.embeddings(spark, dir).select("vec_id")
+      .join(labels, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("lbl"), col("vec_id")).as("sem_cluster"),
+        (coalesce(col("lbl"), col("vec_id")) =!= col("vec_id"))
+          .cast("int").as("is_dup"))
+      .orderBy("vec_id")
+  }
+
+  val semanticDedupSql: String = {
+    val dot = Similarity.duckDot("x.embedding", "y.embedding")
+    s"""WITH RECURSIVE aug AS (
+       |  SELECT v.vec_id,
+       |    CASE WHEN v.vec_id % 10 IN (7, 9) THEN
+       |      list_transform(range(1, ${semDim + 1}), i ->
+       |        CAST(b.embedding[i] AS DOUBLE) +
+       |        ((v.vec_id * $semDim + i) % 7 - 3) * 0.001)
+       |    ELSE list_transform(range(1, ${semDim + 1}), i ->
+       |      CAST(v.embedding[i] AS DOUBLE))
+       |    END AS embedding
+       |  FROM embeddings v
+       |  JOIN embeddings b ON b.vec_id = v.vec_id - v.vec_id % 10
+       |), ${Clustering.oracleCtes("aug")},
+       |n AS (
+       |  SELECT a.vec_id, a.embedding, f.cluster,
+       |    sqrt(${Similarity.duckDot("a.embedding", "a.embedding")}) AS nrm
+       |  FROM aug a JOIN fin f USING (vec_id)
+       |), p AS (
+       |  SELECT x.vec_id AS d1, y.vec_id AS d2
+       |  FROM n x JOIN n y
+       |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |  WHERE ${Exact.round4Sql(s"($dot) / (x.nrm * y.nrm)")} >= $semTheta
+       |), edges AS (
+       |  SELECT d1 AS a, d2 AS b FROM p
+       |  UNION ALL SELECT d2, d1 FROM p
+       |), reach AS (
+       |  SELECT a AS node, a AS lbl FROM edges
+       |  UNION
+       |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+       |), cc AS (
+       |  SELECT node, MIN(lbl) AS sem FROM reach GROUP BY node)
+       |SELECT v.vec_id,
+       |  COALESCE(cc.sem, v.vec_id) AS sem_cluster,
+       |  CAST(COALESCE(cc.sem, v.vec_id) <> v.vec_id AS INT) AS is_dup
+       |FROM embeddings v LEFT JOIN cc ON cc.node = v.vec_id
+       |ORDER BY v.vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   /** w10 — the d13 dedup gate AT INGEST TIME: incoming documents
     * arrive as a STREAM and are screened against the base corpus's
     * two static artifacts (content-hash set, banded signature table)
@@ -1131,6 +1255,7 @@ object Dedup {
     "d11_neardup_verified" -> neardupVerified _,
     "d12_dup_ngram_spans" -> dupNgramSpans _,
     "d13_incremental_dedup" -> incrementalDedup _,
+    "d14_semantic_dedup" -> semanticDedup _,
     "w10_streaming_increment" -> streamingIncrementalDedup _
   )
 
@@ -1148,6 +1273,7 @@ object Dedup {
     "d11_neardup_verified" -> neardupVerifiedSql,
     "d12_dup_ngram_spans" -> dupNgramSpansSql,
     "d13_incremental_dedup" -> incrementalDedupSql,
+    "d14_semantic_dedup" -> semanticDedupSql,
     // arrival order cannot change per-doc verdicts → d13's oracle
     "w10_streaming_increment" -> incrementalDedupSql
   )

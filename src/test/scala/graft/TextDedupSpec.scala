@@ -37,6 +37,22 @@ class TextDedupSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("d14 semantic dedup: planted triples collapse to their decade base") {
+    val out = Dedup.semanticDedup(spark, sfDir)
+    val planted = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 10 === 7 || col("vec_id") % 10 === 9).count()
+    // every planted member is a dup of its decade base; nothing else
+    // pairs (background cosine ≤ ~0.52 vs θ = 0.9)
+    val wrong = out.filter(
+      when(col("vec_id") % 10 === 7 || col("vec_id") % 10 === 9,
+        col("is_dup") =!= 1 ||
+          col("sem_cluster") =!= col("vec_id") - col("vec_id") % 10)
+        .otherwise(col("is_dup") =!= 0 || col("sem_cluster") =!= col("vec_id")))
+      .count()
+    assert(wrong === 0)
+    assert(out.filter(col("is_dup") === 1).count() === planted)
+  }
+
   test("exact dedup partitions the corpus: copies sum to doc count") {
     val total = Tables.documents(spark, sfDir).count()
     val agg = Dedup.exactDedup(spark, sfDir)
