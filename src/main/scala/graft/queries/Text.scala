@@ -814,7 +814,109 @@ object Text {
        |FROM a ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  /** t16 — C4-STYLE HEURISTIC CLEANING (Raffel et al. 2020, §2.2 of
+    * the T5 paper): the line- and page-level rules the C4 corpus was
+    * built with. Line rules — keep a line only if it ends in terminal
+    * punctuation, has ≥ `c4MinWords` words, and mentions neither
+    * "javascript" nor "cookie". Page rules — drop the whole page if it
+    * contains a curly brace (code), the phrase "lorem ipsum"
+    * (placeholder boilerplate), or fewer than `c4MinKept` surviving
+    * sentences.
+    *
+    * The corpus is single-line word-soup, so like t11/t13 the query
+    * PLANTS its fixture: each document becomes a multi-line page —
+    * its own text plus doc_id-keyed boilerplate lines (concat_ws
+    * skips the NULL branches identically in both engines) — and the
+    * hash then exercises every rule against real variety instead of
+    * passing vacuously.
+    *
+    * Scale shape: pure map-side line explode + one partial-combining
+    * per-doc aggregate; shuffles carry (doc_id, counters), never text.
+    */
+  val c4MinWords = 5
+  val c4MinKept = 3
+
+  private val c4Boilerplate: Seq[(Int, Int, String)] = Seq(
+    (2, 0, "the quick brown fox jumps over the lazy dog."),
+    (3, 0, "a second full sentence keeps this page alive."),
+    (4, 1, "please enable javascript and accept our cookie policy."),
+    (5, 2, "short line."),
+    (6, 3, "this line lacks terminal punctuation entirely so it goes"),
+    (11, 4, "lorem ipsum dolor sit amet consectetur."),
+    (13, 5, "var f = function() { return 1; }."))
+
+  def c4Clean(spark: SparkSession, dir: String): DataFrame = {
+    val page = concat_ws("\n",
+      concat(col("text"), lit(".")) +:
+        c4Boilerplate.map { case (m, r, l) =>
+          when(col("doc_id") % m === r, lit(l))
+        }: _*)
+    val pages = Tables.documents(spark, dir)
+      .select(col("doc_id"), page.as("page"))
+    val keepLine = expr(s"right(l, 1)").isin(".", "!", "?", "\"") &&
+      size(tokens(col("l"))) >= c4MinWords &&
+      instr(lower(col("l")), "javascript") === 0 &&
+      instr(lower(col("l")), "cookie") === 0
+    val agg = pages
+      .select(col("doc_id"), explode_outer(split(col("page"), "\n")).as("l"))
+      .filter(col("l").isNotNull)
+      .select(col("doc_id"), keepLine.cast("int").as("keep"),
+        length(col("l")).as("n_chars"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum("keep").as("n_kept"),
+        coalesce(sum(col("n_chars") * col("keep")), lit(0L)).as("kept_chars"))
+    pages.join(agg, "doc_id")
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("kept_chars"),
+        when(instr(col("page"), "{") > 0, "brace")
+          .when(instr(lower(col("page")), "lorem ipsum") > 0, "lorem")
+          .when(col("n_kept") < c4MinKept, "few_sentences")
+          .otherwise("").as("drop_reason"))
+      .withColumn("page_keep",
+        (col("drop_reason") === "").cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val c4CleanSql: String = {
+    val branches = c4Boilerplate.map { case (m, r, l) =>
+      s"CASE WHEN doc_id % $m = $r THEN '$l' END"
+    }.mkString(",\n       |    ")
+    s"""WITH pg AS (
+       |  SELECT doc_id, concat_ws(chr(10), text || '.',
+       |    $branches) AS page
+       |  FROM documents
+       |), ln AS (
+       |  SELECT doc_id, unnest(string_split(page, chr(10))) AS l FROM pg
+       |), lf AS (
+       |  SELECT doc_id,
+       |    CASE WHEN right(l, 1) IN ('.', '!', '?', '"')
+       |      AND len(list_filter(string_split(l, ' '), t -> t <> '')) >= $c4MinWords
+       |      AND instr(lower(l), 'javascript') = 0
+       |      AND instr(lower(l), 'cookie') = 0
+       |    THEN 1 ELSE 0 END AS keep,
+       |    len(l) AS n_chars
+       |  FROM ln
+       |), ag AS (
+       |  SELECT doc_id, COUNT(*) AS n_lines,
+       |    CAST(SUM(keep) AS BIGINT) AS n_kept,
+       |    CAST(COALESCE(SUM(n_chars * keep), 0) AS BIGINT) AS kept_chars
+       |  FROM lf GROUP BY doc_id)
+       |SELECT p.doc_id, ag.n_lines, ag.n_kept, ag.kept_chars,
+       |  CASE WHEN instr(p.page, '{') > 0 THEN 'brace'
+       |       WHEN instr(lower(p.page), 'lorem ipsum') > 0 THEN 'lorem'
+       |       WHEN ag.n_kept < $c4MinKept THEN 'few_sentences'
+       |       ELSE '' END AS drop_reason,
+       |  CAST(CASE WHEN instr(p.page, '{') = 0
+       |       AND instr(lower(p.page), 'lorem ipsum') = 0
+       |       AND ag.n_kept >= $c4MinKept THEN 1 ELSE 0 END AS INT)
+       |    AS page_keep
+       |FROM pg p JOIN ag USING (doc_id)
+       |ORDER BY p.doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_c4_clean" -> c4Clean _,
     "t15_bigram_quality" -> bigramQuality _,
     "t14_bm25_rank" -> bm25Rank _,
     "t13_nfc_normalize" -> nfcNormalize _,
@@ -833,6 +935,7 @@ object Text {
   )
 
   def oracles: Map[String, String] = Map(
+    "t16_c4_clean" -> c4CleanSql,
     "t15_bigram_quality" -> bigramQualitySql,
     "t14_bm25_rank" -> bm25RankSql,
     "t13_nfc_normalize" -> nfcNormalizeSql,

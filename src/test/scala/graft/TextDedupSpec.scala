@@ -53,6 +53,23 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out.filter(col("is_dup") === 1).count() === planted)
   }
 
+  test("t16 c4 clean: page rules fire by priority and keep is consistent") {
+    val out = Text.c4Clean(spark, sfDir)
+    // planted brace pages always drop as 'brace'; lorem pages (not
+    // also brace) drop as 'lorem'; keep implies empty reason + quota
+    val bad = out.filter(
+      when(col("doc_id") % 13 === 5, col("drop_reason") =!= "brace")
+        .otherwise(when(col("doc_id") % 11 === 4, col("drop_reason") =!= "lorem")
+          .otherwise(col("page_keep") === 1 &&
+            (col("drop_reason") =!= "" || col("n_kept") < Text.c4MinKept))))
+      .count()
+    assert(bad === 0)
+    // every rule class is non-empty on the fixture
+    val reasons = out.select("drop_reason").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(reasons === Set("", "brace", "lorem", "few_sentences"))
+  }
+
   test("exact dedup partitions the corpus: copies sum to doc count") {
     val total = Tables.documents(spark, sfDir).count()
     val agg = Dedup.exactDedup(spark, sfDir)
