@@ -915,7 +915,121 @@ object Text {
        |ORDER BY p.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  /** t17 — GOPHER QUALITY RULES (Rae et al. 2021, Appendix A1.1): the
+    * word-level document filters the Gopher/MassiveText pipeline runs
+    * before training — word count bounds, mean-word-length band,
+    * symbol-to-word ratio (# / …), alphabetic-word ratio, and the
+    * "contains ≥ 2 of a small stopword set" fluency check. (The
+    * line-level Gopher rules — bullet/ellipsis line ratios — are the
+    * t16 territory; this is the per-word family.)
+    *
+    * The corpus is clean lowercase word-soup, so like t11/t16 the
+    * query PLANTS deterministic doc_id-keyed tails (symbol words,
+    * ellipsis words, numeric words, stopwords) with identical string
+    * arithmetic in both engines — each rule genuinely fires on a
+    * subset of documents instead of passing vacuously. Pass/fail
+    * flags compare the floor-rounded ratios, so the decision is
+    * bit-identical cross-engine.
+    *
+    * Scale shape: pure map-side token HOFs (no explode, no join); the
+    * only shuffle is the oracle-determinism sort. At 100 TB this is a
+    * single scan emitting one bounded row per document.
+    */
+  val gopherMinWords = 50
+  val gopherMaxWords = 100000
+  val gopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  private val gopherTails: Seq[(Int, Int, String)] = Seq(
+    (7, 0, "# # # # # #"),                 // symbol-ratio offenders
+    (7, 1, "... ... ... ..."),             // ellipsis symbol words
+    (5, 2, "12345 678 90 11 22"),          // non-alphabetic words
+    (3, 0, "and of that have"),            // stopword-rule passers
+    // mean-word-length offenders: eight 25-char words push a short
+    // document's mean past 10 while long documents absorb them
+    (11, 3, Seq.fill(8)("x" * 25).mkString(" ")))
+
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val aug = concat_ws(" ",
+      col("text") +: gopherTails.map { case (m, r, t) =>
+        when(col("doc_id") % m === r, lit(t))
+      }: _*)
+    Tables.documents(spark, dir)
+      .withColumn("toks", tokens(aug))
+      .withColumn("n_words", size(col("toks")))
+      .withColumn("mean_word_len", Exact.round4(
+        aggregate(col("toks"), lit(0), (acc, t) => acc + length(t))
+          .cast("double") / greatest(col("n_words"), lit(1))))
+      .withColumn("symbol_ratio", Exact.round4(
+        size(filter(col("toks"), t => t.isin("#", "...")))
+          .cast("double") / greatest(col("n_words"), lit(1))))
+      .withColumn("alpha_ratio", Exact.round4(
+        size(filter(col("toks"), t => t.rlike("[a-z]")))
+          .cast("double") / greatest(col("n_words"), lit(1))))
+      .withColumn("n_stop",
+        size(array_intersect(array_distinct(col("toks")),
+          array(gopherStops.map(lit): _*))))
+      .withColumn("pass_words",
+        (col("n_words") >= gopherMinWords &&
+          col("n_words") <= gopherMaxWords).cast("int"))
+      .withColumn("pass_word_len",
+        (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0).cast("int"))
+      .withColumn("pass_symbol", (col("symbol_ratio") <= 0.1).cast("int"))
+      .withColumn("pass_alpha", (col("alpha_ratio") >= 0.8).cast("int"))
+      .withColumn("pass_stop", (col("n_stop") >= 2).cast("int"))
+      .withColumn("gopher_pass",
+        (col("pass_words") + col("pass_word_len") + col("pass_symbol") +
+          col("pass_alpha") + col("pass_stop") === 5).cast("int"))
+      .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "alpha_ratio", "n_stop", "pass_words", "pass_word_len",
+        "pass_symbol", "pass_alpha", "pass_stop", "gopher_pass")
+      .orderBy("doc_id")
+  }
+
+  val gopherRulesSql: String = {
+    val tailSql = gopherTails.map { case (m, r, t) =>
+      s"CASE WHEN doc_id % $m = $r THEN '$t' END"
+    }.mkString(", ")
+    val stopsSql = gopherStops.map("'" + _ + "'").mkString(", ")
+    s"""WITH aug AS (
+       |  SELECT doc_id, concat_ws(' ', text, $tailSql) AS a FROM documents
+       |), t AS (
+       |  SELECT doc_id, ${tokensSql("a")} AS toks FROM aug
+       |), m AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS INT) AS n_words,
+       |    ${Exact.round4Sql(
+              "CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS DOUBLE)" +
+              " / greatest(len(toks), 1)")} AS mean_word_len,
+       |    ${Exact.round4Sql(
+              "CAST(len(list_filter(toks, x -> x IN ('#', '...'))) AS DOUBLE)" +
+              " / greatest(len(toks), 1)")} AS symbol_ratio,
+       |    ${Exact.round4Sql(
+              "CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)" +
+              " / greatest(len(toks), 1)")} AS alpha_ratio,
+       |    CAST(len(list_intersect(list_distinct(toks), [$stopsSql])) AS INT)
+       |      AS n_stop
+       |  FROM t)
+       |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio, n_stop,
+       |  CAST(CASE WHEN n_words BETWEEN $gopherMinWords AND $gopherMaxWords
+       |    THEN 1 ELSE 0 END AS INT) AS pass_words,
+       |  CAST(CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0
+       |    THEN 1 ELSE 0 END AS INT) AS pass_word_len,
+       |  CAST(CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS INT) AS pass_symbol,
+       |  CAST(CASE WHEN alpha_ratio >= 0.8 THEN 1 ELSE 0 END AS INT) AS pass_alpha,
+       |  CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS INT) AS pass_stop,
+       |  CAST(CASE WHEN (CASE WHEN n_words BETWEEN $gopherMinWords AND $gopherMaxWords THEN 1 ELSE 0 END)
+       |    + (CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END)
+       |    + (CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END)
+       |    + (CASE WHEN alpha_ratio >= 0.8 THEN 1 ELSE 0 END)
+       |    + (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) = 5
+       |    THEN 1 ELSE 0 END AS INT) AS gopher_pass
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_gopher_rules" -> gopherRules _,
     "t16_c4_clean" -> c4Clean _,
     "t15_bigram_quality" -> bigramQuality _,
     "t14_bm25_rank" -> bm25Rank _,
@@ -935,6 +1049,7 @@ object Text {
   )
 
   def oracles: Map[String, String] = Map(
+    "t17_gopher_rules" -> gopherRulesSql,
     "t16_c4_clean" -> c4CleanSql,
     "t15_bigram_quality" -> bigramQualitySql,
     "t14_bm25_rank" -> bm25RankSql,

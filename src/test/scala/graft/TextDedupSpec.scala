@@ -70,6 +70,26 @@ class TextDedupSpec extends AnyFunSuite {
     assert(reasons === Set("", "brace", "lorem", "few_sentences"))
   }
 
+  test("t17 gopher rules: every rule fires, flags agree with their metrics") {
+    val out = Text.gopherRules(spark, sfDir)
+    // each pass flag must restate its metric; gopher_pass is the AND
+    val bad = out.filter(
+      col("pass_symbol") =!= (col("symbol_ratio") <= 0.1).cast("int") ||
+        col("pass_alpha") =!= (col("alpha_ratio") >= 0.8).cast("int") ||
+        col("pass_stop") =!= (col("n_stop") >= 2).cast("int") ||
+        col("gopher_pass") =!= (col("pass_words") === 1 &&
+          col("pass_word_len") === 1 && col("pass_symbol") === 1 &&
+          col("pass_alpha") === 1 && col("pass_stop") === 1).cast("int"))
+      .count()
+    assert(bad === 0)
+    // the planted tails make every rule fire somewhere (and pass
+    // somewhere): no flag column is constant over the corpus
+    for (f <- Seq("pass_words", "pass_symbol", "pass_alpha", "pass_stop"))
+      assert(out.select(f).distinct().count() === 2, s"$f is constant")
+    // symbol tails: planted '#'/'...' docs have nonzero symbol ratio
+    assert(out.filter(col("doc_id") % 7 < 2 && col("symbol_ratio") <= 0).count() === 0)
+  }
+
   test("exact dedup partitions the corpus: copies sum to doc count") {
     val total = Tables.documents(spark, sfDir).count()
     val agg = Dedup.exactDedup(spark, sfDir)
