@@ -1241,6 +1241,146 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** d15/d16 — PARAGRAPH-LEVEL machinery. Web-scale pipelines
+    * (CCNet, RefinedWeb) dedup below the document: the unit is the
+    * paragraph, the survivor set is "first occurrence corpus-wide",
+    * and each document is then reassembled from its surviving
+    * paragraphs. The corpus is single-line word-soup, so the
+    * "paragraph" here is a fixed [[paraSize]]-token chunk — the same
+    * planted-structure discipline as t16's lines (53 genuinely
+    * duplicated chunks at sf0.01, many crossing sources).
+    *
+    * Scale shape: paragraphs are md5-KEYED immediately after
+    * chunking, so every shuffle carries (doc_id, pi, 32-char hash) —
+    * document text never leaves its map task. Keep-first is a
+    * partial-combining `min` per hash; reassembly is one per-doc
+    * aggregate over kept hashes.
+    *
+    * Precondition (documented, both engines): pi < 10⁶ paragraphs
+    * per document, so ord = doc_id·10⁶ + pi is a total first-
+    * occurrence order without struct-comparison semantics drift.
+    */
+  val paraSize = 20
+  private val paraOrd = 1000000L
+
+  /** (doc_id, source, pi, px): md5 of each paraSize-token chunk.
+    * Memoized — d15 dedups it, d16 cross-joins it by source.
+    */
+  private def paraHashes(spark: SparkSession, dir: String): DataFrame =
+    PlanMemo.cached(spark, s"dedup.paraHashes:$dir")(
+      Tables.documents(spark, dir)
+        .withColumn("toks",
+          expr("filter(split(text, ' '), t -> t != '')"))
+        .select(col("doc_id"), col("source"), explode_outer(expr(
+          s"""CASE WHEN size(toks) = 0
+             |THEN CAST(array() AS ARRAY<STRUCT<pi: INT, para: STRING>>)
+             |ELSE transform(
+             |  sequence(0, CAST(ceil(size(toks) / ${paraSize}.0) AS INT) - 1),
+             |  i -> struct(CAST(i AS INT) AS pi,
+             |    array_join(slice(toks, i * $paraSize + 1, $paraSize), ' ') AS para))
+             |END""".stripMargin)).as("p"))
+        .filter(col("p").isNotNull)
+        .select(col("doc_id"), col("source"), col("p.pi").as("pi"),
+          md5(col("p.para")).as("px")))
+
+  /** Shared DuckDB CTE: `para(doc_id, source, pi, px)`. */
+  private val paraCteSql: String =
+    s"""t AS (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents
+       |), para AS (
+       |  SELECT doc_id, source, CAST(i AS INT) AS pi,
+       |    md5(array_to_string(
+       |      list_slice(toks, i * $paraSize + 1,
+       |                 least((i + 1) * $paraSize, len(toks))), ' ')) AS px
+       |  FROM (
+       |    SELECT doc_id, source, toks,
+       |      unnest(range(0, CAST(ceil(len(toks) / ${paraSize}.0) AS BIGINT))) AS i
+       |    FROM t)
+       |)""".stripMargin
+
+  /** d15 — paragraph-level exact dedup with document reassembly:
+    * keep each distinct paragraph's corpus-wide first occurrence
+    * (min (doc_id, pi)), report per document how much survived and
+    * the fingerprint of the reassembled text (md5 over the kept
+    * paragraph hashes in position order — computable without the
+    * text ever shuffling).
+    */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ex = paraHashes(spark, dir)
+      .withColumn("ord", col("doc_id") * paraOrd + col("pi"))
+    val first = ex.groupBy("px").agg(min("ord").as("keep_ord"))
+    ex.join(first, "px")
+      .withColumn("kept", (col("ord") === col("keep_ord")).cast("int"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum("kept").as("n_kept"),
+        md5(concat_ws("", array_sort(
+          collect_list(when(col("kept") === 1, struct(col("pi"), col("px")))))
+          .getField("px"))).as("kept_fp"))
+      .select(col("doc_id"), col("n_paras"),
+        col("n_kept").cast("long").as("n_kept"), col("kept_fp"))
+      .orderBy("doc_id")
+  }
+
+  val paragraphDedupSql: String =
+    s"""WITH $paraCteSql,
+       |o AS (
+       |  SELECT doc_id, pi, px, doc_id * $paraOrd + pi AS ord FROM para
+       |), k AS (
+       |  SELECT px, MIN(ord) AS keep_ord FROM o GROUP BY px
+       |)
+       |SELECT doc_id, COUNT(*) AS n_paras,
+       |  CAST(SUM(CASE WHEN ord = keep_ord THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  md5(COALESCE(string_agg(CASE WHEN ord = keep_ord THEN px END, ''
+       |    ORDER BY pi), '')) AS kept_fp
+       |FROM o JOIN k USING (px)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** d16 — CROSS-SOURCE OVERLAP MATRIX: for every source pair, how
+    * many distinct paragraphs they share — the contamination/overlap
+    * audit run before mixing corpora (is source A a scrape of B?).
+    *
+    * Posting-list shape like d03: distinct (px, source) groups to
+    * `px → sorted source list` (bounded by [[maxParaSources]] — a
+    * paragraph in more sources than that is boilerplate, dropped
+    * exactly like d03's df cap), pairs are emitted map-side from
+    * each list, and the count partial-aggregates. No self-join of
+    * the raw paragraph stream; text never shuffles.
+    */
+  val maxParaSources = 50
+
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val posting = paraHashes(spark, dir)
+      .groupBy("px")
+      .agg(collect_set(col("source")).as("srcs"))
+      .filter(size(col("srcs")).between(2, maxParaSources))
+    posting
+      .select(explode(col("srcs")).as("sa"), col("srcs"))
+      .select(col("sa"), explode(col("srcs")).as("sb"))
+      .filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb")
+      .agg(count(lit(1)).as("shared_paras"))
+      .orderBy("sa", "sb")
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH $paraCteSql,
+       |sp AS (
+       |  SELECT DISTINCT px, source FROM para
+       |), cap AS (
+       |  SELECT px FROM sp GROUP BY px
+       |  HAVING COUNT(*) BETWEEN 2 AND $maxParaSources
+       |)
+       |SELECT a.source AS sa, b.source AS sb, COUNT(*) AS shared_paras
+       |FROM sp a JOIN sp b USING (px) JOIN cap USING (px)
+       |WHERE a.source < b.source
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d06_stratified_sample" -> stratifiedSample _,
     "d07_contamination_screen" -> contaminationScreen _,
@@ -1256,6 +1396,8 @@ object Dedup {
     "d12_dup_ngram_spans" -> dupNgramSpans _,
     "d13_incremental_dedup" -> incrementalDedup _,
     "d14_semantic_dedup" -> semanticDedup _,
+    "d15_paragraph_dedup" -> paragraphDedup _,
+    "d16_source_overlap" -> sourceOverlap _,
     "w10_streaming_increment" -> streamingIncrementalDedup _
   )
 
@@ -1274,6 +1416,8 @@ object Dedup {
     "d12_dup_ngram_spans" -> dupNgramSpansSql,
     "d13_incremental_dedup" -> incrementalDedupSql,
     "d14_semantic_dedup" -> semanticDedupSql,
+    "d15_paragraph_dedup" -> paragraphDedupSql,
+    "d16_source_overlap" -> sourceOverlapSql,
     // arrival order cannot change per-doc verdicts → d13's oracle
     "w10_streaming_increment" -> incrementalDedupSql
   )

@@ -90,6 +90,46 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out.filter(col("doc_id") % 7 < 2 && col("symbol_ratio") <= 0).count() === 0)
   }
 
+  test("d15 paragraph dedup: kept sums to distinct paragraphs, chunking exact") {
+    val out = Dedup.paragraphDedup(spark, sfDir)
+    // survivors across all docs = exactly one per distinct paragraph
+    val distinctParas = Tables.documents(spark, sfDir)
+      .select(explode(expr(
+        s"""transform(
+           |  sequence(0, CAST(ceil(size(filter(split(text, ' '), t -> t != ''))
+           |    / ${Dedup.paraSize}.0) AS INT) - 1),
+           |  i -> array_join(slice(filter(split(text, ' '), t -> t != ''),
+           |    i * ${Dedup.paraSize} + 1, ${Dedup.paraSize}), ' '))""".stripMargin))
+        .as("para"))
+      .select(countDistinct("para")).head().getLong(0)
+    val sums = out.agg(sum("n_kept"), sum("n_paras")).head()
+    assert(sums.getLong(0) === distinctParas)
+    assert(sums.getLong(0) <= sums.getLong(1))
+    // chunk count per doc is ceil(tokens / paraSize)
+    val badChunks = out.join(Tables.documents(spark, sfDir), "doc_id")
+      .filter(col("n_paras") =!= ceil(
+        size(Text.tokens(col("text"))).cast("double") / Dedup.paraSize))
+      .count()
+    assert(badChunks === 0)
+  }
+
+  test("d16 source overlap: ordered pairs, bounded by the smaller side") {
+    val overlap = Dedup.sourceOverlap(spark, sfDir)
+    assert(overlap.filter(col("sa") >= col("sb") || col("shared_paras") < 1)
+      .count() === 0)
+    // a pair can share at most the smaller side's distinct paragraphs
+    val perSource = Dedup.paragraphDedup(spark, sfDir)
+      .join(Tables.documents(spark, sfDir), "doc_id")
+      .groupBy("source").agg(sum("n_paras").as("np"))
+    val bad = overlap
+      .join(perSource.withColumnRenamed("source", "sa"), "sa")
+      .withColumnRenamed("np", "na")
+      .join(perSource.withColumnRenamed("source", "sb"), "sb")
+      .filter(col("shared_paras") > least(col("na"), col("np")))
+      .count()
+    assert(bad === 0)
+  }
+
   test("exact dedup partitions the corpus: copies sum to doc count") {
     val total = Tables.documents(spark, sfDir).count()
     val agg = Dedup.exactDedup(spark, sfDir)
