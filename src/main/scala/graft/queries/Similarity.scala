@@ -517,7 +517,85 @@ object Similarity {
        |ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // ---------------------------------------------------------------
+  /** s12 — TWO-STAGE COARSE→EXACT RE-RANK (the retrieve-then-rerank
+    * shape every production vector search runs; the coarse scorer
+    * here is a PREFIX inner product — the Matryoshka-representation
+    * trick of scoring on the first [[prefixDim]] dimensions, 2× less
+    * arithmetic and memory traffic per candidate):
+    *
+    *   stage 1: score every candidate with the 16-dim prefix inner
+    *     product, keep a [[shortlistK]]-deep shortlist per query via
+    *     the bounded [[TopKScoreId]] aggregate (shuffle ≤ 20 rows per
+    *     query per map task — never the full scored stream);
+    *   stage 2: re-score ONLY the shortlist with the full-precision
+    *     64-dim cosine and keep the final top-5.
+    *
+    * At 100 TB the expensive full-dim arithmetic touches 20 rows per
+    * query instead of the whole corpus; the shortlist join back to
+    * the embedding table is an equi join on vec_id. Recall vs the
+    * exact s01 is pinned in SimilaritySpec like s06/s07.
+    */
+  val prefixDim = 32
+  val shortlistK = 50
+
+  def coarseRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(spark, dir)
+    val q = emb.filter(col("vec_id") < nQueries).select(
+      col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm"))
+    val cand = emb.filter(col("vec_id") >= nQueries)
+    // stage 1: prefix inner product (dot_product folds the same
+    // element order as the oracle's range fold)
+    val coarse = cand.crossJoin(broadcast(q))
+      .withColumn("cosine", Exact.round4(expr(
+        s"dot_product(slice(embedding, 1, $prefixDim), slice(q_emb, 1, $prefixDim))")))
+    val shortlist = topkPerGroup(coarse, Seq("q_id"), shortlistK)
+      .select(col("q_id"), col("vec_id"))
+    // stage 2: full-dim exact cosine over the shortlist only
+    val rescored = shortlist
+      .join(cand.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
+      .join(broadcast(q), "q_id")
+      .withColumn("cosine", Exact.round4(
+        expr(sparkDot("embedding", "q_emb")) / (col("nrm") * col("q_nrm"))))
+    topkPerGroup(rescored, Seq("q_id"), 5)
+      .select("q_id", "rank", "vec_id", "cosine")
+      .orderBy("q_id", "rank")
+  }
+
+  private def duckPrefixDot(a: String, b: String): String =
+    s"""list_aggregate(list_transform(range(1, ${prefixDim + 1}),
+       |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')""".stripMargin
+
+  val coarseRerankSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+       |  FROM n WHERE vec_id < $nQueries
+       |), coarse AS (
+       |  SELECT q_id, c.vec_id,
+       |    ${Exact.round4Sql(duckPrefixDot("c.embedding", "q_emb"))} AS ip
+       |  FROM n c CROSS JOIN q WHERE c.vec_id >= $nQueries
+       |), sl AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, vec_id) AS rn
+       |    FROM coarse)
+       |  WHERE rn <= $shortlistK
+       |), rescored AS (
+       |  SELECT q_id, c.vec_id,
+       |    ${Exact.round4Sql(duckDot("c.embedding", "q_emb") + " / (c.nrm * q_nrm)")} AS cosine
+       |  FROM sl JOIN n c USING (vec_id) JOIN q USING (q_id)
+       |), r AS (
+       |  SELECT q_id, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS "rank"
+       |  FROM rescored)
+       |SELECT q_id, "rank", vec_id, cosine FROM r WHERE "rank" <= 5
+       |ORDER BY q_id, "rank"""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_coarse_rerank" -> coarseRerank _,
     "s04_ivf_cells" -> ivfCells _,
     "s07_ivf_search" -> ivfSearch _,
     "s08_knn_join" -> knnJoin _,
@@ -529,6 +607,7 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    "s12_coarse_rerank" -> coarseRerankSql,
     "s04_ivf_cells" -> ivfCellsSql,
     "s07_ivf_search" -> ivfSearchSql,
     "s08_knn_join" -> knnJoinSql,

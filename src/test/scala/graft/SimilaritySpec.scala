@@ -99,6 +99,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, f"quantized recall $recall%.2f too low")
   }
 
+  test("s12 coarse rerank: exact scores, high agreement with brute force") {
+    val rr = Similarity.coarseRerank(spark, sfDir)
+    // stage-2 scores are the full-precision cosine: any (q, vec) pair
+    // shared with s01 must carry the identical score
+    val brute = Similarity.cosineTopK(spark, sfDir)
+      .select(col("q_id"), col("vec_id"), col("cosine").as("bf_cos"))
+    val joined = rr.join(brute, Seq("q_id", "vec_id"), "inner")
+    assert(joined.filter(col("cosine") =!= col("bf_cos")).count() === 0)
+    // a 50-deep 32-dim shortlist should recover most of the exact top-5
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineTopK(spark, sfDir))
+    val got = pairs(rr)
+    assert(got.size === exact.size)
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.6, f"coarse-rerank recall $recall%.2f too low")
+  }
+
   test("IVF search: every query answered from probed cells, recall vs exact") {
     val ivf = Similarity.ivfSearch(spark, sfDir)
     val rows = ivf.select("q_id", "vec_id", "cosine").collect()
