@@ -1028,7 +1028,98 @@ object Text {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  /** t18 — DSIR-STYLE IMPORTANCE WEIGHTS (the data-selection recipe
+    * of Xie et al. 2023: score every raw document by the
+    * log-likelihood ratio of a TARGET language model over a RAW
+    * language model, then sample proportionally). Here the target
+    * distribution is the English slice of the corpus, the raw
+    * distribution is the whole corpus, and both models are add-one-
+    * smoothed unigram LMs — p(w) = (c(w)+1)/(N+V) — so the weight is
+    *
+    *   w(doc) = (1/|doc|) · Σ_w n_doc(w) · ln(p_target(w)/p_raw(w)).
+    *
+    * Determinism: the t14/t15 discipline — each DISTINCT word's log
+    * ratio is floor-rounded to 4 dp once, multiplied by integer
+    * per-doc counts, and summed as integers, so document scores are
+    * aggregation-order independent and bit-identical cross-engine.
+    *
+    * Scale shape: the token stream is reduced to (doc, word, n)
+    * BEFORE any join (bounded by distinct per-doc words); model
+    * counts partial-aggregate; the corpus totals are one broadcast
+    * scalar row; scoring is an equi join on the word.
+    */
+  val dsirTargetLang = "en"
+
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // lang rides along (functionally dependent on doc_id — free)
+    val perDocWord = PlanMemo.cached(spark, s"text.dsirPerDocWord:$dir")(
+      docs
+        .select(col("doc_id"), col("lang"),
+          explode_outer(tokens(lower(col("text")))).as("w"))
+        .filter(col("w").isNotNull)
+        .groupBy("doc_id", "lang", "w")
+        .agg(count(lit(1)).as("n")))
+    val isT = col("lang") === dsirTargetLang
+    val wordStats = perDocWord.groupBy("w")
+      .agg(sum("n").as("cr"), sum(when(isT, col("n")).otherwise(0L)).as("ct"))
+    val totals = perDocWord
+      .agg(sum("n").as("nr"), sum(when(isT, col("n")).otherwise(0L)).as("nt"))
+    val vocab = wordStats.agg(count(lit(1)).as("v"))
+    val scored = perDocWord
+      .join(wordStats, "w")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lw4", expr(
+        "n * CAST(FLOOR(ln(((ct + 1.0) / (nt + v)) / ((cr + 1.0) / (nr + v))) * 10000) AS BIGINT)"))
+      .groupBy("doc_id")
+      .agg(sum("lw4").as("lw4sum"), sum("n").as("n_tokens"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("lang"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        Exact.round4(coalesce(
+          col("lw4sum").cast("double") / (col("n_tokens") * 10000.0),
+          lit(0.0))).as("dsir_weight"))
+      .orderBy("doc_id")
+  }
+
+  val dsirWeightsSql: String =
+    s"""WITH ex AS (
+       |  SELECT doc_id, lang, unnest(${tokensSql("lower(text)")}) AS w
+       |  FROM documents
+       |), pdw AS (
+       |  SELECT doc_id, lang, w, COUNT(*) AS n FROM ex GROUP BY 1, 2, 3
+       |), ws AS (
+       |  SELECT w, CAST(SUM(n) AS BIGINT) AS cr,
+       |    CAST(SUM(CASE WHEN lang = '$dsirTargetLang' THEN n ELSE 0 END) AS BIGINT) AS ct
+       |  FROM pdw GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS nr,
+       |    CAST(SUM(CASE WHEN lang = '$dsirTargetLang' THEN n ELSE 0 END) AS BIGINT) AS nt
+       |  FROM pdw
+       |), vc AS (
+       |  SELECT COUNT(*) AS v FROM ws
+       |), scored AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(n * CAST(FLOOR(ln(((ct + 1.0) / (nt + v)) / ((cr + 1.0) / (nr + v))) * 10000) AS BIGINT)) AS BIGINT)
+       |      AS lw4sum,
+       |    CAST(SUM(n) AS BIGINT) AS n_tokens
+       |  FROM pdw JOIN ws USING (w) CROSS JOIN tot CROSS JOIN vc
+       |  GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, d.lang,
+       |  COALESCE(s.n_tokens, 0) AS n_tokens,
+       |  ${Exact.round4Sql(
+            "COALESCE(CAST(s.lw4sum AS DOUBLE) / (s.n_tokens * 10000.0), 0.0)")}
+       |    AS dsir_weight
+       |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_dsir_weights" -> dsirWeights _,
     "t17_gopher_rules" -> gopherRules _,
     "t16_c4_clean" -> c4Clean _,
     "t15_bigram_quality" -> bigramQuality _,
@@ -1049,6 +1140,7 @@ object Text {
   )
 
   def oracles: Map[String, String] = Map(
+    "t18_dsir_weights" -> dsirWeightsSql,
     "t17_gopher_rules" -> gopherRulesSql,
     "t16_c4_clean" -> c4CleanSql,
     "t15_bigram_quality" -> bigramQualitySql,

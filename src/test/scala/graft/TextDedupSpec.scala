@@ -90,6 +90,23 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out.filter(col("doc_id") % 7 < 2 && col("symbol_ratio") <= 0).count() === 0)
   }
 
+  test("t18 DSIR weights: target language scores above every other slice") {
+    val w = Text.dsirWeights(spark, sfDir)
+    // token counts restate the tokenizer
+    val bad = w.join(Tables.documents(spark, sfDir), "doc_id")
+      .filter(col("n_tokens") =!= size(Text.tokens(lower(col("text")))))
+      .count()
+    assert(bad === 0)
+    // the importance weight must rank the target distribution first in
+    // expectation: mean(en) strictly above mean(every other lang)
+    val means = w.groupBy("lang").agg(avg("dsir_weight").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val en = means(Text.dsirTargetLang)
+    means.filterNot(_._1 == Text.dsirTargetLang).foreach { case (l, m) =>
+      assert(en > m, f"en mean $en%.4f not above $l mean $m%.4f")
+    }
+  }
+
   test("d15 paragraph dedup: kept sums to distinct paragraphs, chunking exact") {
     val out = Dedup.paragraphDedup(spark, sfDir)
     // survivors across all docs = exactly one per distinct paragraph
