@@ -225,7 +225,79 @@ object Packing {
        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  /** p05 — CURRICULUM PLAN: band the corpus into quality stages
+    * (stage 0 = highest-quality band trains first — the curriculum-
+    * learning data order) and emit the per-stage schedule a training
+    * run consumes: document count, token budget, mean quality, and
+    * the cumulative token count through each stage.
+    *
+    * Stage assignment is a fixed THRESHOLD BAND on the t03 quality
+    * score — a map-side comparison, deliberately not an ntile/
+    * percent_rank window: a global rank window funnels the whole
+    * corpus through one partition, while fixed bands keep the scan
+    * embarrassingly parallel at 100 TB. In production the band edges
+    * come from a one-time quantile probe of the corpus (these are the
+    * sf-profile quintile edges); the plan query itself never ranks.
+    * The only window left is the running total over the ≤
+    * [[curriculumStages]] plan rows.
+    */
+  val curriculumStages = 5
+
+  /** Descending quality band edges: score ≥ edge(i) → stage i. */
+  val curriculumEdges: Seq[Double] = Seq(0.68, 0.66, 0.64, 0.61)
+
+  def curriculumPlan(spark: SparkSession, dir: String): DataFrame = {
+    val q = Text.qualityScores(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val staged = q.withColumn("stage",
+      curriculumEdges.zipWithIndex.foldRight(
+        lit(curriculumStages - 1): org.apache.spark.sql.Column) {
+        case ((edge, i), rest) =>
+          when(col("quality_score") >= edge, i).otherwise(rest)
+      }.cast("int"))
+    val plan = staged.groupBy("stage")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_tokens").cast("long")).as("stage_tokens"),
+        // integer sum of the (already 4-dp) scores: aggregation-order
+        // independent, unlike a double AVG
+        Exact.round4(
+          sum(floor(col("quality_score") * 10000 + lit(0.5)).cast("long"))
+            .cast("double") / (count(lit(1)) * 10000.0)).as("mean_quality"))
+    val w = Window.orderBy("stage")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    plan
+      .withColumn("cum_tokens", sum("stage_tokens").over(w))
+      .select("stage", "docs", "stage_tokens", "mean_quality", "cum_tokens")
+      .orderBy("stage")
+  }
+
+  val curriculumPlanSql: String =
+    s"""WITH q AS (
+       |  SELECT * FROM (${Text.qualityScoresSql})
+       |), staged AS (
+       |  SELECT doc_id, n_tokens, quality_score,
+       |    CAST(CASE ${curriculumEdges.zipWithIndex.map { case (e, i) =>
+                s"WHEN quality_score >= $e THEN $i"
+              }.mkString(" ")}
+       |      ELSE ${curriculumStages - 1} END AS INT) AS stage
+       |  FROM q
+       |), plan AS (
+       |  SELECT stage, COUNT(*) AS docs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS stage_tokens,
+       |    ${Exact.round4Sql(
+              "CAST(SUM(CAST(FLOOR(quality_score * 10000 + 0.5) AS BIGINT)) AS DOUBLE)" +
+              " / (COUNT(*) * 10000.0)")} AS mean_quality
+       |  FROM staged GROUP BY stage)
+       |SELECT stage, docs, stage_tokens, mean_quality,
+       |  CAST(SUM(stage_tokens) OVER (ORDER BY stage
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_tokens
+       |FROM plan ORDER BY stage""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p05_curriculum_plan" -> curriculumPlan _,
     "p01_pack_chunks" -> packChunks _,
     "p02_pack_profile" -> packProfile _,
     "p03_shard_manifest" -> shardManifest _,
@@ -233,6 +305,7 @@ object Packing {
   )
 
   def oracles: Map[String, String] = Map(
+    "p05_curriculum_plan" -> curriculumPlanSql,
     "p01_pack_chunks" -> packChunksSql,
     "p02_pack_profile" -> packProfileSql,
     "p03_shard_manifest" -> shardManifestSql,

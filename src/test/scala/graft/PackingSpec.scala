@@ -70,6 +70,26 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("p05 curriculum plan: conserves the corpus, quality descends by stage") {
+    val plan = Packing.curriculumPlan(spark, sfDir).collect()
+    // every document lands in exactly one stage
+    val total = Tables.documents(spark, sfDir).count()
+    assert(plan.map(_.getLong(plan.head.fieldIndex("docs"))).sum === total)
+    // cumulative tokens are a prefix sum of stage tokens
+    var cum = 0L
+    plan.sortBy(_.getInt(0)).foreach { r =>
+      cum += r.getLong(r.fieldIndex("stage_tokens"))
+      assert(r.getLong(r.fieldIndex("cum_tokens")) === cum)
+    }
+    // the curriculum is ordered: stage means never increase
+    val means = plan.sortBy(_.getInt(0))
+      .map(_.getDouble(plan.head.fieldIndex("mean_quality")))
+    means.sliding(2).foreach {
+      case Array(a, b) => assert(a >= b, s"stage means not descending: $a < $b")
+      case _ =>
+    }
+  }
+
   test("profile conserves tokens and bounds the tail chunk") {
     val prof = Packing.packProfile(spark, sfDir).collect()
     prof.foreach { r =>
