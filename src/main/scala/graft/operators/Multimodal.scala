@@ -372,7 +372,131 @@ object Multimodal {
        |  n AS n_frames, amp_sum, energy
        |FROM s ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** One frame-sampled video: container frame count, sampled count,
+    * frame dims, and the pixel sum over the SAMPLED frames only.
+    */
+  case class VideoFeatures(
+      doc_id: Long, n_frames: Long, n_sampled: Long,
+      width: Long, height: Long, px_sum: Long)
+
+  /** mm05 — FRAME SAMPLING over a multi-frame (video-ish) payload:
+    * the remaining multimodal primitive from the build brief
+    * (decode / feature-extract / resize / frame-sample). The encode
+    * stage synthesizes a deterministic per-document "video" — 4–12
+    * real PNG frames, each length-prefixed into one binary container
+    * (the payload a video column actually holds); the decode stage
+    * walks the container, keeps every [[frameStride]]-th frame, and
+    * ImageIO-decodes ONLY the sampled frames — the whole point of
+    * frame sampling at 100 TB: the codec cost scales with the frames
+    * you keep, not the frames you store. Gray-8 PNG is lossless, so
+    * the DuckDB oracle regenerates the sampled-frame pixel sums by
+    * pure arithmetic; a framing bug, a stride bug, or a decoder
+    * regression all break the hash.
+    *
+    * Same scale shape as mm03/mm04: two partition-preserving
+    * mapPartitions stages, payloads never shuffle.
+    */
+  val frameStride = 2
+  val maxFrames = 12
+
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val decoded = Tables.balanced(
+        Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val nf = (4 + id % 9).toInt // 4..12 frames
+          val w = (8 + id % 8).toInt
+          val h = (8 + (id / 8) % 8).toInt
+          val bos = new java.io.ByteArrayOutputStream()
+          val dos = new java.io.DataOutputStream(bos)
+          var f = 0
+          while (f < nf) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                raster.setSample(x, y, 0,
+                  ((id * 31 + f * 17 + x * 7 + y * 13) % 256).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            val frameBytes = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", frameBytes)
+            val b = frameBytes.toByteArray
+            dos.writeInt(b.length) // length-prefixed framing
+            dos.write(b)
+            f += 1
+          }
+          (id, nf, bos.toByteArray) // one multi-frame container
+        }
+      }
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, nf, payload) =>
+          val dis = new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          var f = 0
+          var sampled = 0L
+          var pxSum = 0L
+          var w = 0L
+          var h = 0L
+          while (f < nf) {
+            val len = dis.readInt()
+            val b = new Array[Byte](len)
+            dis.readFully(b)
+            if (f % frameStride == 0) { // decode ONLY sampled frames
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(b))
+              w = img.getWidth.toLong
+              h = img.getHeight.toLong
+              val raster = img.getRaster
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  pxSum += raster.getSample(x, y, 0)
+                  x += 1
+                }
+                y += 1
+              }
+              sampled += 1
+            }
+            f += 1
+          }
+          VideoFeatures(id, nf.toLong, sampled, w, h, pxSum)
+        }
+      }
+    decoded.toDF().orderBy("doc_id")
+  }
+
+  /** Oracle: sampled-frame pixel sums from pure arithmetic. */
+  val frameSampleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, 4 + doc_id % 9 AS nf,
+       |    8 + doc_id % 8 AS w, 8 + (doc_id // 8) % 8 AS h
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, nf, w, h,
+       |    CAST(COUNT(DISTINCT f) AS BIGINT) AS n_sampled,
+       |    CAST(SUM((doc_id * 31 + f * 17 + x * 7 + y * 13) % 256) AS BIGINT)
+       |      AS px_sum
+       |  FROM d, range(0, $maxFrames) rf(f), range(0, 16) rx(x), range(0, 16) ry(y)
+       |  WHERE f < nf AND f % $frameStride = 0 AND x < w AND y < h
+       |  GROUP BY doc_id, nf, w, h)
+       |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames, n_sampled,
+       |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, px_sum
+       |FROM s ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm05_frame_sample" -> frameSample _,
     "mm01_media_stats" -> mediaStats _,
     "mm02_feature_rollup" -> featureRollup _,
     "mm03_png_roundtrip" -> pngRoundtrip _,
@@ -380,6 +504,7 @@ object Multimodal {
   )
 
   def oracles: Map[String, String] = Map(
+    "mm05_frame_sample" -> frameSampleSql,
     "mm01_media_stats" -> mediaStatsSql,
     "mm02_feature_rollup" -> featureRollupSql,
     "mm03_png_roundtrip" -> pngRoundtripSql,

@@ -82,4 +82,25 @@ class MultimodalSpec extends AnyFunSuite {
       assert(got(id) === ((w, h, expectSum)))
     }
   }
+
+  test("mm05 samples every 2nd frame and decodes only the kept ones") {
+    val rows = Multimodal.frameSample(spark, sfDir).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val nf = r.getLong(1)
+      assert(nf === 4 + id % 9)
+      // ceil(nf / stride) frames survive the stride
+      assert(r.getLong(2) === (nf + Multimodal.frameStride - 1) /
+        Multimodal.frameStride)
+      assert(r.getLong(3) === 8 + id % 8)
+      assert(r.getLong(4) === 8 + (id / 8) % 8)
+      // sampled-frame pixel sum equals the closed form
+      val (w, h) = (r.getLong(3), r.getLong(4))
+      val expect = (for {
+        f <- 0L until nf if f % Multimodal.frameStride == 0
+        y <- 0L until h; x <- 0L until w
+      } yield (id * 31 + f * 17 + x * 7 + y * 13) % 256).sum
+      assert(r.getLong(5) === expect)
+    }
+  }
 }
