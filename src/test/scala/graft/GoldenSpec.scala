@@ -33,7 +33,12 @@ class GoldenSpec extends AnyFunSuite {
     "d12_dup_ngram_spans", "t13_nfc_normalize",
     "km01_kmeans_assign", "p03_shard_manifest",
     "s09_pq_codes", "t14_bm25_rank", "d13_incremental_dedup",
-    "c05_zorder_profile")
+    "c05_zorder_profile",
+    // round-7 families: semantic/paragraph dedup, C4+Gopher cleaning,
+    // DSIR weights, rerank search, curriculum, frame sampling
+    "d14_semantic_dedup", "t16_c4_clean", "t17_gopher_rules",
+    "d15_paragraph_dedup", "d16_source_overlap", "s12_coarse_rerank",
+    "t18_dsir_weights", "p05_curriculum_plan", "mm05_frame_sample")
 
   private def render(df: DataFrame): Seq[String] = {
     val header = df.columns.mkString("\t")

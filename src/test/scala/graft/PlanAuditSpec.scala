@@ -33,7 +33,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // round-6 md5-heavy additions
     "d11_neardup_verified", "d12_dup_ngram_spans",
     "d13_incremental_dedup", "t13_nfc_normalize", "t14_bm25_rank",
-    "p03_shard_manifest", "t15_bigram_quality")
+    "p03_shard_manifest", "t15_bigram_quality",
+    // round-7 md5/HOF-heavy additions
+    "d14_semantic_dedup", "d15_paragraph_dedup", "d16_source_overlap",
+    "t16_c4_clean", "t17_gopher_rules", "t18_dsir_weights")
 
   audited.foreach { name =>
     test(s"$name: no expensive expression inside a Filter") {
