@@ -89,13 +89,139 @@ object Temporal {
        |GROUP BY 1, 2 ORDER BY p_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** r08 — ORDERED FUNNEL (view → click → purchase): the product-
+    * analytics staple. Step semantics are strictly sequential: a
+    * user converts to step n only with an event AFTER their step-
+    * (n−1) conversion time and within [[funnelWindowHours]] of it
+    * (without the window every user in a month-long dense stream
+    * trivially converts and the funnel measures nothing). Each step
+    * is one filter + per-user min aggregate + equi join on user_id —
+    * partial-combining shuffles keyed by user, never a window over
+    * the whole event stream, so the funnel depth (not the corpus
+    * size) bounds the number of shuffles at 100 TB.
+    */
+  val funnelSteps = Seq("view", "click", "purchase")
+  val funnelWindowHours = 24L
+
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    // step 1: first view; step n: first <type> after the user's
+    // step-(n-1) conversion — built as one declarative plan (no
+    // driver-side counts; the three step frames chain lazily)
+    val stepFrames = funnelSteps.tail.scanLeft(
+      ev.filter(col("event_type") === funnelSteps.head)
+        .groupBy("user_id").agg(min("ts").as("t"))) { (prev, step) =>
+      ev.filter(col("event_type") === step)
+        .join(prev, "user_id")
+        .filter(col("ts") > col("t") &&
+          col("ts") <= expr(s"timestampadd(HOUR, $funnelWindowHours, t)"))
+        .groupBy("user_id").agg(min("ts").as("t"))
+    }
+    val counts = stepFrames.zip(funnelSteps).zipWithIndex.map {
+      case ((df, step), i) =>
+        df.agg(count(lit(1)).as("users"))
+          .select(lit(i + 1).as("step"), lit(step).as("event_type"),
+            col("users"))
+    }.reduce(_ unionAll _)
+    val first = counts.filter(col("step") === 1)
+      .select(col("users").cast("double").as("u1"))
+    counts.crossJoin(broadcast(first))
+      .withColumn("conversion",
+        Exact.round4(col("users") / greatest(col("u1"), lit(1.0))))
+      .select("step", "event_type", "users", "conversion")
+      .orderBy("step")
+  }
+
+  val funnelSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t
+      |  FROM events WHERE event_type = 'view' GROUP BY 1
+      |), s2 AS (
+      |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t
+      |  FROM events e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t
+      |    AND CAST(e.ts AS TIMESTAMP) <= s1.t + INTERVAL 24 HOUR
+      |  GROUP BY 1
+      |), s3 AS (
+      |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t
+      |  FROM events e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t
+      |    AND CAST(e.ts AS TIMESTAMP) <= s2.t + INTERVAL 24 HOUR
+      |  GROUP BY 1
+      |), counts AS (
+      |  SELECT 1 AS step, 'view' AS event_type, COUNT(*) AS users FROM s1
+      |  UNION ALL
+      |  SELECT 2, 'click', COUNT(*) FROM s2
+      |  UNION ALL
+      |  SELECT 3, 'purchase', COUNT(*) FROM s3
+      |)
+      |SELECT CAST(step AS INT) AS step, event_type, users,
+      |  floor(users / GREATEST((SELECT users FROM counts WHERE step = 1), 1.0)
+      |    * 10000 + 0.5) / 10000.0 AS conversion
+      |FROM counts ORDER BY step""".stripMargin
+
+  /** r09 — RETENTION COHORTS: users grouped by first-seen day, and
+    * for each day offset 0..[[retentionDays]] the fraction of the
+    * cohort active that day. The canonical engagement query. Scale
+    * shape: first-seen is one per-user min; activity dedups to
+    * (user, day) BEFORE the cohort join; the result is bounded by
+    * cohorts × offsets, never by events.
+    */
+  val retentionDays = 7
+
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct() // (user, active-day) — events collapse map-side
+    val cohorts = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val sizes = cohorts.groupBy("cohort_day")
+      .agg(count(lit(1)).as("cohort_size"))
+    ev.join(cohorts, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+      .filter(col("day_offset").between(0, retentionDays))
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("active_users"))
+      .join(sizes, "cohort_day")
+      .withColumn("retention", Exact.round4(
+        col("active_users").cast("double") / col("cohort_size")))
+      .select("cohort_day", "day_offset", "active_users", "cohort_size",
+        "retention")
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val retentionSql: String =
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+       |  FROM events
+       |), cohorts AS (
+       |  SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY 1
+       |), sizes AS (
+       |  SELECT cohort_day, COUNT(*) AS cohort_size FROM cohorts GROUP BY 1
+       |), act AS (
+       |  SELECT cohort_day, date_diff('day', cohort_day, day) AS day_offset,
+       |    COUNT(*) AS active_users
+       |  FROM ud JOIN cohorts USING (user_id)
+       |  WHERE date_diff('day', cohort_day, day) BETWEEN 0 AND $retentionDays
+       |  GROUP BY 1, 2
+       |)
+       |SELECT cohort_day, CAST(day_offset AS INT) AS day_offset,
+       |  active_users, cohort_size,
+       |  ${Exact.round4Sql("CAST(active_users AS DOUBLE) / cohort_size")} AS retention
+       |FROM act JOIN sizes USING (cohort_day)
+       |ORDER BY cohort_day, day_offset""".stripMargin
+
+  // ---------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r06_asof_join" -> asofJoin _,
-    "r07_range_join" -> rangeJoin _
+    "r07_range_join" -> rangeJoin _,
+    "r08_funnel" -> funnel _,
+    "r09_retention" -> retention _
   )
 
   def oracles: Map[String, String] = Map(
     "r06_asof_join" -> asofJoinSql,
-    "r07_range_join" -> rangeJoinSql
+    "r07_range_join" -> rangeJoinSql,
+    "r08_funnel" -> funnelSql,
+    "r09_retention" -> retentionSql
   )
 }

@@ -66,4 +66,36 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(TemporalJoins.rangeJoin(pts, iv, Seq("k"), "pt", "st", "en", 1800L)
       .count() === 2) // 10:00:00 and 10:30:00 in, 10:30:01 out
   }
+
+  test("r08 funnel: steps shrink monotonically, conversion restates users") {
+    val rows = Temporal.funnel(spark, sfDir).collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getString(1)).toSeq === Temporal.funnelSteps)
+    val users = rows.map(_.getLong(2))
+    users.sliding(2).foreach {
+      case Array(a, b) => assert(a >= b, "funnel widened downstream")
+      case _ =>
+    }
+    val first = math.max(users.head.toDouble, 1.0)
+    rows.foreach { r =>
+      val expect = math.floor(r.getLong(2) / first * 10000 + 0.5) / 10000.0
+      assert(r.getDouble(3) === expect)
+    }
+  }
+
+  test("r09 retention: offset 0 is full, cohorts partition the users") {
+    val rows = Temporal.retention(spark, sfDir).collect()
+    rows.filter(_.getInt(1) == 0).foreach { r =>
+      assert(r.getDouble(4) === 1.0, "cohort not fully active on day 0")
+    }
+    rows.foreach(r => assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0))
+    // each cohort's size is consistent across its offsets, and sizes
+    // sum to the distinct-user count
+    val sizes = rows.groupBy(_.getDate(0)).map { case (_, rs) =>
+      assert(rs.map(_.getLong(3)).distinct.length === 1)
+      rs.head.getLong(3)
+    }
+    val users = Tables.events(spark, sfDir)
+      .select(countDistinct("user_id")).head().getLong(0)
+    assert(sizes.sum === users)
+  }
 }
