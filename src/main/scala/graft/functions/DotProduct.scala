@@ -114,5 +114,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((NfcNormalize.fnId, NfcNormalize.info,
       NfcNormalize.builder))
     e.injectFunction((PqEncode.fnId, PqEncode.info, PqEncode.builder))
+    e.injectFunction((BloomProbe.fnId, BloomProbe.info, BloomProbe.builder))
   }
 }

@@ -1241,6 +1241,58 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** d17 — BLOOM-PREFILTERED incremental dedup: d13's exact layer,
+    * with the base hash set summarized into a Bloom sketch
+    * ([[BloomMightContain]]) probed MAP-SIDE over the increment. At
+    * 100 TB the base corpus's hash set is too large to shuffle the
+    * whole increment against; the sketch turns the exact layer into
+    *   probe (no shuffle) → confirm join over probe SURVIVORS only,
+    * so the join input is proportional to the duplicate rate. No
+    * false negatives → verdicts are IDENTICAL to d13 row-for-row
+    * (pinned in TextDedupSpec), which is why d17 shares d13's DuckDB
+    * oracle, and why the hash gate proves the sketch path changes
+    * nothing.
+    */
+  val bloomFpp = 0.03
+
+  def bloomIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val splitId = incrementalSplitId(spark, dir)
+    val isNew = col("doc_id") >= splitId
+    val fp = expr("optimizer_barrier(md5(text))")
+    // the persisted increment artifacts: base hash set + its sketch
+    // (built once per (session, corpus) — what a real pipeline keeps
+    // materialized between increments; doc_ids are dense from 0, so
+    // splitId IS the base cardinality)
+    val baseHashes = PlanMemo.cached(spark, s"dedup.baseHashes:$dir")(
+      docs.filter(!isNew).select(fp.as("fp")).distinct())
+    val filter = PlanMemo.cachedValue(spark, s"dedup.baseBloom:$dir") {
+      baseHashes.stat.bloomFilter("fp", math.max(splitId, 1L), bloomFpp)
+    }
+    val exact = docs.filter(isNew)
+      .select(col("doc_id"), fp.as("fp"))
+      .filter(BloomProbe.probe(spark, col("fp"), filter)) // map-side prune
+      .join(baseHashes, Seq("fp"), "left_semi")           // exact confirm
+      .select(col("doc_id")).withColumn("exact_dup", lit(1))
+    val bands = lshBands(spark, dir)
+    val baseBands = bands.filter(col("doc_id") < splitId)
+      .select("band", "key").distinct()
+    val near = bands.filter(col("doc_id") >= splitId)
+      .join(baseBands, Seq("band", "key"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("near_dup", lit(1))
+    docs.filter(isNew).select("doc_id", "lang")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .withColumn("verdict",
+        when(col("exact_dup") === 1, 2)
+          .when(col("near_dup") === 1, 1)
+          .otherwise(0))
+      .select("doc_id", "lang", "verdict")
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------
   /** d15/d16 — PARAGRAPH-LEVEL machinery. Web-scale pipelines
     * (CCNet, RefinedWeb) dedup below the document: the unit is the
     * paragraph, the survivor set is "first occurrence corpus-wide",
@@ -1398,6 +1450,7 @@ object Dedup {
     "d14_semantic_dedup" -> semanticDedup _,
     "d15_paragraph_dedup" -> paragraphDedup _,
     "d16_source_overlap" -> sourceOverlap _,
+    "d17_bloom_increment" -> bloomIncrementalDedup _,
     "w10_streaming_increment" -> streamingIncrementalDedup _
   )
 
@@ -1418,6 +1471,8 @@ object Dedup {
     "d14_semantic_dedup" -> semanticDedupSql,
     "d15_paragraph_dedup" -> paragraphDedupSql,
     "d16_source_overlap" -> sourceOverlapSql,
+    // the bloom prefilter cannot change verdicts → d13's oracle
+    "d17_bloom_increment" -> incrementalDedupSql,
     // arrival order cannot change per-doc verdicts → d13's oracle
     "w10_streaming_increment" -> incrementalDedupSql
   )

@@ -38,7 +38,8 @@ class GoldenSpec extends AnyFunSuite {
     // DSIR weights, rerank search, curriculum, frame sampling
     "d14_semantic_dedup", "t16_c4_clean", "t17_gopher_rules",
     "d15_paragraph_dedup", "d16_source_overlap", "s12_coarse_rerank",
-    "t18_dsir_weights", "p05_curriculum_plan", "mm05_frame_sample")
+    "t18_dsir_weights", "p05_curriculum_plan", "mm05_frame_sample",
+    "d17_bloom_increment", "r08_funnel", "r09_retention")
 
   private def render(df: DataFrame): Seq[String] = {
     val header = df.columns.mkString("\t")

@@ -36,7 +36,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "p03_shard_manifest", "t15_bigram_quality",
     // round-7 md5/HOF-heavy additions
     "d14_semantic_dedup", "d15_paragraph_dedup", "d16_source_overlap",
-    "t16_c4_clean", "t17_gopher_rules", "t18_dsir_weights")
+    "t16_c4_clean", "t17_gopher_rules", "t18_dsir_weights",
+    "d17_bloom_increment")
 
   audited.foreach { name =>
     test(s"$name: no expensive expression inside a Filter") {
