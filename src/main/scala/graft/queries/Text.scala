@@ -1118,7 +1118,87 @@ object Text {
        |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** t19 — CONTENT-DEFINED CHUNKING (the rolling-hash boundary rule
+    * behind storage-level dedup and rsync/LBFS-style delta encoding,
+    * and the chunking FastCDC-family corpus pipelines use): a chunk
+    * boundary falls AFTER token i+3 wherever the t08 rolling window
+    * hash at position i satisfies `whs[i] % cdcMod == 0`. Unlike the
+    * fixed [[Dedup.paraSize]]-token grid (d15), CDC boundaries are a
+    * function of CONTENT alone — an insertion early in a document
+    * shifts every fixed-grid chunk but leaves all later CDC chunks
+    * (and their dedup hashes) intact.
+    *
+    * Per-document profile: chunk count, boundary density, mean/max
+    * chunk length — pure map-side array arithmetic over the already-
+    * fingerprinted token stream; the only shuffle is the oracle sort.
+    * Expected chunk length ≈ cdcMod tokens.
+    */
+  val cdcMod = 8
+
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    OptimizerBarrier.register(spark)
+    Tables.documents(spark, dir)
+      .withColumn("toks", tokens(lower(col("text"))))
+      .withColumn("fps", expr(
+        "optimizer_barrier(transform(toks, t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % 2147483647))"))
+      .filter(size(col("fps")) >= rollWindow)
+      .withColumn("whs", expr(rollExpr))
+      // boundary token positions: window i ends at token i+3; a
+      // boundary flush with the document end would cut an empty chunk
+      .withColumn("bpt", expr(
+        s"""filter(transform(sequence(1, size(whs)),
+           |  i -> CASE WHEN element_at(whs, i) % $cdcMod = 0
+           |    THEN i + ${rollWindow - 1} ELSE -1 END),
+           |  p -> p > 0 AND p < size(toks))""".stripMargin))
+      .withColumn("starts", expr("concat(array(0), bpt)"))
+      .withColumn("ends", expr("concat(bpt, array(size(toks)))"))
+      .withColumn("lens", expr("zip_with(ends, starts, (e, s) -> e - s)"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(col("lens")).as("n_chunks"),
+        Exact.round4(size(col("lens")).cast("double") /
+          size(col("toks"))).as("boundary_density"),
+        Exact.round4(size(col("toks")).cast("double") /
+          size(col("lens"))).as("mean_chunk_tokens"),
+        array_max(col("lens")).as("max_chunk_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val cdcChunksSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    list_transform(${tokensSql("lower(text)")},
+       |      t -> ${fp64Sql("t")} % 2147483647) AS fps
+       |  FROM documents
+       |), w AS (
+       |  SELECT doc_id, CAST(len(fps) AS INT) AS n_tokens, $rollSql AS whs
+       |  FROM f WHERE len(fps) >= $rollWindow
+       |), b AS (
+       |  SELECT doc_id, n_tokens,
+       |    list_filter(list_transform(range(1, len(whs) + 1),
+       |      i -> CASE WHEN whs[i] % $cdcMod = 0
+       |        THEN i + ${rollWindow - 1} ELSE -1 END),
+       |      p -> p > 0 AND p < n_tokens) AS bpt
+       |  FROM w
+       |), c AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(len(bpt) + 1 AS INT) AS n_chunks,
+       |    list_aggregate(list_transform(
+       |      range(1, len(bpt) + 2),
+       |      i -> (CASE WHEN i = len(bpt) + 1 THEN n_tokens ELSE bpt[i] END)
+       |         - (CASE WHEN i = 1 THEN 0 ELSE bpt[i - 1] END)), 'max')
+       |      AS max_chunk_tokens
+       |  FROM b)
+       |SELECT doc_id, n_tokens, n_chunks,
+       |  ${Exact.round4Sql("CAST(n_chunks AS DOUBLE) / n_tokens")} AS boundary_density,
+       |  ${Exact.round4Sql("CAST(n_tokens AS DOUBLE) / n_chunks")} AS mean_chunk_tokens,
+       |  max_chunk_tokens
+       |FROM c ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_cdc_chunks" -> cdcChunks _,
     "t18_dsir_weights" -> dsirWeights _,
     "t17_gopher_rules" -> gopherRules _,
     "t16_c4_clean" -> c4Clean _,
@@ -1140,6 +1220,7 @@ object Text {
   )
 
   def oracles: Map[String, String] = Map(
+    "t19_cdc_chunks" -> cdcChunksSql,
     "t18_dsir_weights" -> dsirWeightsSql,
     "t17_gopher_rules" -> gopherRulesSql,
     "t16_c4_clean" -> c4CleanSql,

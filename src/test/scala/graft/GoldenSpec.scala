@@ -39,7 +39,8 @@ class GoldenSpec extends AnyFunSuite {
     "d14_semantic_dedup", "t16_c4_clean", "t17_gopher_rules",
     "d15_paragraph_dedup", "d16_source_overlap", "s12_coarse_rerank",
     "t18_dsir_weights", "p05_curriculum_plan", "mm05_frame_sample",
-    "d17_bloom_increment", "r08_funnel", "r09_retention")
+    "d17_bloom_increment", "r08_funnel", "r09_retention",
+    "t19_cdc_chunks")
 
   private def render(df: DataFrame): Seq[String] = {
     val header = df.columns.mkString("\t")

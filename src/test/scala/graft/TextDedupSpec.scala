@@ -107,6 +107,28 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("t19 CDC chunks: internally consistent, boundaries content-driven") {
+    val out = Text.cdcChunks(spark, sfDir).cache()
+    val bad = out.filter(
+      col("n_chunks") < 1 || col("n_chunks") > col("n_tokens") ||
+        col("max_chunk_tokens") * col("n_chunks") < col("n_tokens") ||
+        col("boundary_density") =!= Exact.round4(
+          col("n_chunks").cast("double") / col("n_tokens")) ||
+        col("mean_chunk_tokens") =!= Exact.round4(
+          col("n_tokens").cast("double") / col("n_chunks")))
+      .count()
+    assert(bad === 0)
+    // content-defined: boundaries actually fire (not one chunk per
+    // doc) and are not the fixed grid (chunk counts vary at equal
+    // token counts)
+    assert(out.filter(col("n_chunks") > 1).count() > 0)
+    val varied = out.groupBy("n_tokens")
+      .agg(countDistinct("n_chunks").as("v"))
+      .filter(col("v") > 1).count()
+    assert(varied > 0, "chunk counts look like a fixed grid")
+    out.unpersist()
+  }
+
   test("d15 paragraph dedup: kept sums to distinct paragraphs, chunking exact") {
     val out = Dedup.paragraphDedup(spark, sfDir)
     // survivors across all docs = exactly one per distinct paragraph
