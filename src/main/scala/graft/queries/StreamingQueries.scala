@@ -270,7 +270,41 @@ object StreamingQueries {
        |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** w11 — STREAMING QUALITY GATE: the t17 Gopher rules evaluated at
+    * ingest time. Every metric is a map-side projection
+    * ([[Text.gopherMetrics]] — shared verbatim with the batch t17),
+    * so the gate is a fully STATELESS streaming transform: append
+    * mode, no watermark, no state store, each micro-batch scored
+    * independently. That is the production posture — quality
+    * verdicts attach to documents as they arrive, before any
+    * stateful dedup stage sees them. Output = per-doc verdict
+    * columns, hash-gated against the batch oracle (arrival order
+    * cannot matter for a stateless map).
+    */
+  def streamingQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_q")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("documents.parquet"), java.nio.file.Paths.get(path))
+    val schema = spark.read.parquet(path).schema
+    val gated = Text.gopherMetrics(
+      spark.readStream.schema(schema).parquet(streamDir.toString))
+      .select("doc_id", "n_words", "gopher_pass")
+    val q = gated.writeStream
+      .format("memory").queryName("w11_mem").outputMode("append").start()
+    try q.processAllAvailable()
+    finally { q.stop(); TempArtifacts.deleteNow(streamDir) }
+    spark.table("w11_mem").orderBy("doc_id")
+  }
+
+  /** Oracle: the verdict projection of t17's batch SQL. */
+  val streamingQualityGateSql: String =
+    s"""SELECT doc_id, n_words, gopher_pass
+       |FROM (${Text.gopherRulesSql})
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w11_streaming_quality" -> streamingQualityGate _,
     "w08_streaming_contamination" -> streamingContamination _,
     "w01_tumbling_hourly" -> tumblingHourly _,
     "w02_sliding_windows" -> slidingWindows _,
@@ -282,6 +316,7 @@ object StreamingQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "w11_streaming_quality" -> streamingQualityGateSql,
     "w08_streaming_contamination" -> streamingContaminationSql,
     "w07_streaming_dedup" -> streamingDedupSql,
     "w06_session_windows" -> sessionWindowsSql,

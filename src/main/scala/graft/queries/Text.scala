@@ -950,12 +950,17 @@ object Text {
     // document's mean past 10 while long documents absorb them
     (11, 3, Seq.fill(8)("x" * 25).mkString(" ")))
 
-  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+  /** The t17 metric block over any (doc_id, text) frame — shared with
+    * the streaming ingest gate (w11): every column is a map-side
+    * projection, so the same expressions run unchanged on a batch or
+    * a streaming scan.
+    */
+  private[graft] def gopherMetrics(docs: DataFrame): DataFrame = {
     val aug = concat_ws(" ",
       col("text") +: gopherTails.map { case (m, r, t) =>
         when(col("doc_id") % m === r, lit(t))
       }: _*)
-    Tables.documents(spark, dir)
+    docs
       .withColumn("toks", tokens(aug))
       .withColumn("n_words", size(col("toks")))
       .withColumn("mean_word_len", Exact.round4(
@@ -984,8 +989,10 @@ object Text {
       .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
         "alpha_ratio", "n_stop", "pass_words", "pass_word_len",
         "pass_symbol", "pass_alpha", "pass_stop", "gopher_pass")
-      .orderBy("doc_id")
   }
+
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherMetrics(Tables.documents(spark, dir)).orderBy("doc_id")
 
   val gopherRulesSql: String = {
     val tailSql = gopherTails.map { case (m, r, t) =>

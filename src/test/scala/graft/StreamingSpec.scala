@@ -98,4 +98,13 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
     assert(stream === batch)
   }
+
+  test("w11 streaming quality gate equals the batch t17 verdicts row-for-row") {
+    val s = StreamingQueries.streamingQualityGate(spark, sfDir)
+      .select("doc_id", "n_words", "gopher_pass")
+    val b = Text.gopherRules(spark, sfDir)
+      .select("doc_id", "n_words", "gopher_pass")
+    assert(s.exceptAll(b).count() === 0)
+    assert(b.exceptAll(s).count() === 0)
+  }
 }
