@@ -96,10 +96,11 @@ object Clustering {
     * caching the literal codebook they become.
     */
   private[graft] def assignedOn(
-      spark: SparkSession, key: String, qe: DataFrame): DataFrame = {
+      spark: SparkSession, key: String, qe: DataFrame,
+      k: Int = kClusters): DataFrame = {
     PqEncode.register(spark) // defensive: session may lack extensions
-    val cents = PlanMemo.cachedValue(spark, s"clustering.cents:$key") {
-      var c: Array[Array[Long]] = qe.orderBy("vec_id").limit(kClusters)
+    val cents = PlanMemo.cachedValue(spark, s"clustering.cents:$key:k$k") {
+      var c: Array[Array[Long]] = qe.orderBy("vec_id").limit(k)
         .select("q").collect()
         .map(_.getSeq[Long](0).toArray)
       for (_ <- 1 to lloydIters) {
@@ -167,10 +168,12 @@ object Clustering {
   // relational spelling (joins + window argmin) of the same exact
   // integer algorithm.
 
-  private[graft] def oracleCtes(src: String = "embeddings"): String = {
-    val k = kClusters
+  private[graft] def oracleCtes(src: String = "embeddings",
+      k: Int = kClusters, prefix: String = "",
+      includeQe: Boolean = true): String = {
+    val p = prefix
     val sb = new StringBuilder
-    sb.append(
+    if (includeQe) sb.append(
       s"""qe AS (
          |  SELECT vec_id, CAST(i AS INT) AS i,
          |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $quantScale) AS BIGINT) AS q
@@ -178,7 +181,9 @@ object Clustering {
          |    SELECT vec_id, embedding,
          |      unnest(range(1, len(embedding) + 1)) AS i
          |    FROM $src)
-         |), c0 AS (
+         |), """.stripMargin)
+    sb.append(
+      s"""${p}c0 AS (
          |  SELECT CAST(ROW_NUMBER() OVER (PARTITION BY i ORDER BY vec_id) - 1 AS INT) AS cid,
          |    i, q
          |  FROM qe
@@ -186,39 +191,39 @@ object Clustering {
          |)""".stripMargin)
     for (t <- 1 to lloydIters) {
       sb.append(s""",
-         |a$t AS (
+         |${p}a$t AS (
          |  SELECT e.vec_id, c.cid,
          |    SUM((e.q - c.q) * (e.q - c.q)) AS d
-         |  FROM qe e JOIN c${t - 1} c ON e.i = c.i
+         |  FROM qe e JOIN ${p}c${t - 1} c ON e.i = c.i
          |  GROUP BY e.vec_id, c.cid
-         |), b$t AS (
+         |), ${p}b$t AS (
          |  SELECT vec_id, cid, d FROM (
          |    SELECT vec_id, cid, d,
          |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-         |    FROM a$t)
+         |    FROM ${p}a$t)
          |  WHERE rn = 1
-         |), u$t AS (
+         |), ${p}u$t AS (
          |  SELECT b.cid, e.i,
          |    CAST(FLOOR(CAST(SUM(e.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS q
-         |  FROM qe e JOIN b$t b ON e.vec_id = b.vec_id
+         |  FROM qe e JOIN ${p}b$t b ON e.vec_id = b.vec_id
          |  GROUP BY b.cid, e.i
-         |), c$t AS (
+         |), ${p}c$t AS (
          |  SELECT p.cid, p.i, COALESCE(u.q, p.q) AS q
-         |  FROM c${t - 1} p LEFT JOIN u$t u ON u.cid = p.cid AND u.i = p.i
+         |  FROM ${p}c${t - 1} p LEFT JOIN ${p}u$t u ON u.cid = p.cid AND u.i = p.i
          |)""".stripMargin)
     }
     val T = lloydIters
     sb.append(s""",
-       |afin AS (
+       |${p}afin AS (
        |  SELECT e.vec_id, c.cid,
        |    SUM((e.q - c.q) * (e.q - c.q)) AS d
-       |  FROM qe e JOIN c$T c ON e.i = c.i
+       |  FROM qe e JOIN ${p}c$T c ON e.i = c.i
        |  GROUP BY e.vec_id, c.cid
-       | ), fin AS (
+       | ), ${p}fin AS (
        |  SELECT vec_id, cid AS cluster, CAST(d AS BIGINT) AS dist2 FROM (
        |    SELECT vec_id, cid, d,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-       |    FROM afin)
+       |    FROM ${p}afin)
        |  WHERE rn = 1
        |)""".stripMargin)
     sb.toString
@@ -243,13 +248,51 @@ object Clustering {
        |SELECT cluster, "rank", vec_id FROM r WHERE "rank" <= $centralQuota
        |ORDER BY cluster, "rank"""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** km04 — ELBOW CURVE: total inertia at k ∈ [[elbowKs]], the query
+    * that picks k before committing a clustering run (SemDeDup cell
+    * counts, IVF list counts). Each k trains its own fixed-round
+    * Lloyd centroids on the shared persisted lattice (memoized per
+    * (session, k) like km01's); the per-k total is one
+    * partial-combining sum, and the result is [[elbowKs]].size rows.
+    * Inertia is exact integer arithmetic end-to-end, so the curve is
+    * hash-gated against the unrolled-CTE oracle at every k.
+    */
+  val elbowKs = Seq(2, 4, 8)
+
+  def elbowCurve(spark: SparkSession, dir: String): DataFrame = {
+    val qe = quantizedPersisted(spark, dir)
+    elbowKs.map { k =>
+      assignedOn(spark, s"clustering:$dir", qe, k)
+        .agg(
+          sum("dist2").as("inertia"),
+          countDistinct("cluster").as("clusters_used"))
+        .select(lit(k).as("k"), col("inertia"), col("clusters_used"))
+    }.reduce(_ unionAll _).orderBy("k")
+  }
+
+  val elbowCurveSql: String = {
+    val blocks = elbowKs.zipWithIndex.map { case (k, i) =>
+      oracleCtes("embeddings", k, s"k${k}_", includeQe = i == 0)
+    }.mkString(",\n")
+    val selects = elbowKs.map { k =>
+      s"""SELECT $k AS k, CAST(SUM(dist2) AS BIGINT) AS inertia,
+         |  CAST(COUNT(DISTINCT cluster) AS BIGINT) AS clusters_used
+         |FROM k${k}_fin""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $blocks
+       |SELECT * FROM ($selects) ORDER BY k""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "km04_elbow_curve" -> elbowCurve _,
     "km01_kmeans_assign" -> kmeansAssign _,
     "km02_kmeans_profile" -> kmeansProfile _,
     "km03_central_sample" -> centralSample _
   )
 
   def oracles: Map[String, String] = Map(
+    "km04_elbow_curve" -> elbowCurveSql,
     "km01_kmeans_assign" -> kmeansAssignSql,
     "km02_kmeans_profile" -> kmeansProfileSql,
     "km03_central_sample" -> centralSampleSql

@@ -94,4 +94,19 @@ class ClusteringSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
     assert(actual === expected)
   }
+
+  test("km04 elbow: inertia never increases with k, every centroid used") {
+    val rows = Clustering.elbowCurve(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq === Clustering.elbowKs)
+    rows.foreach(r => assert(r.getLong(2) === r.getInt(0),
+      s"k=${r.getInt(0)} left centroids empty"))
+    rows.map(_.getLong(1)).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b, s"inertia rose with k: $a -> $b")
+      case _ =>
+    }
+    // the k=8 point restates km02's total inertia (same centroids)
+    val km02 = Clustering.kmeansProfile(spark, sfDir)
+      .agg(sum("inertia")).head().getLong(0)
+    assert(rows.last.getLong(1) === km02)
+  }
 }
