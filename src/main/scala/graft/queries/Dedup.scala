@@ -1174,7 +1174,7 @@ object Dedup {
     * backed, so its blocks survive a Bench/Verify `clearCache`; the
     * memo's re-persist is a cheap extra safety net on top.
     */
-  private def ccLabels(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def ccLabels(spark: SparkSession, dir: String): DataFrame =
     PlanMemo.cached(spark, s"dedup.ccLabels:$dir")(
       connectedComponents(jaccardPairs(spark, dir).select("d1", "d2")))
 

@@ -296,7 +296,97 @@ object Packing {
        |    AS cum_tokens
        |FROM plan ORDER BY stage""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** p06 — LEAKAGE-FREE EVAL SPLITS: assign train/val/test by a hash
+    * of the near-dup CLUSTER id (d08's connected components), so
+    * every member of a duplicate family lands in the same split —
+    * the production discipline that keeps paraphrases of training
+    * documents out of the eval set. The naive doc_id-hash split is
+    * computed alongside, and the query REPORTS the difference: the
+    * number of verified near-dup pairs that straddle splits is 0 for
+    * the cluster scheme by construction, and materially positive for
+    * the naive scheme on the same corpus.
+    *
+    * Scale shape: split assignment is one hash per doc (map-side
+    * after the cluster join); the leakage audit joins the bounded
+    * pair set (≪ corpus) against the split map twice, keyed by
+    * doc_id. Hash math is the shared [[Text.fp64]] recipe, identical
+    * in both engines.
+    */
+  val splitBuckets = 10 // 0–7 train, 8 val, 9 test
+
+  private def splitName(b: org.apache.spark.sql.Column) =
+    when(b <= 7, "train").when(b === 8, "val").otherwise("test")
+
+  def leakageSplits(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val labels = Dedup.ccLabels(spark, dir)
+      .select(col("node").as("doc_id"), col("lbl"))
+    val sp = docs.join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("lbl"), col("doc_id")))
+      .select(col("doc_id"),
+        splitName(pmod(Text.fp64(col("cluster").cast("string")),
+          lit(splitBuckets.toLong))).as("s_cluster"),
+        splitName(pmod(Text.fp64(col("doc_id").cast("string")),
+          lit(splitBuckets.toLong))).as("s_naive"))
+    val pairs = Dedup.jaccardPairs(spark, dir).select("d1", "d2")
+    def leaked(scheme: String) = pairs
+      .join(sp.select(col("doc_id").as("d1"), col(scheme).as("sa")), "d1")
+      .join(sp.select(col("doc_id").as("d2"), col(scheme).as("sb")), "d2")
+      .filter(col("sa") =!= col("sb"))
+      .agg(count(lit(1)).as("leaked_pairs"))
+    def counts(scheme: String, name: String) = sp
+      .groupBy(col(scheme).as("split"))
+      .agg(count(lit(1)).as("docs"))
+      .select(lit(name).as("scheme"), col("split"), col("docs"))
+      .crossJoin(broadcast(leaked(scheme)))
+    counts("s_cluster", "cluster").unionAll(counts("s_naive", "naive"))
+      .orderBy("scheme", "split")
+  }
+
+  val leakageSplitsSql: String = {
+    def splitCase(e: String) =
+      s"""CASE WHEN ${Text.fp64Sql(e)} % $splitBuckets <= 7 THEN 'train'
+         |WHEN ${Text.fp64Sql(e)} % $splitBuckets = 8 THEN 'val'
+         |ELSE 'test' END""".stripMargin
+    s"""WITH RECURSIVE ${Dedup.jaccardPairsCteSql},
+       |edges AS (
+       |  SELECT d1 AS a, d2 AS b FROM pairs
+       |  UNION ALL SELECT d2, d1 FROM pairs
+       |), reach AS (
+       |  SELECT a AS node, a AS lbl FROM edges
+       |  UNION
+       |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+       |), cc AS (
+       |  SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+       |), sp AS (
+       |  SELECT d.doc_id,
+       |    ${splitCase("CAST(COALESCE(cc.cluster_id, d.doc_id) AS VARCHAR)")}
+       |      AS s_cluster,
+       |    ${splitCase("CAST(d.doc_id AS VARCHAR)")} AS s_naive
+       |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+       |), lc AS (
+       |  SELECT COUNT(*) AS leaked_pairs FROM pairs p
+       |  JOIN sp a ON a.doc_id = p.d1 JOIN sp b ON b.doc_id = p.d2
+       |  WHERE a.s_cluster <> b.s_cluster
+       |), ln AS (
+       |  SELECT COUNT(*) AS leaked_pairs FROM pairs p
+       |  JOIN sp a ON a.doc_id = p.d1 JOIN sp b ON b.doc_id = p.d2
+       |  WHERE a.s_naive <> b.s_naive
+       |)
+       |SELECT * FROM (
+       |  SELECT 'cluster' AS scheme, s_cluster AS split, COUNT(*) AS docs,
+       |    (SELECT leaked_pairs FROM lc) AS leaked_pairs
+       |  FROM sp GROUP BY s_cluster
+       |  UNION ALL
+       |  SELECT 'naive', s_naive, COUNT(*),
+       |    (SELECT leaked_pairs FROM ln)
+       |  FROM sp GROUP BY s_naive)
+       |ORDER BY scheme, split""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p06_leakage_splits" -> leakageSplits _,
     "p05_curriculum_plan" -> curriculumPlan _,
     "p01_pack_chunks" -> packChunks _,
     "p02_pack_profile" -> packProfile _,
@@ -305,6 +395,7 @@ object Packing {
   )
 
   def oracles: Map[String, String] = Map(
+    "p06_leakage_splits" -> leakageSplitsSql,
     "p05_curriculum_plan" -> curriculumPlanSql,
     "p01_pack_chunks" -> packChunksSql,
     "p02_pack_profile" -> packProfileSql,

@@ -40,7 +40,8 @@ class GoldenSpec extends AnyFunSuite {
     "d15_paragraph_dedup", "d16_source_overlap", "s12_coarse_rerank",
     "t18_dsir_weights", "p05_curriculum_plan", "mm05_frame_sample",
     "d17_bloom_increment", "r08_funnel", "r09_retention",
-    "t19_cdc_chunks", "km04_elbow_curve", "w11_streaming_quality")
+    "t19_cdc_chunks", "km04_elbow_curve", "w11_streaming_quality",
+    "p06_leakage_splits")
 
   private def render(df: DataFrame): Seq[String] = {
     val header = df.columns.mkString("\t")

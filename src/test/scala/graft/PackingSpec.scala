@@ -90,6 +90,19 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("p06 splits: cluster scheme leaks zero pairs, partitions the corpus") {
+    val rows = Packing.leakageSplits(spark, sfDir).collect()
+    val total = Tables.documents(spark, sfDir).count()
+    Seq("cluster", "naive").foreach { scheme =>
+      val rs = rows.filter(_.getString(0) == scheme)
+      assert(rs.map(_.getLong(2)).sum === total, s"$scheme splits lose docs")
+    }
+    // the guarantee the operator exists for: a near-dup pair can
+    // never straddle splits when the split key is the cluster id
+    rows.filter(_.getString(0) == "cluster")
+      .foreach(r => assert(r.getLong(3) === 0, "cluster scheme leaked"))
+  }
+
   test("profile conserves tokens and bounds the tail chunk") {
     val prof = Packing.packProfile(spark, sfDir).collect()
     prof.foreach { r =>
