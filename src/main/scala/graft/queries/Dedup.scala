@@ -1405,7 +1405,8 @@ object Dedup {
     */
   val maxParaSources = 50
 
-  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+  /** The d16 pair set without its presentation sort — d18's graph. */
+  private def overlapPairs(spark: SparkSession, dir: String): DataFrame = {
     val posting = paraHashes(spark, dir)
       .groupBy("px")
       .agg(collect_set(col("source")).as("srcs"))
@@ -1416,21 +1417,119 @@ object Dedup {
       .filter(col("sa") < col("sb"))
       .groupBy("sa", "sb")
       .agg(count(lit(1)).as("shared_paras"))
-      .orderBy("sa", "sb")
   }
 
-  val sourceOverlapSql: String =
-    s"""WITH $paraCteSql,
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    overlapPairs(spark, dir).orderBy("sa", "sb")
+
+  /** Shared DuckDB CTE block: `ov(sa, sb, shared_paras)` — d16's pair
+    * set, reused as d18's edge list.
+    */
+  private val overlapCteSql: String =
+    s"""$paraCteSql,
        |sp AS (
        |  SELECT DISTINCT px, source FROM para
        |), cap AS (
        |  SELECT px FROM sp GROUP BY px
        |  HAVING COUNT(*) BETWEEN 2 AND $maxParaSources
-       |)
-       |SELECT a.source AS sa, b.source AS sb, COUNT(*) AS shared_paras
-       |FROM sp a JOIN sp b USING (px) JOIN cap USING (px)
-       |WHERE a.source < b.source
-       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+       |), ov AS (
+       |  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS shared_paras
+       |  FROM sp a JOIN sp b USING (px) JOIN cap USING (px)
+       |  WHERE a.source < b.source
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+
+  val sourceOverlapSql: String =
+    s"""WITH $overlapCteSql
+       |SELECT sa, sb, shared_paras FROM ov ORDER BY sa, sb""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** d18 — SOURCE PAGERANK over the shared-content graph: which
+    * sources sit at the center of the corpus's duplication structure
+    * (a scrape hub shares content with everyone; an original source
+    * with few). Weighted PageRank over d16's overlap edges, fixed
+    * [[prIters]] power iterations with damping [[prDamp]] — the
+    * GraphX/Pregel recipe expressed as joins, like d08's connected
+    * components.
+    *
+    * Determinism: ranks are integers scaled by 10¹²; each edge
+    * contribution floors `0.85 · r · w / wsum` once (identical IEEE
+    * double sequence in both engines), and everything else is
+    * integer sums — aggregation-order independent, so the 5-round
+    * fixpoint is hash-gated against a fully UNROLLED CTE oracle.
+    *
+    * Scale shape: per round, one equi join (edges ⋈ ranks, keyed by
+    * source) + one partial-combining sum; the shuffle carries
+    * (source, rank) pairs. Rounds are fixed, the loop eagerly
+    * localCheckpoints (the d08 lineage discipline).
+    */
+  val prDamp = 0.85
+  val prIters = 5
+  val prScale = 1000000000000L
+
+  def sourceRank(spark: SparkSession, dir: String): DataFrame = {
+    val ov = overlapPairs(spark, dir)
+    val edges = ov.select(col("sa").as("u"), col("sb").as("v"),
+        col("shared_paras").as("w"))
+      .unionAll(ov.select(col("sb").as("u"), col("sa").as("v"),
+        col("shared_paras").as("w")))
+    val ew = edges
+      .join(edges.groupBy("u").agg(sum("w").as("wsum")), "u")
+      .localCheckpoint()
+    val nodes = ew.select("u").distinct().localCheckpoint()
+    val n = nodes.count()
+    val base = math.floor(0.15 * prScale / n).toLong
+    var r = nodes.withColumn("r", lit(prScale / n))
+    for (_ <- 1 to prIters) {
+      val contrib = ew.join(r, "u")
+        .select(col("v").as("u"), expr(
+          s"CAST(FLOOR($prDamp * r * w / wsum) AS BIGINT)").as("c"))
+        .groupBy("u").agg(sum("c").as("cs"))
+      r = nodes.join(contrib, Seq("u"), "left")
+        .select(col("u"),
+          (lit(base) + coalesce(col("cs"), lit(0L))).as("r"))
+        .localCheckpoint()
+    }
+    r.select(col("u").as("source"), col("r").as("rank_e12"))
+      .orderBy(desc("rank_e12"), col("source"))
+  }
+
+  val sourceRankSql: String = {
+    val iters = (1 to prIters).map { t =>
+      s"""c$t AS (
+         |  SELECT ew.v AS u,
+         |    CAST(SUM(CAST(FLOOR($prDamp * r.r * ew.w / ew.wsum) AS BIGINT)) AS BIGINT)
+         |      AS cs
+         |  FROM ew JOIN r${t - 1} r ON ew.u = r.u
+         |  GROUP BY ew.v
+         |), r$t AS (
+         |  SELECT d.u,
+         |    CAST(FLOOR(0.15 * $prScale / n.n) AS BIGINT)
+         |      + COALESCE(c$t.cs, 0) AS r
+         |  FROM nodes d CROSS JOIN n LEFT JOIN c$t ON c$t.u = d.u
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $overlapCteSql,
+       |e AS (
+       |  SELECT sa AS u, sb AS v, shared_paras AS w FROM ov
+       |  UNION ALL
+       |  SELECT sb, sa, shared_paras FROM ov
+       |), ew AS (
+       |  SELECT e.u, e.v, e.w, ws.wsum
+       |  FROM e JOIN (SELECT u, SUM(w) AS wsum FROM e GROUP BY u) ws
+       |    ON e.u = ws.u
+       |), nodes AS (
+       |  SELECT DISTINCT u FROM ew
+       |), n AS (
+       |  SELECT COUNT(*) AS n FROM nodes
+       |), r0 AS (
+       |  SELECT u, CAST($prScale // n.n AS BIGINT) AS r
+       |  FROM nodes CROSS JOIN n
+       |),
+       |$iters
+       |SELECT u AS source, r AS rank_e12 FROM r$prIters
+       |ORDER BY rank_e12 DESC, source""".stripMargin
+  }
 
   // ---------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1451,6 +1550,7 @@ object Dedup {
     "d15_paragraph_dedup" -> paragraphDedup _,
     "d16_source_overlap" -> sourceOverlap _,
     "d17_bloom_increment" -> bloomIncrementalDedup _,
+    "d18_source_rank" -> sourceRank _,
     "w10_streaming_increment" -> streamingIncrementalDedup _
   )
 
@@ -1473,6 +1573,7 @@ object Dedup {
     "d16_source_overlap" -> sourceOverlapSql,
     // the bloom prefilter cannot change verdicts → d13's oracle
     "d17_bloom_increment" -> incrementalDedupSql,
+    "d18_source_rank" -> sourceRankSql,
     // arrival order cannot change per-doc verdicts → d13's oracle
     "w10_streaming_increment" -> incrementalDedupSql
   )

@@ -152,6 +152,25 @@ class TextDedupSpec extends AnyFunSuite {
     assert(badChunks === 0)
   }
 
+  test("d18 source rank: probability mass conserved, graph nodes covered") {
+    val ranks = Dedup.sourceRank(spark, sfDir).collect()
+    val nodes = Dedup.sourceOverlap(spark, sfDir)
+      .select(explode(array(col("sa"), col("sb"))).as("s"))
+      .distinct().count()
+    assert(ranks.length === nodes)
+    ranks.foreach(r => assert(r.getLong(1) > 0))
+    // each round floors once per edge+once per node, so total mass
+    // drifts below 1.0 by at most ~(edges + nodes) ulps of 1e-12
+    val sum = ranks.map(_.getLong(1)).sum
+    assert(sum <= Dedup.prScale)
+    assert(sum >= Dedup.prScale - 1000L * Dedup.prIters)
+    // presentation order is rank-descending
+    ranks.map(_.getLong(1)).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b)
+      case _ =>
+    }
+  }
+
   test("d16 source overlap: ordered pairs, bounded by the smaller side") {
     val overlap = Dedup.sourceOverlap(spark, sfDir)
     assert(overlap.filter(col("sa") >= col("sb") || col("shared_paras") < 1)
