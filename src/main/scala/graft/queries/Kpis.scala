@@ -357,7 +357,44 @@ object Kpis {
     SqlSurface.run(spark, Tables.events(spark, dir), "taxi", q19Sql)
 
   // ---------------------------------------------------------------
+  // ---------------------------------------------------------------
+  /** q21 — PIVOT: the dow × payment trip-count matrix in WIDE form
+    * via `RelationalGroupedDataset.pivot` — the one core DataFrame
+    * reshaping API the q-family didn't yet exercise (q09 is the same
+    * data tall). The pivot VALUES are passed explicitly, which is
+    * also the 100 TB posture: an unlisted-values pivot runs an extra
+    * distinct scan just to learn the column set.
+    */
+  val pivotPayments = Seq("click", "error", "purchase", "signup", "view")
+
+  def pivotMatrix(spark: SparkSession, dir: String): DataFrame =
+    trips(spark, dir)
+      .groupBy(col("pickup_dow_iso").as("dow"))
+      .pivot("event_type", pivotPayments)
+      .agg(count(lit(1)))
+      .na.fill(0L, pivotPayments)
+      .orderBy("dow")
+
+  /** q22 — ROLLUP: per-(dow, payment) trip counts and exact revenue
+    * with subtotal and grand-total rows (`rollup` + `grouping_id`) —
+    * the grouping-sets surface, cross-checked against DuckDB's
+    * native GROUP BY ROLLUP. Null ordering is pinned explicitly on
+    * both sides (Spark defaults NULLS FIRST on ASC, DuckDB NULLS
+    * LAST).
+    */
+  def rollupSummary(spark: SparkSession, dir: String): DataFrame =
+    trips(spark, dir)
+      .rollup(col("pickup_dow_iso").as("dow"),
+        col("event_type").as("payment"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("trips"),
+        Exact.sumMoney(col("total_amount")).as("revenue"))
+      .select("gid", "dow", "payment", "trips", "revenue")
+      .orderBy(col("gid"), col("dow").asc_nulls_first,
+        col("payment").asc_nulls_first)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_pivot_matrix" -> pivotMatrix _,
+    "q22_rollup_summary" -> rollupSummary _,
     "q01_trips_per_day" -> tripsPerDay _,
     "q02_trips_per_hour" -> tripsPerHour _,
     "q03_payment_dist" -> paymentDist _,
@@ -381,6 +418,19 @@ object Kpis {
   )
 
   def oracles: Map[String, String] = Map(
+    "q21_pivot_matrix" ->
+      s"""$fc SELECT pickup_dow_iso AS dow,
+         |${pivotPayments.map(p =>
+             s"""COUNT(*) FILTER (WHERE event_type = '$p') AS "$p"""")
+             .mkString(",\n")}
+         |FROM trips2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q22_rollup_summary" ->
+      s"""$fc SELECT GROUPING(pickup_dow_iso, event_type) AS gid,
+         |pickup_dow_iso AS dow, event_type AS payment,
+         |COUNT(*) AS trips,
+         |CAST(SUM(CAST(floor((total_amount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+         |FROM trips2 GROUP BY ROLLUP (pickup_dow_iso, event_type)
+         |ORDER BY gid, dow ASC NULLS FIRST, payment ASC NULLS FIRST""".stripMargin,
     "q01_trips_per_day" ->
       s"""$fc SELECT pickup_day AS day, COUNT(*) AS trips,
          |floor(SUM(CAST(floor((trip_distance) * 100 + 0.5) AS BIGINT)) / COUNT(*) + 0.5) / 100.0 AS avg_distance,

@@ -41,7 +41,8 @@ class GoldenSpec extends AnyFunSuite {
     "t18_dsir_weights", "p05_curriculum_plan", "mm05_frame_sample",
     "d17_bloom_increment", "r08_funnel", "r09_retention",
     "t19_cdc_chunks", "km04_elbow_curve", "w11_streaming_quality",
-    "p06_leakage_splits", "d18_source_rank")
+    "p06_leakage_splits", "d18_source_rank",
+    "q21_pivot_matrix", "q22_rollup_summary")
 
   private def render(df: DataFrame): Seq[String] = {
     val header = df.columns.mkString("\t")
