@@ -495,7 +495,136 @@ object Multimodal {
        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, px_sum
        |FROM s ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** One resampled clip: original and downsampled frame counts +
+    * amplitude sums, both read back through the codec.
+    */
+  case class ResampleFeatures(
+      doc_id: Long, orig_rate: Long, res_rate: Long,
+      orig_frames: Long, res_frames: Long,
+      orig_amp_sum: Long, res_amp_sum: Long)
+
+  /** mm06 — AUDIO RESAMPLING (rate conversion by decimation): the
+    * remaining audio primitive after mm04's decode — a training
+    * pipeline normalizes every clip to one sample rate before
+    * feature extraction. The stage decodes the mm04-style WAV,
+    * keeps every [[resampleFactor]]-th PCM16 frame, re-encodes a
+    * REAL WAV container at the reduced rate, and then decodes THAT
+    * container for the reported features — so the hash covers two
+    * full encode/decode trips plus the decimation arithmetic.
+    * (Decimation without an anti-alias filter is the deliberately
+    * deterministic choice here; an FIR low-pass would be float
+    * arithmetic with engine-specific rounding.)
+    *
+    * Same batch-codec shape as mm03–mm05: partition-preserving
+    * mapPartitions, payloads never shuffle.
+    */
+  val resampleFactor = 2
+
+  def audioResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val outRate = wavSampleRate / resampleFactor
+    val decoded = Tables.balanced(
+        Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
+      .mapPartitions { it =>
+        val fmt = new javax.sound.sampled.AudioFormat(
+          wavSampleRate, 16, 1, true, false)
+        it.map { id =>
+          val n = (256 + id % 512).toInt
+          val bytes = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = (((id * 7 + i * 31) % 65536) - 32768).toInt
+            bytes(2 * i) = (s & 0xff).toByte
+            bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          WavCodec.writer.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .mapPartitions { it =>
+        val outFmt = new javax.sound.sampled.AudioFormat(
+          outRate, 16, 1, true, false)
+        it.map { case (id, payload) =>
+          // decode the original container
+          val ais = WavCodec.reader.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val origRate = ais.getFormat.getSampleRate.toLong
+          val origFrames = ais.getFrameLength
+          val raw = ais.readAllBytes()
+          var origSum = 0L
+          var i = 0
+          while (i < raw.length - 1) {
+            origSum += ((raw(i) & 0xff) | (raw(i + 1) << 8)).toShort.toLong
+            i += 2
+          }
+          // decimate + re-encode a real container at the new rate
+          val frames = raw.length / 2
+          val kept = (frames + resampleFactor - 1) / resampleFactor
+          val res = new Array[Byte](kept * 2)
+          var f = 0
+          var o = 0
+          while (f < raw.length / 2) {
+            if (f % resampleFactor == 0) {
+              res(2 * o) = raw(2 * f)
+              res(2 * o + 1) = raw(2 * f + 1)
+              o += 1
+            }
+            f += 1
+          }
+          val resAis = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(res), outFmt, kept.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          WavCodec.writer.write(resAis,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          // decode the RESAMPLED container for the reported features
+          val back = WavCodec.reader.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          val resRate = back.getFormat.getSampleRate.toLong
+          val resFrames = back.getFrameLength
+          val resRaw = back.readAllBytes()
+          var resSum = 0L
+          i = 0
+          while (i < resRaw.length - 1) {
+            resSum += ((resRaw(i) & 0xff) | (resRaw(i + 1) << 8)).toShort.toLong
+            i += 2
+          }
+          ResampleFeatures(id, origRate, resRate, origFrames, resFrames,
+            origSum, resSum)
+        }
+      }
+    decoded.toDF().orderBy("doc_id")
+  }
+
+  /** Oracle: both waveforms regenerated arithmetically. */
+  val audioResampleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, 256 + doc_id % 512 AS n FROM documents
+       |), s AS (
+       |  SELECT doc_id, n,
+       |    CAST(SUM((doc_id * 7 + i * 31) % 65536 - 32768) AS BIGINT) AS orig_amp_sum,
+       |    CAST(SUM(CASE WHEN i % $resampleFactor = 0
+       |      THEN (doc_id * 7 + i * 31) % 65536 - 32768 ELSE 0 END) AS BIGINT)
+       |      AS res_amp_sum
+       |  FROM d, range(0, 768) r(i)
+       |  WHERE i < n
+       |  GROUP BY doc_id, n)
+       |SELECT doc_id,
+       |  ${wavSampleRate.toLong} AS orig_rate,
+       |  ${(wavSampleRate / resampleFactor).toLong} AS res_rate,
+       |  n AS orig_frames,
+       |  CAST((n + ${resampleFactor - 1}) // $resampleFactor AS BIGINT) AS res_frames,
+       |  orig_amp_sum, res_amp_sum
+       |FROM s ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm06_audio_resample" -> audioResample _,
     "mm05_frame_sample" -> frameSample _,
     "mm01_media_stats" -> mediaStats _,
     "mm02_feature_rollup" -> featureRollup _,
@@ -504,6 +633,7 @@ object Multimodal {
   )
 
   def oracles: Map[String, String] = Map(
+    "mm06_audio_resample" -> audioResampleSql,
     "mm05_frame_sample" -> frameSampleSql,
     "mm01_media_stats" -> mediaStatsSql,
     "mm02_feature_rollup" -> featureRollupSql,

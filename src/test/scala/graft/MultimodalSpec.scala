@@ -103,4 +103,18 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getLong(5) === expect)
     }
   }
+
+  test("mm06 resample halves the rate and keeps the decimated samples") {
+    val rows = Multimodal.audioResample(spark, sfDir).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) === 8000L && r.getLong(2) === 4000L)
+      val n = 256 + id % 512
+      assert(r.getLong(3) === n)
+      assert(r.getLong(4) === (n + 1) / Multimodal.resampleFactor)
+      val expect = (0L until n).filter(_ % 2 == 0)
+        .map(i => (id * 7 + i * 31) % 65536 - 32768).sum
+      assert(r.getLong(6) === expect)
+    }
+  }
 }
