@@ -294,7 +294,70 @@ object IoQueries {
        |FROM k GROUP BY zbucket ORDER BY zbucket""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  /** c06 — CORPUS CARD: the one-row dataset summary a corpus release
+    * ships (docs/tokens/languages/sources, order-independent mean
+    * quality, the near-dup footprint, and the duplicate-paragraph
+    * rate). Every number is a reuse of an already-gated family
+    * pipeline — the pair set and paragraph hashes come from the
+    * session memos, so the card costs one pass over each cached
+    * artifact plus tiny broadcast joins of 1-row aggregates.
+    */
+  def corpusCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.agg(
+      count(lit(1)).as("docs"),
+      sum(size(Text.tokens(lower(col("text")))).cast("long"))
+        .as("total_tokens"),
+      countDistinct("lang").as("n_langs"),
+      countDistinct("source").as("n_sources"))
+    val quality = Text.qualityScores(spark, dir).agg(
+      Exact.round4(
+        sum(floor(col("quality_score") * 10000 + lit(0.5)).cast("long"))
+          .cast("double") / (count(lit(1)) * 10000.0)).as("mean_quality"))
+    val pairs = Dedup.ngramJaccard(spark, dir)
+    val nearDup = pairs.agg(count(lit(1)).as("neardup_pairs"))
+    val nearDocs = pairs.select(explode(array(col("d1"), col("d2"))).as("d"))
+      .agg(countDistinct("d").as("neardup_docs"))
+    val paraRate = Dedup.paragraphDedup(spark, dir).agg(
+      Exact.round4(lit(1.0) -
+        sum("n_kept").cast("double") / sum("n_paras")).as("dup_para_rate"))
+    base.crossJoin(broadcast(quality))
+      .crossJoin(broadcast(nearDup))
+      .crossJoin(broadcast(nearDocs))
+      .crossJoin(broadcast(paraRate))
+  }
+
+  val corpusCardSql: String =
+    s"""WITH RECURSIVE ${Dedup.jaccardPairsCteSql},
+       |base AS (
+       |  SELECT COUNT(*) AS docs,
+       |    CAST(SUM(len(${Text.tokensSql("lower(text)")})) AS BIGINT)
+       |      AS total_tokens,
+       |    COUNT(DISTINCT lang) AS n_langs,
+       |    COUNT(DISTINCT source) AS n_sources
+       |  FROM documents
+       |), q AS (
+       |  SELECT ${Exact.round4Sql(
+            "CAST(SUM(CAST(FLOOR(quality_score * 10000 + 0.5) AS BIGINT)) AS DOUBLE)" +
+            " / (COUNT(*) * 10000.0)")} AS mean_quality
+       |  FROM (${Text.qualityScoresSql})
+       |), np AS (
+       |  SELECT COUNT(*) AS neardup_pairs FROM pairs
+       |), nd AS (
+       |  SELECT COUNT(DISTINCT d) AS neardup_docs FROM (
+       |    SELECT d1 AS d FROM pairs UNION ALL SELECT d2 FROM pairs)
+       |), pr AS (
+       |  SELECT ${Exact.round4Sql(
+            "1.0 - CAST(SUM(n_kept) AS DOUBLE) / SUM(n_paras)")} AS dup_para_rate
+       |  FROM (${Dedup.paragraphDedupSql})
+       |)
+       |SELECT docs, total_tokens, n_langs, n_sources, mean_quality,
+       |  neardup_pairs, neardup_docs, dup_para_rate
+       |FROM base CROSS JOIN q CROSS JOIN np CROSS JOIN nd CROSS JOIN pr""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c06_corpus_card" -> corpusCard _,
     "c01_csv_roundtrip" -> csvRoundTrip _,
     "c02_safe_display" -> safeDisplay _,
     "c03_rand_sample" -> randSample _,
@@ -303,6 +366,7 @@ object IoQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "c06_corpus_card" -> corpusCardSql,
     "c01_csv_roundtrip" -> csvRoundTripSql,
     "c02_safe_display" -> safeDisplaySql,
     // c03 rows-only: rand(seed) is partition-dependent by design

@@ -185,4 +185,17 @@ class IoSpec extends AnyFunSuite {
       assert(zA * 2 < tA, s"z-order area $zA vs time-sorted $tA")
     } finally TempArtifacts.deleteNow(base)
   }
+
+  test("c06 corpus card restates its source pipelines") {
+    val card = IoQueries.corpusCard(spark, sfDir).head()
+    assert(card.getLong(card.fieldIndex("docs")) ===
+      Tables.documents(spark, sfDir).count())
+    val pairs = Dedup.ngramJaccard(spark, sfDir).count()
+    assert(card.getLong(card.fieldIndex("neardup_pairs")) === pairs)
+    // each pair involves 2 docs; sharing makes the doc set smaller
+    val nd = card.getLong(card.fieldIndex("neardup_docs"))
+    assert(nd >= (if (pairs > 0) 2L else 0L) && nd <= 2 * pairs)
+    val rate = card.getDouble(card.fieldIndex("dup_para_rate"))
+    assert(rate >= 0.0 && rate < 1.0)
+  }
 }
