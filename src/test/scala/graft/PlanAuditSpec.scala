@@ -37,7 +37,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // round-7 md5/HOF-heavy additions
     "d14_semantic_dedup", "d15_paragraph_dedup", "d16_source_overlap",
     "t16_c4_clean", "t17_gopher_rules", "t18_dsir_weights",
-    "d17_bloom_increment")
+    "d17_bloom_increment", "t19_cdc_chunks", "d18_source_rank",
+    "p06_leakage_splits", "c06_corpus_card")
 
   audited.foreach { name =>
     test(s"$name: no expensive expression inside a Filter") {
