@@ -154,7 +154,8 @@ object Shell {
     spark.sparkContext.setLogLevel("ERROR")
     val session = new AppSession(spark, sfDir)
     println("graft shell — commands: preview [n] | summary | sql <q> | " +
-      "kpis | report <dir> | plots <dir> | upload <csvPath> | sample | quit")
+      "kpis | report <dir> | plots <dir> | upload <csvPath> | sample | " +
+      "list [prefix] | run <query> | quit")
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
     var live = true
     while (live) {
@@ -185,6 +186,15 @@ object Shell {
           println(s"CSV loaded and enriched (${df.count()} rows).")
         case "sample" =>
           println(s"project sample (${session.useProjectSample().count()} rows)")
+        case "list" => // the full library surface, by optional prefix
+          SparkEntry.queries.keys.toSeq.sorted
+            .filter(_.startsWith(rest)).foreach(println)
+        case "run" => // any registered query against this session's sfDir
+          SparkEntry.queries.get(rest) match {
+            case Some(fn) => fn(spark, sfDir).show(50, truncate = false)
+            case None => println(
+              s"unknown query: $rest (try `list` for the registry)")
+          }
         case other => println(s"unknown command: $other")
       } catch { case e: Exception => println(s"error: ${e.getMessage}") }
     }
