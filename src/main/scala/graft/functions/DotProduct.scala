@@ -115,5 +115,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       NfcNormalize.builder))
     e.injectFunction((PqEncode.fnId, PqEncode.info, PqEncode.builder))
     e.injectFunction((BloomProbe.fnId, BloomProbe.info, BloomProbe.builder))
+    e.injectFunction((graft.plans.AsOfLE.fnId, graft.plans.AsOfLE.info,
+      graft.plans.AsOfLE.builder))
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -160,6 +160,30 @@ object Temporal {
       |    * 10000 + 0.5) / 10000.0 AS conversion
       |FROM counts ORDER BY step""".stripMargin
 
+  /** r10 — the r06 as-of join through the NATIVE physical operator
+    * ([[graft.plans.AsOfJoinExec]]): key-clustered, (key, ts)-sorted
+    * children stream-merged with O(1) state — one exchange per side,
+    * no union, no window buffer. Same answer as r06 by construction,
+    * so it shares r06's DuckDB native-ASOF oracle; the plan shape
+    * (AsOfJoinExec present, no Window) is pinned in
+    * TemporalJoinsSpec.
+    */
+  def asofJoinNative(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.AsOfJoinStrategy.install(spark) // idempotent
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_uid"), col("ts").as("pts"))
+      .agg(max("value").as("pval"))
+    clicks.join(purchases,
+        col("user_id") === col("p_uid") && expr("asof_le(ts, pts)"),
+        "left_outer")
+      .select(col("event_id"), col("user_id"),
+        col("pval").as("last_purchase_value"))
+      .orderBy("event_id")
+  }
+
   /** r09 — RETENTION COHORTS: users grouped by first-seen day, and
     * for each day offset 0..[[retentionDays]] the fraction of the
     * cohort active that day. The canonical engagement query. Scale
@@ -215,13 +239,16 @@ object Temporal {
     "r06_asof_join" -> asofJoin _,
     "r07_range_join" -> rangeJoin _,
     "r08_funnel" -> funnel _,
-    "r09_retention" -> retention _
+    "r09_retention" -> retention _,
+    "r10_asof_native" -> asofJoinNative _
   )
 
   def oracles: Map[String, String] = Map(
     "r06_asof_join" -> asofJoinSql,
     "r07_range_join" -> rangeJoinSql,
     "r08_funnel" -> funnelSql,
-    "r09_retention" -> retentionSql
+    "r09_retention" -> retentionSql,
+    // the native operator computes exactly r06's semantics
+    "r10_asof_native" -> asofJoinSql
   )
 }

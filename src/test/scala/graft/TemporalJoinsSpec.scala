@@ -67,6 +67,31 @@ class TemporalJoinsSpec extends AnyFunSuite {
       .count() === 2) // 10:00:00 and 10:30:00 in, 10:30:01 out
   }
 
+  test("r10 native as-of join: custom physical operator, equals r06") {
+    val native = Temporal.asofJoinNative(spark, sfDir)
+    // the strategy actually planned the custom operator, and the
+    // window-union machinery is nowhere in the plan
+    // stringified: the AQE wrapper hides the inner plan from exists()
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"AsOfJoinExec missing from plan:\n$plan")
+    assert(!plan.contains("Window"), "native as-of plan still contains a Window")
+    // answers equal the hash-gated window-union spelling row-for-row
+    val legacy = Temporal.asofJoin(spark, sfDir)
+    assert(native.exceptAll(legacy).count() === 0)
+    assert(legacy.exceptAll(native).count() === 0)
+  }
+
+  test("asof_le marker refuses row-at-a-time evaluation") {
+    graft.plans.AsOfJoinStrategy.install(spark)
+    val s = spark
+    import s.implicits._
+    val e = intercept[Exception] {
+      Seq((1L, 2L)).toDF("a", "b")
+        .filter(expr("asof_le(a, b)")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("r08 funnel: steps shrink monotonically, conversion restates users") {
     val rows = Temporal.funnel(spark, sfDir).collect().sortBy(_.getInt(0))
     assert(rows.map(_.getString(1)).toSeq === Temporal.funnelSteps)
