@@ -594,7 +594,49 @@ object Similarity {
        |SELECT q_id, "rank", vec_id, cosine FROM r WHERE "rank" <= 5
        |ORDER BY q_id, "rank"""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** s13 — RADIUS (threshold) SEARCH: every candidate within cosine
+    * ≥ [[radiusTheta]] of each query — the range-query API that
+    * complements top-k (dedup wants "everything above a similarity
+    * bar", not a fixed k). Unlike top-k there is NO per-group
+    * aggregate at all: candidates are scored and filtered map-side
+    * against the broadcast query batch, so the only shuffle is the
+    * presentation sort over the (selectivity-bounded) survivors. At
+    * 100 TB the result size is governed by θ, and the scan stays one
+    * pass regardless of how many rows pass.
+    */
+  val radiusTheta = 0.3
+
+  def radiusSearch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(spark, dir)
+    val q = emb.filter(col("vec_id") < nQueries).select(
+      col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm"))
+    val cand = emb.filter(col("vec_id") >= nQueries)
+    cand.crossJoin(broadcast(q))
+      .withColumn("cosine", Exact.round4(
+        expr(sparkDot("embedding", "q_emb")) / (col("nrm") * col("q_nrm"))))
+      .filter(col("cosine") >= radiusTheta)
+      .select("q_id", "vec_id", "cosine")
+      .orderBy(col("q_id"), desc("cosine"), col("vec_id"))
+  }
+
+  val radiusSearchSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+       |  FROM n WHERE vec_id < $nQueries
+       |)
+       |SELECT q_id, c.vec_id,
+       |  ${Exact.round4Sql(duckDot("c.embedding", "q_emb") + " / (c.nrm * q_nrm)")} AS cosine
+       |FROM n c CROSS JOIN q
+       |WHERE c.vec_id >= $nQueries
+       |  AND ${Exact.round4Sql(duckDot("c.embedding", "q_emb") + " / (c.nrm * q_nrm)")} >= $radiusTheta
+       |ORDER BY q_id, cosine DESC, vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_radius_search" -> radiusSearch _,
     "s12_coarse_rerank" -> coarseRerank _,
     "s04_ivf_cells" -> ivfCells _,
     "s07_ivf_search" -> ivfSearch _,
@@ -607,6 +649,7 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    "s13_radius_search" -> radiusSearchSql,
     "s12_coarse_rerank" -> coarseRerankSql,
     "s04_ivf_cells" -> ivfCellsSql,
     "s07_ivf_search" -> ivfSearchSql,

@@ -43,7 +43,8 @@ class GoldenSpec extends AnyFunSuite {
     "t19_cdc_chunks", "km04_elbow_curve", "w11_streaming_quality",
     "p06_leakage_splits", "d18_source_rank",
     "q21_pivot_matrix", "q22_rollup_summary",
-    "mm06_audio_resample", "c06_corpus_card", "r10_asof_native")
+    "mm06_audio_resample", "c06_corpus_card", "r10_asof_native",
+    "s13_radius_search")
 
   private def render(df: DataFrame): Seq[String] = {
     val header = df.columns.mkString("\t")

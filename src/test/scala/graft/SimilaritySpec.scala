@@ -118,6 +118,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, f"coarse-rerank recall $recall%.2f too low")
   }
 
+  test("s13 radius search: exactly the above-threshold slice of the space") {
+    val rs = Similarity.radiusSearch(spark, sfDir).cache()
+    assert(rs.filter(col("cosine") < Similarity.radiusTheta).count() === 0)
+    // agreement with s01: any exact-top-5 pair above θ must be found,
+    // with the identical score
+    val brute = Similarity.cosineTopK(spark, sfDir)
+      .filter(col("cosine") >= Similarity.radiusTheta)
+      .select(col("q_id"), col("vec_id"), col("cosine").as("bf"))
+    assert(brute.join(rs, Seq("q_id", "vec_id"), "left_anti").count() === 0)
+    assert(brute.join(rs, Seq("q_id", "vec_id"))
+      .filter(col("bf") =!= col("cosine")).count() === 0)
+    rs.unpersist()
+  }
+
   test("IVF search: every query answered from probed cells, recall vs exact") {
     val ivf = Similarity.ivfSearch(spark, sfDir)
     val rows = ivf.select("q_id", "vec_id", "cosine").collect()
