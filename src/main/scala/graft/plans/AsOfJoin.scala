@@ -152,19 +152,27 @@ case class AsOfJoinExec(
       var last: InternalRow = null
       var lastKey = 0L
       lit.map { l =>
-        val lk = l.getLong(lki)
-        val lt = l.getLong(lti)
-        while (rBuf.hasNext && {
-          val h = rBuf.head
-          val rk = h.getLong(rki)
-          rk < lk || (rk == lk && h.getLong(rti) <= lt)
-        }) {
-          val r = rBuf.next()
-          val rk = r.getLong(rki)
-          if (rk == lk) { last = r.copy(); lastKey = rk }
+        if (l.isNullAt(lki) || l.isNullAt(lti)) joined(l, nulls)
+        else {
+          val lk = l.getLong(lki)
+          val lt = l.getLong(lti)
+          while (rBuf.hasNext && {
+            val h = rBuf.head
+            // null right keys/ts sort first (ASC NULLS FIRST): consume
+            // and discard — a null key matches nothing, like SQL equi
+            h.isNullAt(rki) || h.isNullAt(rti) || {
+              val rk = h.getLong(rki)
+              rk < lk || (rk == lk && h.getLong(rti) <= lt)
+            }
+          }) {
+            val r = rBuf.next()
+            if (!r.isNullAt(rki) && r.getLong(rki) == lk) {
+              last = r.copy(); lastKey = lk
+            }
+          }
+          if (last != null && lastKey == lk) joined(l, last)
+          else joined(l, nulls)
         }
-        if (last != null && lastKey == lk) joined(l, last)
-        else joined(l, nulls)
       }
     }
   }

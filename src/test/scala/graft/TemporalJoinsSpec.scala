@@ -81,6 +81,28 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(legacy.exceptAll(native).count() === 0)
   }
 
+  test("native as-of join: null keys and timestamps match nothing") {
+    graft.plans.AsOfJoinStrategy.install(spark)
+    val s = spark
+    import s.implicits._
+    val l = Seq((Some(1L), Some(10L), "a"), (None, Some(10L), "b"),
+      (Some(1L), None, "c"), (Some(2L), Some(5L), "d"))
+      .toDF("k", "t", "tag")
+    val r = Seq((Some(1L), Some(5L), 100.0), (None, Some(1L), -1.0),
+      (Some(2L), None, -2.0), (Some(2L), Some(9L), 200.0))
+      .toDF("rk", "rt", "v")
+    val out = l.join(r, col("k") === col("rk") && expr("asof_le(t, rt)"),
+        "left_outer")
+      .select(col("tag"), col("v")).collect()
+      .map(x => x.getString(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1))))
+      .toMap
+    assert(out === Map(
+      "a" -> Some(100.0), // 1@10 matches 1@5
+      "b" -> None,        // null key matches nothing
+      "c" -> None,        // null ts matches nothing
+      "d" -> None))       // 2@5: right 2@9 is later, 2@null ignored
+  }
+
   test("asof_le marker refuses row-at-a-time evaluation") {
     graft.plans.AsOfJoinStrategy.install(spark)
     val s = spark
