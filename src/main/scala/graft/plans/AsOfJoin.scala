@@ -79,12 +79,17 @@ object AsOfJoinStrategy extends SparkStrategy {
     case Join(l, r, LeftOuter, Some(cond), _)
         if conjuncts(cond).exists(_.isInstanceOf[AsOfLE]) =>
       val cs = conjuncts(cond)
+      // long keys only: doExecute reads keys with getLong, so any
+      // other key type must fall through to the marker's loud eval
+      // failure rather than silently comparing garbage words
       (cs.collectFirst {
         case EqualTo(lk: AttributeReference, rk: AttributeReference)
-            if l.outputSet.contains(lk) && r.outputSet.contains(rk) =>
+            if l.outputSet.contains(lk) && r.outputSet.contains(rk) &&
+              lk.dataType == LongType && rk.dataType == LongType =>
           (lk, rk)
         case EqualTo(rk: AttributeReference, lk: AttributeReference)
-            if l.outputSet.contains(lk) && r.outputSet.contains(rk) =>
+            if l.outputSet.contains(lk) && r.outputSet.contains(rk) &&
+              lk.dataType == LongType && rk.dataType == LongType =>
           (lk, rk)
       }, cs.collectFirst {
         case AsOfLE(lts: AttributeReference, rts: AttributeReference)

@@ -1405,19 +1405,23 @@ object Dedup {
     */
   val maxParaSources = 50
 
-  /** The d16 pair set without its presentation sort — d18's graph. */
-  private def overlapPairs(spark: SparkSession, dir: String): DataFrame = {
-    val posting = paraHashes(spark, dir)
-      .groupBy("px")
-      .agg(collect_set(col("source")).as("srcs"))
-      .filter(size(col("srcs")).between(2, maxParaSources))
-    posting
-      .select(explode(col("srcs")).as("sa"), col("srcs"))
-      .select(col("sa"), explode(col("srcs")).as("sb"))
-      .filter(col("sa") < col("sb"))
-      .groupBy("sa", "sb")
-      .agg(count(lit(1)).as("shared_paras"))
-  }
+  /** The d16 pair set without its presentation sort — d18's graph.
+    * Memoized: d16 sorts it, d18 runs PageRank over it (the
+    * paraHashes shared-artifact discipline, one level up).
+    */
+  private def overlapPairs(spark: SparkSession, dir: String): DataFrame =
+    PlanMemo.cached(spark, s"dedup.overlapPairs:$dir") {
+      val posting = paraHashes(spark, dir)
+        .groupBy("px")
+        .agg(collect_set(col("source")).as("srcs"))
+        .filter(size(col("srcs")).between(2, maxParaSources))
+      posting
+        .select(explode(col("srcs")).as("sa"), col("srcs"))
+        .select(col("sa"), explode(col("srcs")).as("sb"))
+        .filter(col("sa") < col("sb"))
+        .groupBy("sa", "sb")
+        .agg(count(lit(1)).as("shared_paras"))
+    }
 
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
     overlapPairs(spark, dir).orderBy("sa", "sb")
@@ -1478,6 +1482,10 @@ object Dedup {
       .localCheckpoint()
     val nodes = ew.select("u").distinct().localCheckpoint()
     val n = nodes.count()
+    if (n == 0) { // no cross-source sharing: an empty ranking, like the oracle
+      import spark.implicits._
+      return Seq.empty[(String, Long)].toDF("source", "rank_e12")
+    }
     val base = math.floor(0.15 * prScale / n).toLong
     var r = nodes.withColumn("r", lit(prScale / n))
     for (_ <- 1 to prIters) {

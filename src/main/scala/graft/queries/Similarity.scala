@@ -521,10 +521,10 @@ object Similarity {
   /** s12 — TWO-STAGE COARSE→EXACT RE-RANK (the retrieve-then-rerank
     * shape every production vector search runs; the coarse scorer
     * here is a PREFIX inner product — the Matryoshka-representation
-    * trick of scoring on the first [[prefixDim]] dimensions, 2× less
+    * trick of scoring on the first [[prefixDim]] (= 32 of 64) dimensions, 2× less
     * arithmetic and memory traffic per candidate):
     *
-    *   stage 1: score every candidate with the 16-dim prefix inner
+    *   stage 1: score every candidate with the 32-dim prefix inner
     *     product, keep a [[shortlistK]]-deep shortlist per query via
     *     the bounded [[TopKScoreId]] aggregate (shuffle ≤ 20 rows per
     *     query per map task — never the full scored stream);

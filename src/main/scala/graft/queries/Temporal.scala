@@ -132,33 +132,32 @@ object Temporal {
       .orderBy("step")
   }
 
-  val funnelSql: String =
-    """WITH s1 AS (
-      |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t
-      |  FROM events WHERE event_type = 'view' GROUP BY 1
-      |), s2 AS (
-      |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t
-      |  FROM events e JOIN s1 USING (user_id)
-      |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t
-      |    AND CAST(e.ts AS TIMESTAMP) <= s1.t + INTERVAL 24 HOUR
-      |  GROUP BY 1
-      |), s3 AS (
-      |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t
-      |  FROM events e JOIN s2 USING (user_id)
-      |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t
-      |    AND CAST(e.ts AS TIMESTAMP) <= s2.t + INTERVAL 24 HOUR
-      |  GROUP BY 1
-      |), counts AS (
-      |  SELECT 1 AS step, 'view' AS event_type, COUNT(*) AS users FROM s1
-      |  UNION ALL
-      |  SELECT 2, 'click', COUNT(*) FROM s2
-      |  UNION ALL
-      |  SELECT 3, 'purchase', COUNT(*) FROM s3
-      |)
-      |SELECT CAST(step AS INT) AS step, event_type, users,
-      |  floor(users / GREATEST((SELECT users FROM counts WHERE step = 1), 1.0)
-      |    * 10000 + 0.5) / 10000.0 AS conversion
-      |FROM counts ORDER BY step""".stripMargin
+  val funnelSql: String = {
+    // steps/window interpolated from the same constants the Spark
+    // side uses, so a retune keeps both engines in lockstep
+    val stepCtes = funnelSteps.tail.zipWithIndex.map { case (step, i) =>
+      s"""s${i + 2} AS (
+         |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t
+         |  FROM events e JOIN s${i + 1} USING (user_id)
+         |  WHERE e.event_type = '$step' AND CAST(e.ts AS TIMESTAMP) > s${i + 1}.t
+         |    AND CAST(e.ts AS TIMESTAMP) <= s${i + 1}.t + INTERVAL $funnelWindowHours HOUR
+         |  GROUP BY 1
+         |)""".stripMargin
+    }.mkString(", ")
+    val countSelects = funnelSteps.zipWithIndex.map { case (step, i) =>
+      s"SELECT ${i + 1} AS step, '$step' AS event_type, COUNT(*) AS users FROM s${i + 1}"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH s1 AS (
+       |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t
+       |  FROM events WHERE event_type = '${funnelSteps.head}' GROUP BY 1
+       |), $stepCtes, counts AS (
+       |$countSelects
+       |)
+       |SELECT CAST(step AS INT) AS step, event_type, users,
+       |  floor(users / GREATEST((SELECT users FROM counts WHERE step = 1), 1.0)
+       |    * 10000 + 0.5) / 10000.0 AS conversion
+       |FROM counts ORDER BY step""".stripMargin
+  }
 
   /** r10 — the r06 as-of join through the NATIVE physical operator
     * ([[graft.plans.AsOfJoinExec]]): key-clustered, (key, ts)-sorted
