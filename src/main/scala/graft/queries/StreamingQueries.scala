@@ -303,7 +303,52 @@ object StreamingQueries {
        |FROM (${Text.gopherRulesSql})
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** w12 — STREAMING FUNNEL: r08's strictly-sequential windowed
+    * funnel computed at ingest by the [[FunnelMachine]]
+    * `flatMapGroupsWithState` state machine (two longs of state per
+    * funnel-active user). The memory sink accumulates Update-mode
+    * emissions; the step counter is monotone, so max(step) per user
+    * is the final verdict, aggregated into the identical 3-row
+    * summary r08 ships — and hash-gated against r08's batch oracle.
+    */
+  def streamingFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = s"$dir/events.parquet"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_f")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    val schema = spark.read.parquet(path).schema
+    val ev = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .select(col("user_id"),
+        expr("timestamp_micros(ts div 1000)").as("ts"), // nanos → micros
+        col("event_type"))
+      .as[FunnelMachine.FEvent]
+    val q = FunnelMachine
+      .furthest(ev, Temporal.funnelSteps, Temporal.funnelWindowHours)
+      .toDF()
+      .writeStream.format("memory").queryName("w12_mem")
+      .outputMode("update").start()
+    try q.processAllAvailable()
+    finally { q.stop(); TempArtifacts.deleteNow(streamDir) }
+    val fin = spark.table("w12_mem")
+      .groupBy("user_id").agg(max("step").as("furthest"))
+    val counts = Temporal.funnelSteps.zipWithIndex.map { case (s, i) =>
+      fin.filter(col("furthest") >= i + 1)
+        .agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("step"), lit(s).as("event_type"), col("users"))
+    }.reduce(_ unionAll _)
+    val first = counts.filter(col("step") === 1)
+      .select(col("users").cast("double").as("u1"))
+    counts.crossJoin(broadcast(first))
+      .withColumn("conversion",
+        Exact.round4(col("users") / greatest(col("u1"), lit(1.0))))
+      .select("step", "event_type", "users", "conversion")
+      .orderBy("step")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w12_streaming_funnel" -> streamingFunnel _,
     "w11_streaming_quality" -> streamingQualityGate _,
     "w08_streaming_contamination" -> streamingContamination _,
     "w01_tumbling_hourly" -> tumblingHourly _,
@@ -316,6 +361,8 @@ object StreamingQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // the ingest-time state machine computes exactly r08's semantics
+    "w12_streaming_funnel" -> Temporal.funnelSql,
     "w11_streaming_quality" -> streamingQualityGateSql,
     "w08_streaming_contamination" -> streamingContaminationSql,
     "w07_streaming_dedup" -> streamingDedupSql,

@@ -99,6 +99,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream === batch)
   }
 
+  test("w12 streaming funnel equals the batch r08 summary row-for-row") {
+    val s = StreamingQueries.streamingFunnel(spark, sfDir)
+    val b = Temporal.funnel(spark, sfDir)
+    assert(s.exceptAll(b).count() === 0)
+    assert(b.exceptAll(s).count() === 0)
+  }
+
+  test("funnel state machine: window exclusion, strictness, continuation") {
+    import FunnelMachine._
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    def ev(t: String, tp: String) =
+      FEvent(1L, java.sql.Timestamp.valueOf(t), tp)
+    def run(state: TestGroupState[FunnelState], evs: FEvent*) =
+      transition(Seq("view", "click", "purchase"), 24L)(
+        1L, evs.iterator, state).toSeq
+    // in-window progression through all three steps
+    def fresh() = TestGroupState.create[FunnelState](
+      Optional.empty[FunnelState](),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(),
+      1000L, Optional.empty[Long](), hasTimedOut = false)
+    val s1 = fresh()
+    assert(run(s1,
+      ev("2024-01-01 00:00:00", "view"),
+      ev("2024-01-01 05:00:00", "click"),
+      ev("2024-01-01 23:00:00", "purchase")) === Seq(FunnelOut(1L, 3)))
+    // a click 25h after the first view misses the window
+    val s2 = fresh()
+    assert(run(s2,
+      ev("2024-01-01 00:00:00", "view"),
+      ev("2024-01-02 01:00:00", "click")) === Seq(FunnelOut(1L, 1)))
+    // a click at exactly the view time does not count (strict >)
+    val s3 = fresh()
+    assert(run(s3,
+      ev("2024-01-01 00:00:00", "view"),
+      ev("2024-01-01 00:00:00", "click")) === Seq(FunnelOut(1L, 1)))
+    // cross-batch continuation: state carries the click step forward
+    val s4 = TestGroupState.create[FunnelState](
+      Optional.of(FunnelState(2, Sessionize.toMicros(
+        java.sql.Timestamp.valueOf("2024-01-01 05:00:00")))),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(),
+      1000L, Optional.empty[Long](), hasTimedOut = false)
+    assert(run(s4,
+      ev("2024-01-01 06:00:00", "purchase")) === Seq(FunnelOut(1L, 3)))
+  }
+
   test("w11 streaming quality gate equals the batch t17 verdicts row-for-row") {
     val s = StreamingQueries.streamingQualityGate(spark, sfDir)
       .select("doc_id", "n_words", "gopher_pass")
