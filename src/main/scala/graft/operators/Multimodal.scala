@@ -623,7 +623,125 @@ object Multimodal {
        |  orig_amp_sum, res_amp_sum
        |FROM s ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** One resized image: source dims, resized dims, and the pixel sum
+    * decoded from the re-encoded half-size PNG.
+    */
+  case class ResizeFeatures(
+      doc_id: Long, width: Long, height: Long,
+      r_width: Long, r_height: Long, r_px_sum: Long)
+
+  /** mm07 — IMAGE RESIZE through the real codec: the last multimodal
+    * verb from the build brief (decode / feature-extract / resize /
+    * frame-sample) still only covered by the stub codec. Encode a
+    * deterministic gray-8 PNG (even dims so the kernel never hits a
+    * ragged edge), decode it, 2×2 BOX-FILTER downsample with integer
+    * floor((p00+p01+p10+p11)/4) arithmetic, re-encode the half-size
+    * image as a REAL PNG, and decode THAT for the reported features —
+    * the hash covers two codec trips plus the kernel, and the DuckDB
+    * oracle regenerates the resized pixel sums arithmetically.
+    *
+    * Same batch-codec shape as mm03–mm06: partition-preserving
+    * mapPartitions, payloads never shuffle.
+    */
+  def imageResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val decoded = Tables.balanced(
+        Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val w = (8 + (id % 8) * 2).toInt  // 8..22, even
+          val h = (8 + ((id / 8) % 8) * 2).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0, ((id * 31 + x * 7 + y * 13) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, payload) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val src = img.getRaster
+          val (rw, rh) = (w / 2, h / 2)
+          val out = new java.awt.image.BufferedImage(
+            rw, rh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val dst = out.getRaster
+          var y = 0
+          while (y < rh) {
+            var x = 0
+            while (x < rw) {
+              val s = src.getSample(2 * x, 2 * y, 0) +
+                src.getSample(2 * x + 1, 2 * y, 0) +
+                src.getSample(2 * x, 2 * y + 1, 0) +
+                src.getSample(2 * x + 1, 2 * y + 1, 0)
+              dst.setSample(x, y, 0, s / 4)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          // decode the RESIZED container for the reported features
+          val back = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          val braster = back.getRaster
+          var sum = 0L
+          y = 0
+          while (y < back.getHeight) {
+            var x = 0
+            while (x < back.getWidth) {
+              sum += braster.getSample(x, y, 0)
+              x += 1
+            }
+            y += 1
+          }
+          ResizeFeatures(id, w.toLong, h.toLong,
+            back.getWidth.toLong, back.getHeight.toLong, sum)
+        }
+      }
+    decoded.toDF().orderBy("doc_id")
+  }
+
+  /** Oracle: the box-filtered pixel sums from pure arithmetic. */
+  val imageResizeSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id, 8 + (doc_id % 8) * 2 AS w,
+      |    8 + ((doc_id // 8) % 8) * 2 AS h
+      |  FROM documents
+      |), px AS (
+      |  SELECT doc_id, w, h,
+      |    CAST(SUM((
+      |      (doc_id * 31 + (2 * x) * 7 + (2 * y) * 13) % 256 +
+      |      (doc_id * 31 + (2 * x + 1) * 7 + (2 * y) * 13) % 256 +
+      |      (doc_id * 31 + (2 * x) * 7 + (2 * y + 1) * 13) % 256 +
+      |      (doc_id * 31 + (2 * x + 1) * 7 + (2 * y + 1) * 13) % 256) // 4)
+      |      AS BIGINT) AS r_px_sum
+      |  FROM dims, range(0, 11) rx(x), range(0, 11) ry(y)
+      |  WHERE x < w // 2 AND y < h // 2
+      |  GROUP BY doc_id, w, h)
+      |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(w // 2 AS BIGINT) AS r_width, CAST(h // 2 AS BIGINT) AS r_height,
+      |  r_px_sum
+      |FROM px ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm07_image_resize" -> imageResize _,
     "mm06_audio_resample" -> audioResample _,
     "mm05_frame_sample" -> frameSample _,
     "mm01_media_stats" -> mediaStats _,
@@ -633,6 +751,7 @@ object Multimodal {
   )
 
   def oracles: Map[String, String] = Map(
+    "mm07_image_resize" -> imageResizeSql,
     "mm06_audio_resample" -> audioResampleSql,
     "mm05_frame_sample" -> frameSampleSql,
     "mm01_media_stats" -> mediaStatsSql,

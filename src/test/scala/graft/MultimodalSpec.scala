@@ -104,6 +104,25 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("mm07 resize halves both dims; kernel means bound the pixel sum") {
+    val rows = Multimodal.imageResize(spark, sfDir).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) === 8 + (id % 8) * 2)
+      assert(r.getLong(2) === 8 + ((id / 8) % 8) * 2)
+      assert(r.getLong(3) === r.getLong(1) / 2)
+      assert(r.getLong(4) === r.getLong(2) / 2)
+      // the decoded resized sum equals the closed-form box filter
+      val (rw, rh) = (r.getLong(3), r.getLong(4))
+      val expect = (for { y <- 0L until rh; x <- 0L until rw } yield
+        ((id * 31 + 2 * x * 7 + 2 * y * 13) % 256 +
+          (id * 31 + (2 * x + 1) * 7 + 2 * y * 13) % 256 +
+          (id * 31 + 2 * x * 7 + (2 * y + 1) * 13) % 256 +
+          (id * 31 + (2 * x + 1) * 7 + (2 * y + 1) * 13) % 256) / 4).sum
+      assert(r.getLong(5) === expect)
+    }
+  }
+
   test("mm06 resample halves the rate and keeps the decimated samples") {
     val rows = Multimodal.audioResample(spark, sfDir).collect()
     rows.foreach { r =>
