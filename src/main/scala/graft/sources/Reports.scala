@@ -356,7 +356,56 @@ object IoQueries {
        |  neardup_pairs, neardup_docs, dup_para_rate
        |FROM base CROSS JOIN q CROSS JOIN np CROSS JOIN nd CROSS JOIN pr""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** c07 — INCREMENTAL ROLLUP MAINTENANCE: the materialized-view
+    * update every warehouse runs — a stored daily KPI table absorbs
+    * an increment WITHOUT rescanning history. The split falls
+    * mid-day (the hard case: the increment COMPLETES a partial day),
+    * so the merge is a full-outer join by day summing both sides —
+    * not a blind append. Revenue is carried as integer CENTS in the
+    * stored rollup and divided only at presentation, so
+    * base + delta is exactly the full recompute (a double-typed
+    * rollup would drift in the last ulp and break the gate).
+    *
+    * The hash gate runs the ORACLE as one full aggregation over all
+    * events — proving the incremental path equals the from-scratch
+    * answer. Scale posture: the delta is one partition's worth of
+    * events; history is touched only through the (days-sized) stored
+    * rollup, never rescanned.
+    */
+  val rollupSplitTs = "2024-01-25 12:00:00"
+
+  def incrementalKpis(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("ts"), col("value"))
+    def daily(df: DataFrame) = df.groupBy("day").agg(
+      count(lit(1)).as("events"),
+      sum(Exact.cents(col("value")).cast("long")).as("cents"))
+    val split = lit(rollupSplitTs).cast("timestamp")
+    val base = daily(ev.filter(col("ts") < split))   // the stored rollup
+    val delta = daily(ev.filter(col("ts") >= split)) // the new increment
+    base.select(col("day"), col("events").as("b_events"), col("cents").as("b_cents"))
+      .join(delta.select(col("day"), col("events").as("d_events"),
+        col("cents").as("d_cents")), Seq("day"), "full_outer")
+      .select(
+        col("day"),
+        (coalesce(col("b_events"), lit(0L)) +
+          coalesce(col("d_events"), lit(0L))).as("events"),
+        ((coalesce(col("b_cents"), lit(0L)) +
+          coalesce(col("d_cents"), lit(0L))) / 100.0).as("revenue"))
+      .orderBy("day")
+  }
+
+  /** Oracle: the from-scratch daily rollup over ALL events. */
+  val incrementalKpisSql: String =
+    """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |  COUNT(*) AS events,
+      |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+      |    AS revenue
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c07_incremental_kpis" -> incrementalKpis _,
     "c06_corpus_card" -> corpusCard _,
     "c01_csv_roundtrip" -> csvRoundTrip _,
     "c02_safe_display" -> safeDisplay _,
@@ -366,6 +415,7 @@ object IoQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "c07_incremental_kpis" -> incrementalKpisSql,
     "c06_corpus_card" -> corpusCardSql,
     "c01_csv_roundtrip" -> csvRoundTripSql,
     "c02_safe_display" -> safeDisplaySql,

@@ -44,7 +44,8 @@ class GoldenSpec extends AnyFunSuite {
     "p06_leakage_splits", "d18_source_rank",
     "q21_pivot_matrix", "q22_rollup_summary",
     "mm06_audio_resample", "c06_corpus_card", "r10_asof_native",
-    "s13_radius_search", "w12_streaming_funnel", "mm07_image_resize")
+    "s13_radius_search", "w12_streaming_funnel", "mm07_image_resize",
+    "c07_incremental_kpis")
 
   private def render(df: DataFrame): Seq[String] = {
     val header = df.columns.mkString("\t")

@@ -186,6 +186,27 @@ class IoSpec extends AnyFunSuite {
     } finally TempArtifacts.deleteNow(base)
   }
 
+  test("c07 incremental rollup: straddled split day, equals full recompute") {
+    val merged = IoQueries.incrementalKpis(spark, sfDir)
+    // the split day receives contributions from BOTH sides (the case
+    // a blind append would double- or under-count)
+    val split = java.sql.Timestamp.valueOf(IoQueries.rollupSplitTs)
+    val ev = Tables.events(spark, sfDir)
+    val splitDay = new java.sql.Date(split.getTime)
+    val before = ev.filter(col("ts") < lit(split) &&
+      to_date(col("ts")) === lit(splitDay)).count()
+    val after = ev.filter(col("ts") >= lit(split) &&
+      to_date(col("ts")) === lit(splitDay)).count()
+    assert(before > 0 && after > 0, "split day not genuinely straddled")
+    // merged equals the from-scratch Spark rollup row-for-row
+    val full = ev
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("events"),
+        (sum(Exact.cents(col("value")).cast("long")) / 100.0).as("revenue"))
+    assert(merged.exceptAll(full).count() === 0)
+    assert(full.exceptAll(merged).count() === 0)
+  }
+
   test("c06 corpus card restates its source pipelines") {
     val card = IoQueries.corpusCard(spark, sfDir).head()
     assert(card.getLong(card.fieldIndex("docs")) ===
