@@ -72,17 +72,35 @@ object BloomProbe {
   /** Per-JVM deserialization cache keyed by payload md5 — every
     * expression instance (driver, each codegen'd task) reuses one
     * decoded BloomFilter per distinct payload instead of re-parsing
-    * the bit array per instantiation.
+    * the bit array per instantiation. Bounded LRU (access-ordered):
+    * the working set is one or two filters, but a long-lived session
+    * cycling corpus dirs must not pin every multi-MB filter it ever
+    * decoded for the executor's lifetime.
     */
+  private val cacheMax = 8
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, BloomFilter]()
+    new java.util.LinkedHashMap[String, BloomFilter](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, BloomFilter]): Boolean =
+        size() > cacheMax
+    }
 
   private[graft] def filterFor(bytes: Array[Byte]): BloomFilter = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(bytes).map("%02x".format(_)).mkString
-    cache.computeIfAbsent(key,
-      _ => BloomFilter.readFrom(new ByteArrayInputStream(bytes)))
+    cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) hit
+      else {
+        val bf = BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+        cache.put(key, bf)
+        bf
+      }
+    }
   }
+
+  /** Test hook: current number of decoded filters held. */
+  private[graft] def cacheSize: Int = cache.synchronized(cache.size())
 
   val fnId: FunctionIdentifier = FunctionIdentifier("bloom_might_contain")
   val info = new ExpressionInfo(

@@ -171,7 +171,7 @@ case class AsOfJoinExec(
             }
           }) {
             val r = rBuf.next()
-            if (!r.isNullAt(rki) && r.getLong(rki) == lk) {
+            if (!r.isNullAt(rki) && !r.isNullAt(rti) && r.getLong(rki) == lk) {
               last = r.copy(); lastKey = lk
             }
           }

@@ -871,11 +871,8 @@ object Dedup {
     val verdicts = exactScore.union(nearScore)
       .groupBy("doc_id", "lang")
       .agg(max("score").as("verdict"))
-    val q = verdicts.writeStream
-      .format("memory").queryName("w10_mem").outputMode("complete").start()
-    try q.processAllAvailable()
-    finally { q.stop(); TempArtifacts.deleteNow(streamDir) }
-    spark.table("w10_mem")
+    StreamingQueries.drainToMemory(spark, verdicts, "complete", "w10",
+        streamDir)
       .select("doc_id", "lang", "verdict")
       .orderBy("doc_id")
   }
@@ -1491,7 +1488,7 @@ object Dedup {
     for (_ <- 1 to prIters) {
       val contrib = ew.join(r, "u")
         .select(col("v").as("u"), expr(
-          s"CAST(FLOOR($prDamp * r * w / wsum) AS BIGINT)").as("c"))
+          s"CAST(FLOOR(CAST($prDamp AS DOUBLE) * r * w / wsum) AS BIGINT)").as("c"))
         .groupBy("u").agg(sum("c").as("cs"))
       r = nodes.join(contrib, Seq("u"), "left")
         .select(col("u"),
@@ -1506,13 +1503,13 @@ object Dedup {
     val iters = (1 to prIters).map { t =>
       s"""c$t AS (
          |  SELECT ew.v AS u,
-         |    CAST(SUM(CAST(FLOOR($prDamp * r.r * ew.w / ew.wsum) AS BIGINT)) AS BIGINT)
+         |    CAST(SUM(CAST(FLOOR(CAST($prDamp AS DOUBLE) * r.r * ew.w / ew.wsum) AS BIGINT)) AS BIGINT)
          |      AS cs
          |  FROM ew JOIN r${t - 1} r ON ew.u = r.u
          |  GROUP BY ew.v
          |), r$t AS (
          |  SELECT d.u,
-         |    CAST(FLOOR(0.15 * $prScale / n.n) AS BIGINT)
+         |    CAST(FLOOR(CAST(0.15 AS DOUBLE) * $prScale / n.n) AS BIGINT)
          |      + COALESCE(c$t.cs, 0) AS r
          |  FROM nodes d CROSS JOIN n LEFT JOIN c$t ON c$t.u = d.u
          |)""".stripMargin

@@ -289,11 +289,8 @@ object Quantization {
     val coded = withCodes(stream, books)
       .select(col("vec_id") +:
         (0 until m).map(s => col(s"code$s")) :+ col("qerr"): _*)
-    val q = coded.writeStream
-      .format("memory").queryName("w09_mem").outputMode("append").start()
-    try q.processAllAvailable()
-    finally { q.stop(); TempArtifacts.deleteNow(streamDir) }
-    spark.table("w09_mem").orderBy("vec_id")
+    StreamingQueries.drainToMemory(spark, coded, "append", "w09", streamDir)
+      .orderBy("vec_id")
   }
 
   // ---------------------------------------------------------------

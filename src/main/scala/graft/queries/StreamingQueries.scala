@@ -28,6 +28,26 @@ import org.apache.spark.sql.functions._
   */
 object StreamingQueries {
 
+  /** Start `df` into a uniquely-named memory sink, drain it fully, then
+    * reclaim the staging dir, materialize the result and drop the sink's
+    * temp view. Per-invocation sink names (suffixed by the temp staging
+    * dir) mean two concurrent invocations in one session can never
+    * collide on the shared queryName/temp-view namespace, and dropping
+    * the view keeps the sink table from outliving the call.
+    */
+  private[graft] def drainToMemory(spark: SparkSession, df: DataFrame,
+      mode: String, tag: String, streamDir: java.nio.file.Path): DataFrame = {
+    val sink = tag + "_" +
+      streamDir.getFileName.toString.replaceAll("[^A-Za-z0-9]", "_")
+    val q = df.writeStream.format("memory").queryName(sink)
+      .outputMode(mode).start()
+    try q.processAllAvailable()
+    finally { q.stop(); TempArtifacts.deleteNow(streamDir) }
+    val out = spark.table(sink).localCheckpoint()
+    spark.catalog.dropTempView(sink)
+    out
+  }
+
   /** w01 — tumbling 1-hour windows: events per hour + exact value sum. */
   def tumblingHourly(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -139,13 +159,8 @@ object StreamingQueries {
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("events"))
       .select(col("window.start").as("window_start"), col("events"))
-    val q = agg.writeStream
-      .format("memory").queryName("w05_mem").outputMode("complete").start()
-    // memory sink holds the result after stop → the staging dir (and
-    // its symlink into read-only testdata) can be reclaimed right away
-    try q.processAllAvailable()
-    finally { q.stop(); TempArtifacts.deleteNow(streamDir) }
-    spark.table("w05_mem").orderBy("window_start")
+    drainToMemory(spark, agg, "complete", "w05", streamDir)
+      .orderBy("window_start")
   }
 
   val streamingHourlySql: String =
@@ -208,11 +223,8 @@ object StreamingQueries {
     val dedup = spark.readStream.schema(schema).parquet(streamDir.toString)
       .select(md5(col("text")).as("fingerprint"))
       .dropDuplicates("fingerprint")
-    val q = dedup.writeStream
-      .format("memory").queryName("w07_mem").outputMode("append").start()
-    try q.processAllAvailable()
-    finally { q.stop(); TempArtifacts.deleteNow(streamDir) }
-    spark.table("w07_mem").orderBy("fingerprint")
+    drainToMemory(spark, dedup, "append", "w07", streamDir)
+      .orderBy("fingerprint")
   }
 
   val streamingDedupSql: String =
@@ -247,11 +259,8 @@ object StreamingQueries {
       .filter(col("sh").isNotNull)
     val overlap = corpus.join(broadcast(bench), "sh")
       .groupBy("doc_id").agg(count(lit(1)).as("overlap"))
-    val q = overlap.writeStream
-      .format("memory").queryName("w08_mem").outputMode("complete").start()
-    try q.processAllAvailable()
-    finally { q.stop(); TempArtifacts.deleteNow(streamDir) }
-    spark.table("w08_mem").orderBy("doc_id")
+    drainToMemory(spark, overlap, "complete", "w08", streamDir)
+      .orderBy("doc_id")
   }
 
   /** Oracle: the overlap half of d07's screen. */
@@ -290,11 +299,8 @@ object StreamingQueries {
     val gated = Text.gopherMetrics(
       spark.readStream.schema(schema).parquet(streamDir.toString))
       .select("doc_id", "n_words", "gopher_pass")
-    val q = gated.writeStream
-      .format("memory").queryName("w11_mem").outputMode("append").start()
-    try q.processAllAvailable()
-    finally { q.stop(); TempArtifacts.deleteNow(streamDir) }
-    spark.table("w11_mem").orderBy("doc_id")
+    drainToMemory(spark, gated, "append", "w11", streamDir)
+      .orderBy("doc_id")
   }
 
   /** Oracle: the verdict projection of t17's batch SQL. */
@@ -324,14 +330,12 @@ object StreamingQueries {
         expr("timestamp_micros(ts div 1000)").as("ts"), // nanos → micros
         col("event_type"))
       .as[FunnelMachine.FEvent]
-    val q = FunnelMachine
-      .furthest(ev, Temporal.funnelSteps, Temporal.funnelWindowHours)
-      .toDF()
-      .writeStream.format("memory").queryName("w12_mem")
-      .outputMode("update").start()
-    try q.processAllAvailable()
-    finally { q.stop(); TempArtifacts.deleteNow(streamDir) }
-    val fin = spark.table("w12_mem")
+    val emitted = drainToMemory(spark,
+      FunnelMachine
+        .furthest(ev, Temporal.funnelSteps, Temporal.funnelWindowHours)
+        .toDF(),
+      "update", "w12", streamDir)
+    val fin = emitted
       .groupBy("user_id").agg(max("step").as("furthest"))
     val counts = Temporal.funnelSteps.zipWithIndex.map { case (s, i) =>
       fin.filter(col("furthest") >= i + 1)

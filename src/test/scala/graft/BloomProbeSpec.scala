@@ -42,6 +42,24 @@ class BloomProbeSpec extends AnyFunSuite {
     vals.foreach { v => assert(got(v) === bf.mightContainString(v)) }
   }
 
+  test("deserialization cache is bounded (LRU), not pinned forever") {
+    // decode far more distinct filters than the cap; the cache must
+    // not retain them all for the lifetime of the JVM
+    (0 until 40).foreach { i =>
+      val bf = mkFilter(Seq(s"only-$i"))
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      BloomProbe.filterFor(bos.toByteArray)
+    }
+    assert(BloomProbe.cacheSize <= 8,
+      s"cache grew to ${BloomProbe.cacheSize} entries; LRU cap not applied")
+    // a re-probe of the most recent payload still hits (functional sanity)
+    val bf = mkFilter(Seq("only-39"))
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    assert(BloomProbe.filterFor(bos.toByteArray).mightContainString("only-39"))
+  }
+
   test("d17 bloom-prefiltered verdicts equal d13 row-for-row") {
     val d13 = Dedup.incrementalDedup(spark, sfDir)
     val d17 = Dedup.bloomIncrementalDedup(spark, sfDir)
