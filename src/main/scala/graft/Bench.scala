@@ -22,6 +22,16 @@ import java.nio.file.{Files, Paths}
   * ML training queries (`ml*` prefix) are excluded from the headline
   * set: they are correctness-gated via Verify but a 4-model training
   * run is not a query-throughput signal.
+  *
+  * JSON fields beyond the per-query seconds:
+  *   - `"load_avg": [start, end]` — 1-minute system load average
+  *     bracketing the run; numbers recorded under load far above the
+  *     core count are co-tenant noise, not regressions (round 7's
+  *     d04/d05/s04–s06 ghosts).
+  *   - `"memo_cold": [names...]` — queries whose first rep executed a
+  *     PlanMemo builder (a shared memoized index later queries reuse);
+  *     their standalone SPARK_GRAFT_ONLY times include that build and
+  *     read slower than their slot in a full alphabetical run.
   */
 object Bench {
 
@@ -49,15 +59,29 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").write
       .format("noop").mode("overwrite").save()
 
-    // SPARK_GRAFT_REPS=n (default 2): run each query n times, report the
+    // SPARK_GRAFT_REPS=n (default 3): run each query n times, report the
     // per-query MIN. A single-shot measurement let one noisy co-tenant
     // fabricate a 40% "regression" (round-3: recorded 122.6 s vs 73.3 s
-    // on an identical re-run); min-of-n is the standard load-noise
-    // filter. The default applies to the driver's per-round run too;
-    // set SPARK_GRAFT_REPS=1 for the fastest possible dev loop.
-    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2).max(1)
+    // on an identical re-run), and round 7 showed even min-of-2 doesn't
+    // filter a sustained co-tenant (d04/d05/s04–s06 recorded 2–4×
+    // their quiet-machine times); min-of-3 is the recorded-run default.
+    // Set SPARK_GRAFT_REPS=1 for the fastest possible dev loop.
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3).max(1)
+    // System load average (1-min) bracketing the run: a recorded
+    // regression under load_avg >> cores is a co-tenant artifact, not a
+    // code change — the JSON now carries the evidence.
+    def loadAvg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg
     var failed = List.empty[String]
+    // Queries whose FIRST rep executed a PlanMemo builder (a shared
+    // memoized index this query pays for and later queries reuse) —
+    // their rep-1 time includes the build, so min-of-n usually hides
+    // it, but a standalone SPARK_GRAFT_ONLY run of such a query reads
+    // slower than its slot in a full run. Recorded as "memo_cold".
+    var memoCold = List.empty[String]
     val results = headline.map { case (name, fn) =>
+      val builds0 = PlanMemo.builds
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -73,12 +97,14 @@ object Bench {
         spark.catalog.clearCache()
         (System.nanoTime() - t0) / 1e9
       }
+      if (PlanMemo.builds > builds0) memoCold ::= name
       val sec = times.min
       System.err.println(
         f"[bench] $name%-28s $sec%8.2f s" +
           (if (reps > 1) times.map(t => f"$t%.2f").mkString("  (reps: ", ", ", ")") else ""))
       name -> sec
     }
+    val loadEnd = loadAvg
 
     def render(entries: Seq[(String, Double)], extra: String,
                maxFails: Int = Int.MaxValue): String = {
@@ -90,8 +116,9 @@ object Bench {
       // budget exists for; the count always survives
       val fs = failed.reverse
       val fails = fs.take(maxFails).map("\"" + _ + "\"").mkString("[", ",", "]")
+      val cold = memoCold.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
       val total = results.map(_._2).sum
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,$extra"failed":$fails,"failed_count":${fs.length},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"load_avg":[$loadStart%.2f,$loadEnd%.2f],"memo_cold":$cold,"queries":$qs,$extra"failed":$fails,"failed_count":${fs.length},"sf":"$sfDir"}"""
     }
     // Full per-query map → bench_local.json (committed; the per-round
     // audit trail). The PRINTED line must stay short: the driver

@@ -16,26 +16,74 @@ import org.apache.spark.storage.StorageLevel
   * re-issue a no-op `persist` on every retrieval — re-registering the
   * cache after a Bench/Verify `clearCache` without ever duplicating it.
   *
-  * The memo itself must not leak across sessions: entries pin
-  * SparkSession and cached-plan references, so a long-lived multi-
-  * session process (round-6 advice) would retain stopped sessions for
-  * the JVM lifetime. A one-time listener per session evicts all of that
-  * session's entries when its SparkContext ends.
+  * Boundedness (round-7 advice): entries pin SparkSession and
+  * cached-plan references, so the memo must not grow without limit —
+  * neither across sessions (a long-lived multi-session process would
+  * retain stopped sessions for the JVM lifetime) nor within one (a
+  * long-lived session cycling many corpus dirs would pin every dir's
+  * cached plans). Two mechanisms:
+  *   - a one-time listener per session evicts all of that session's
+  *     entries when its SparkContext ends;
+  *   - an access-ordered LRU cap per map — retrieval refreshes
+  *     recency, and an evicted frame is unpersisted so its executor
+  *     memory is reclaimed, not just the driver-side plan reference.
+  * The caps are sized well above any single dir's working set
+  * (~20 keys), so Bench/Verify/test runs never evict mid-pipeline;
+  * only multi-dir churn does.
   */
 object PlanMemo {
 
-  private val memos = TrieMap.empty[(SparkSession, String), DataFrame]
-  private val values = TrieMap.empty[(SparkSession, String), Any]
+  private val memoCap = 64
+  private val valueCap = 128
+
+  private def lru[V](cap: Int, onEvict: V => Unit) =
+    new java.util.LinkedHashMap[(SparkSession, String), V](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), V]): Boolean = {
+        val evict = size() > cap
+        if (evict) onEvict(e.getValue)
+        evict
+      }
+    }
+
+  private val memos =
+    lru[DataFrame](memoCap, _.unpersist(blocking = false))
+  private val values = lru[Any](valueCap, _ => ())
   private val hooked = TrieMap.empty[SparkSession, Unit]
 
+  /** Count of builder executions since JVM start — lets Bench tag
+    * queries whose measured rep paid a shared-memo build (the
+    * `memo_cold` field) without a hand-maintained list.
+    */
+  private val buildTally = new java.util.concurrent.atomic.AtomicLong
+  private[graft] def builds: Long = buildTally.get()
+
+  private def getOrBuild[V](map: java.util.LinkedHashMap[(SparkSession, String), V],
+      spark: SparkSession, key: String)(build: => V): V = {
+    hookEviction(spark)
+    val k = (spark, key)
+    map.synchronized {
+      val hit = map.get(k)
+      if (hit != null) return hit
+    }
+    // build OUTSIDE the lock: builders run eager Spark jobs, and a
+    // concurrent retrieval of a different key must not wait on them
+    buildTally.incrementAndGet()
+    val built = build
+    map.synchronized {
+      val raced = map.get(k)
+      if (raced != null) raced
+      else { map.put(k, built); built }
+    }
+  }
+
   /** Memoized, persisted build of `key` for this session. The builder
-    * runs at most once per (session, key); every call re-persists
-    * (no-op while cached) so iterative consumers survive a global
-    * `clearCache` issued between queries.
+    * runs at most once per (session, key) absent LRU churn; every call
+    * re-persists (no-op while cached) so iterative consumers survive a
+    * global `clearCache` issued between queries.
     */
   def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    hookEviction(spark)
-    val df = memos.getOrElseUpdate((spark, key), build)
+    val df = getOrBuild(memos, spark, key)(build)
     df.persist(StorageLevel.MEMORY_AND_DISK)
     df
   }
@@ -43,22 +91,25 @@ object PlanMemo {
   /** Memoized DRIVER-SIDE value (e.g. trained Lloyd centroids —
     * deterministic O(k·d) metadata, the same thing a broadcast
     * literal carries). The builder may run eager Spark jobs; it runs
-    * at most once per (session, key).
+    * at most once per (session, key) absent LRU churn.
     */
-  def cachedValue[T](spark: SparkSession, key: String)(build: => T): T = {
-    hookEviction(spark)
-    values.getOrElseUpdate((spark, key), build).asInstanceOf[T]
-  }
+  def cachedValue[T](spark: SparkSession, key: String)(build: => T): T =
+    getOrBuild(values, spark, key)(build.asInstanceOf[Any]).asInstanceOf[T]
 
   /** Number of live entries (visible for tests). */
-  private[graft] def size: Int = memos.size + values.size
+  private[graft] def size: Int =
+    memos.synchronized(memos.size) + values.synchronized(values.size)
 
   private def hookEviction(spark: SparkSession): Unit =
     hooked.getOrElseUpdate(spark, {
       spark.sparkContext.addSparkListener(new SparkListener {
         override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit = {
-          memos.filterInPlace { case ((s, _), _) => s ne spark }
-          values.filterInPlace { case ((s, _), _) => s ne spark }
+          memos.synchronized {
+            memos.keySet.removeIf(_._1 eq spark)
+          }
+          values.synchronized {
+            values.keySet.removeIf(_._1 eq spark)
+          }
           hooked.remove(spark)
           ()
         }
