@@ -299,9 +299,15 @@ object IoQueries {
     * ships (docs/tokens/languages/sources, order-independent mean
     * quality, the near-dup footprint, and the duplicate-paragraph
     * rate). Every number is a reuse of an already-gated family
-    * pipeline — the pair set and paragraph hashes come from the
-    * session memos, so the card costs one pass over each cached
-    * artifact plus tiny broadcast joins of 1-row aggregates.
+    * pipeline — and the card consumes those families the way a real
+    * release pipeline does: it reads their PUBLISHED parquet
+    * artifacts ([[PlanMemo.publishedParquet]] — a prior Verify
+    * output when `SPARK_GRAFT_ARTIFACTS` points at one, else a
+    * publish-once JVM-local artifact), never re-running the d03/d15/
+    * t03 pipelines once they have shipped. The card itself is then
+    * one pass over each small artifact plus tiny broadcast joins of
+    * 1-row aggregates; only the doc-count/token base scans the
+    * corpus.
     */
   def corpusCard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -311,15 +317,18 @@ object IoQueries {
         .as("total_tokens"),
       countDistinct("lang").as("n_langs"),
       countDistinct("source").as("n_sources"))
-    val quality = Text.qualityScores(spark, dir).agg(
+    val quality = PlanMemo.publishedParquet(spark, dir, "t03_quality_scores")(
+        Text.qualityScores(spark, dir)).agg(
       Exact.round4(
         sum(floor(col("quality_score") * 10000 + lit(0.5)).cast("long"))
           .cast("double") / (count(lit(1)) * 10000.0)).as("mean_quality"))
-    val pairs = Dedup.ngramJaccard(spark, dir)
+    val pairs = PlanMemo.publishedParquet(spark, dir, "d03_ngram_jaccard")(
+      Dedup.ngramJaccard(spark, dir))
     val nearDup = pairs.agg(count(lit(1)).as("neardup_pairs"))
     val nearDocs = pairs.select(explode(array(col("d1"), col("d2"))).as("d"))
       .agg(countDistinct("d").as("neardup_docs"))
-    val paraRate = Dedup.paragraphDedup(spark, dir).agg(
+    val paraRate = PlanMemo.publishedParquet(spark, dir, "d15_paragraph_dedup")(
+        Dedup.paragraphDedup(spark, dir)).agg(
       Exact.round4(lit(1.0) -
         sum("n_kept").cast("double") / sum("n_paras")).as("dup_para_rate"))
     base.crossJoin(broadcast(quality))
