@@ -11,12 +11,15 @@ import org.apache.spark.sql.functions._
   * The Spark-side architecture is real and tested — schema, binary
   * payloads, partition-preserving `mapPartitions` batch shape (the
   * Scala analog of `mapInPandas`: one iterator per partition, records
-  * streamed, nothing collected). The IMAGE modality decodes for real:
-  * mm03 round-trips genuine PNG payloads through the JDK's
-  * `javax.imageio` codec. Audio/video codec innards remain
-  * DETERMINISTIC STUBS (no ffmpeg-class libraries in this container;
-  * see [[FakeCodec]]) — swapping [[FakeCodec]] for a real binding
-  * changes no schema, partitioning, or query shape, as mm03 proves.
+  * streamed, nothing collected). All three modalities now decode REAL
+  * bytes through JDK codecs: images as PNG (`javax.imageio`, mm03/
+  * mm07), audio as WAV/RIFF (`javax.sound.sampled`, mm04/mm06), and
+  * multi-frame video-shaped clips as animated GIF (mm05). The only
+  * remaining stub is [[FakeCodec]] backing the generic mm01/mm02
+  * metadata plumbing — kept deliberately: those two queries gate the
+  * payload-agnostic schema/partitioning path a codec-less column
+  * (e.g. a proprietary format) takes, and mm03–mm07 prove the same
+  * plumbing carries real codecs unchanged.
   *
   * Scale posture: payloads never shuffle — every stage is map-side;
   * aggregations group only extracted scalar features. At 100 TB the
@@ -380,18 +383,22 @@ object Multimodal {
       doc_id: Long, n_frames: Long, n_sampled: Long,
       width: Long, height: Long, px_sum: Long)
 
-  /** mm05 — FRAME SAMPLING over a multi-frame (video-ish) payload:
-    * the remaining multimodal primitive from the build brief
-    * (decode / feature-extract / resize / frame-sample). The encode
-    * stage synthesizes a deterministic per-document "video" — 4–12
-    * real PNG frames, each length-prefixed into one binary container
-    * (the payload a video column actually holds); the decode stage
-    * walks the container, keeps every [[frameStride]]-th frame, and
-    * ImageIO-decodes ONLY the sampled frames — the whole point of
-    * frame sampling at 100 TB: the codec cost scales with the frames
-    * you keep, not the frames you store. Gray-8 PNG is lossless, so
-    * the DuckDB oracle regenerates the sampled-frame pixel sums by
-    * pure arithmetic; a framing bug, a stride bug, or a decoder
+  /** mm05 — FRAME SAMPLING over a REAL multi-frame container: the
+    * video-shaped multimodal primitive from the build brief
+    * (decode / feature-extract / resize / frame-sample), now through
+    * a genuine animated-GIF payload end-to-end (round-7 verdict
+    * "next" 4 — no modality left on a hand-rolled container). The
+    * encode stage synthesizes a deterministic per-document clip —
+    * 4–12 frames on an explicit 256-gray palette — and writes ONE
+    * animated GIF via `ImageWriter.writeToSequence`; the decode stage
+    * opens the container with the JDK's GIF `ImageReader`, takes the
+    * frame count from container metadata (`getNumImages`), and fully
+    * LZW-decodes ONLY every [[frameStride]]-th frame — the point of
+    * frame sampling at 100 TB: decode cost scales with the frames you
+    * keep, not the frames you store. GIF is lossless over a 256-color
+    * palette and the palette is identity-gray, so the DuckDB oracle
+    * regenerates the sampled-frame pixel sums by pure arithmetic; a
+    * framing bug, a stride bug, a palette-mapping bug, or a decoder
     * regression all break the hash.
     *
     * Same scale shape as mm03/mm04: two partition-preserving
@@ -400,6 +407,14 @@ object Multimodal {
   val frameStride = 2
   val maxFrames = 12
 
+  /** Identity grayscale palette: index i ↦ rgb(i,i,i), so a decoded
+    * GIF pixel's blue channel IS the encoded sample value, exactly.
+    */
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val ramp = Array.tabulate[Byte](256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+  }
+
   def frameSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val decoded = Tables.balanced(
@@ -407,16 +422,23 @@ object Multimodal {
       .as[Long]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
+        // one writer per partition — provider lookup is not per-record
+        // work (the WavCodec/ImageIO-cache lesson)
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        val cm = grayPalette
         it.map { id =>
           val nf = (4 + id % 9).toInt // 4..12 frames
           val w = (8 + id % 8).toInt
           val h = (8 + (id / 8) % 8).toInt
           val bos = new java.io.ByteArrayOutputStream()
-          val dos = new java.io.DataOutputStream(bos)
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
           var f = 0
           while (f < nf) {
             val img = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
             val raster = img.getRaster
             var y = 0
             while (y < h) {
@@ -428,41 +450,41 @@ object Multimodal {
               }
               y += 1
             }
-            val frameBytes = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", frameBytes)
-            val b = frameBytes.toByteArray
-            dos.writeInt(b.length) // length-prefixed framing
-            dos.write(b)
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
             f += 1
           }
-          (id, nf, bos.toByteArray) // one multi-frame container
+          writer.endWriteSequence()
+          ios.close()
+          (id, bos.toByteArray) // one REAL animated-GIF container
         }
       }
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
-        it.map { case (id, nf, payload) =>
-          val dis = new java.io.DataInputStream(
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("gif").next()
+        it.map { case (id, payload) =>
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
             new java.io.ByteArrayInputStream(payload))
+          reader.setInput(iis, false, true)
+          // frame count from CONTAINER metadata, not carried alongside
+          val nf = reader.getNumImages(true)
           var f = 0
           var sampled = 0L
           var pxSum = 0L
           var w = 0L
           var h = 0L
           while (f < nf) {
-            val len = dis.readInt()
-            val b = new Array[Byte](len)
-            dis.readFully(b)
             if (f % frameStride == 0) { // decode ONLY sampled frames
-              val img = javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(b))
+              val img = reader.read(f)
               w = img.getWidth.toLong
               h = img.getHeight.toLong
-              val raster = img.getRaster
               var y = 0
               while (y < h) {
                 var x = 0
                 while (x < w) {
-                  pxSum += raster.getSample(x, y, 0)
+                  // identity-gray palette: blue channel == sample
+                  pxSum += (img.getRGB(x, y.toInt) & 0xff)
                   x += 1
                 }
                 y += 1
@@ -471,6 +493,7 @@ object Multimodal {
             }
             f += 1
           }
+          iis.close()
           VideoFeatures(id, nf.toLong, sampled, w, h, pxSum)
         }
       }
