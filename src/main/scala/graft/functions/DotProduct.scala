@@ -118,5 +118,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((graft.plans.AsOfLE.fnId, graft.plans.AsOfLE.info,
       graft.plans.AsOfLE.builder))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectFunction((graft.plans.IntervalContains.fnId,
+      graft.plans.IntervalContains.info, graft.plans.IntervalContains.builder))
+    e.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
   }
 }

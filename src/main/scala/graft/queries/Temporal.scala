@@ -234,12 +234,45 @@ object Temporal {
        |ORDER BY cohort_day, day_offset""".stripMargin
 
   // ---------------------------------------------------------------
+  /** r11 — the r07 range join through the NATIVE physical operator
+    * ([[graft.plans.RangeJoinExec]]): key-clustered children, points
+    * sorted by (key, ts) and intervals by (key, start), stream-merged
+    * with an open-interval buffer — each interval crosses its
+    * exchange ONCE, versus r07's bucketed spelling where every
+    * interval duplicates into length/bucket + 1 equi-join rows. Same
+    * answer by construction, so it shares r07's oracle; the plan
+    * shape (RangeJoinExec present, no explode/bucket column) is
+    * pinned in TemporalJoinsSpec.
+    */
+  def rangeJoinNative(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.RangeJoinStrategy.install(spark) // idempotent
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_uid"),
+        col("ts").as("pts"))
+      .withColumn("end_ts", expr(s"timestampadd(SECOND, $windowSeconds, pts)"))
+    val matched = clicks.join(purchases,
+        col("user_id") === col("p_uid") &&
+          expr("interval_contains(cts, pts, end_ts)"),
+        "inner")
+      .groupBy("p_id", "p_uid")
+      .agg(count(lit(1)).as("n_clicks"))
+    purchases.select(col("p_id"), col("p_uid"))
+      .join(matched, Seq("p_id", "p_uid"), "left")
+      .select(col("p_id"), col("p_uid").as("user_id"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+      .orderBy("p_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r06_asof_join" -> asofJoin _,
     "r07_range_join" -> rangeJoin _,
     "r08_funnel" -> funnel _,
     "r09_retention" -> retention _,
-    "r10_asof_native" -> asofJoinNative _
+    "r10_asof_native" -> asofJoinNative _,
+    "r11_range_native" -> rangeJoinNative _
   )
 
   def oracles: Map[String, String] = Map(
@@ -248,6 +281,8 @@ object Temporal {
     "r08_funnel" -> funnelSql,
     "r09_retention" -> retentionSql,
     // the native operator computes exactly r06's semantics
-    "r10_asof_native" -> asofJoinSql
+    "r10_asof_native" -> asofJoinSql,
+    // the native range operator computes exactly r07's semantics
+    "r11_range_native" -> rangeJoinSql
   )
 }

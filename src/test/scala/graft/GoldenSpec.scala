@@ -45,7 +45,9 @@ class GoldenSpec extends AnyFunSuite {
     "q21_pivot_matrix", "q22_rollup_summary",
     "mm06_audio_resample", "c06_corpus_card", "r10_asof_native",
     "s13_radius_search", "w12_streaming_funnel", "mm07_image_resize",
-    "c07_incremental_kpis")
+    "c07_incremental_kpis",
+    // round-8: native range join
+    "r11_range_native")
 
   private def render(df: DataFrame): Seq[String] = {
     val header = df.columns.mkString("\t")

@@ -103,6 +103,46 @@ class TemporalJoinsSpec extends AnyFunSuite {
       "d" -> None))       // 2@5: right 2@9 is later, 2@null ignored
   }
 
+  test("r11 native range join: custom physical operator, equals r07") {
+    val native = Temporal.rangeJoinNative(spark, sfDir)
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("RangeJoin"),
+      s"RangeJoinExec missing from plan:\n$plan")
+    assert(!plan.contains("__bucket"),
+      "native range plan still contains the bucket fan-out column")
+    val legacy = Temporal.rangeJoin(spark, sfDir)
+    assert(native.exceptAll(legacy).count() === 0)
+    assert(legacy.exceptAll(native).count() === 0)
+  }
+
+  test("native range join: bounds inclusive, multiplicity, null contract") {
+    graft.plans.RangeJoinStrategy.install(spark)
+    val s = spark
+    import s.implicits._
+    val pts = Seq((Some(1L), Some(10L), "on-start"), (Some(1L), Some(20L), "on-end"),
+      (Some(1L), Some(21L), "after"), (Some(1L), Some(9L), "before"),
+      (Some(1L), Some(15L), "inside-two"), (None, Some(15L), "null-key"),
+      (Some(1L), None, "null-ts"), (Some(2L), Some(15L), "other-key"))
+      .toDF("k", "t", "tag")
+    val iv = Seq((Some(1L), Some(10L), Some(20L), "a"),
+      (Some(1L), Some(12L), Some(16L), "b"),
+      (Some(2L), Some(15L), None, "null-end"),
+      (None, Some(0L), Some(99L), "null-ikey"))
+      .toDF("ik", "st", "en", "iv")
+    val out = pts.join(iv,
+        col("k") === col("ik") && expr("interval_contains(t, st, en)"),
+        "inner")
+      .select("tag", "iv").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out === Set(
+      ("on-start", "a"),   // start inclusive
+      ("on-end", "a"),     // end inclusive (20 > b's 16 — no b)
+      ("inside-two", "a"), // a point in two intervals joins BOTH
+      ("inside-two", "b")))
+    // absent by contract: before/after (outside), null-key and null-ts
+    // points, the null-end interval, the null-key interval
+  }
+
   test("asof_le marker refuses row-at-a-time evaluation") {
     graft.plans.AsOfJoinStrategy.install(spark)
     val s = spark
