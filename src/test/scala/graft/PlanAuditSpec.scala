@@ -40,6 +40,40 @@ class PlanAuditSpec extends AnyFunSuite {
     "d17_bloom_increment", "t19_cdc_chunks", "d18_source_rank",
     "p06_leakage_splits", "c06_corpus_card")
 
+  /** Exchange-count pins for the most expensive plans (round-7 verdict
+    * "next" 8): a future edit that doubles a shuffle must fail CI with
+    * the query named, instead of surfacing as a bench mystery. Counts
+    * are over the INITIAL physical plan string (pre-AQE, so they are
+    * data-independent), including the build plans of memoized cached
+    * relations — i.e. the full cold cost of the query. w10's streaming
+    * plan is not reachable through its batch result frame; d04 (the
+    * next-most-expensive batch plan) stands in.
+    *
+    * If a deliberate plan change moves a number DOWN, re-pin it — the
+    * equality is the point: drift in either direction is reviewed.
+    */
+  private val exchangePins = Map(
+    //                      (hash, roundrobin, range, broadcast)
+    "c06_corpus_card"    -> ((2, 1, 0, 4)),
+    "d02_minhash_lsh"    -> ((3, 2, 1, 1)),
+    "d03_ngram_jaccard"  -> ((18, 12, 1, 4)),
+    "s11_ivfpq_search"   -> ((3, 6, 1, 5)),
+    "d04_simhash"        -> ((1, 2, 1, 1)))
+
+  exchangePins.foreach { case (name, (hash, rr, range, bcast)) =>
+    test(s"$name: exchange counts stay pinned") {
+      val s = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      def n(pat: String) = pat.r.findAllIn(s).size
+      val got = (n("Exchange hashpartitioning"), n("Exchange RoundRobin"),
+        n("Exchange rangepartitioning"), n("BroadcastExchange"))
+      assert(got === ((hash, rr, range, bcast)),
+        s"$name plan exchanges moved (hash, roundrobin, range, broadcast): " +
+          s"expected (${(hash, rr, range, bcast)}), got $got — if deliberate, " +
+          "re-pin in PlanAuditSpec.exchangePins")
+    }
+  }
+
   audited.foreach { name =>
     test(s"$name: no expensive expression inside a Filter") {
       val plan = SparkEntry.queries(name)(spark, sfDir)
