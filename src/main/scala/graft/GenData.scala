@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-factor data generator (round-7 verdict "next"
+  * 1): everything above sf0.1 in `/root/testdata` is an ARGUED scale
+  * claim until measured, so this main regenerates the three
+  * LLM-pipeline tables (`documents`, `embeddings`, `events`) at an
+  * arbitrary scale factor with the same schemas and the same
+  * distributional shape as the driver's tables (vocabulary, text
+  * length 10–100 words, lang/source mix, exact-dup and near-dup
+  * rates, unit-norm 64-dim embeddings, 30-day event stream) — so the
+  * d/s/t/w/km/p/mm families can be benched at 10–30× the committed
+  * bench scale.
+  *
+  * Every value is a pure function of (row id, salt) through a
+  * splitmix64 mix — no RNG state, so any row count, partitioning, or
+  * re-run yields identical values. Generation runs distributed
+  * (`spark.range(n, parts)` → map), and the output is written as
+  * multi-part parquet — unlike the single-row-group driver files, so
+  * scans parallelize natively.
+  *
+  * Usage: `runMain graft.GenData <outDir> <sf>` — row counts are
+  * sf-proportional to the driver's tables (sf0.1 = 5k docs / 2k vecs
+  * / 100k events).
+  */
+object GenData {
+
+  // ----- splitmix64: the standard 64-bit finalizer, pure per (id, salt)
+  private def mix(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Uniform [0, 1) from (id, salt). */
+  private def u(id: Long, salt: Long): Double =
+    ((mix(id * 0x100000001b3L + salt) >>> 11).toDouble) / (1L << 53).toDouble
+
+  private def nextInt(id: Long, salt: Long, bound: Int): Int =
+    (u(id, salt) * bound).toInt
+
+  /** The driver tables' 31-word vocabulary (dumped from sf0.1). */
+  private val baseVocab = Array(
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window")
+
+  /** Vocabulary scaled so SHINGLE COLLISION DENSITY stays constant as
+    * the corpus grows — the property real corpora have (vocabulary
+    * grows with scale) and the one the driver's own sf0.001→sf0.1
+    * tables exhibit (per-shingle df stays small). With a FIXED vocab,
+    * the 3-gram shingle space is constant, per-shingle df grows
+    * linearly with docs, and every posting-list family (d03→d08/d09/
+    * p06) is QUADRATIC in the data, not the engine — the first sf1
+    * run measured exactly that (d03 23×, d08 165× at 10× data).
+    * Growing the vocab by cbrt(docs/5000) keeps the 3-gram space
+    * proportional to the corpus, i.e. constant df. At ≤5k docs this
+    * is exactly the driver vocabulary.
+    */
+  private def vocabFor(nDocs: Long): Array[String] = {
+    val target = math.max(baseVocab.length,
+      math.ceil(baseVocab.length *
+        math.cbrt(nDocs / 5000.0)).toInt)
+    Array.tabulate(target) { i =>
+      if (i < baseVocab.length) baseVocab(i)
+      else baseVocab(i % baseVocab.length) + (i / baseVocab.length)
+    }
+  }
+
+  private val langs = Array("en", "en", "en", "en", "zh", "es", "fr", "de")
+
+  /** Base (non-duplicate) text for a doc id: 10–100 vocab words. */
+  private def rawWords(id: Long, vocab: Array[String]): Array[String] = {
+    val n = 10 + nextInt(id, 2, 91)
+    Array.tabulate(n)(i => vocab(nextInt(id, 100 + i, vocab.length)))
+  }
+
+  /** Final text: ~0.2% exact duplicates and ~0.6% near-duplicates
+    * (every 7th word swapped) of an earlier donor doc — the structure
+    * the dedup families mine; rates mirror the driver tables' 8 dup
+    * pairs per 5k docs.
+    */
+  private def textFor(id: Long, vocab: Array[String]): String = {
+    val r = u(id, 1)
+    if (id >= 10 && r < 0.002) {
+      rawWords(id - 1 - (nextInt(id, 4, 8)), vocab).mkString(" ")
+    } else if (id >= 10 && r < 0.008) {
+      val w = rawWords(id - 1 - nextInt(id, 5, 8), vocab)
+      Array.tabulate(w.length) { i =>
+        if (i % 7 == 3) vocab(nextInt(id, 5000 + i, vocab.length)) else w(i)
+      }.mkString(" ")
+    } else rawWords(id, vocab).mkString(" ")
+  }
+
+  final case class Doc(doc_id: Long, text: String, lang: String,
+      source: String, n_chars: Long)
+  final case class Vec(vec_id: Long, embedding: Array[Float], label: Int)
+  final case class Ev(event_id: Long, tsMicros: Long, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  private val eventTypes =
+    Array("view", "click", "purchase", "signup", "error")
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val sf = args(1).toDouble
+    val parts = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = Tables.configure(
+      SparkSession.builder()
+        .master(s"local[$parts]")
+        .config("spark.sql.shuffle.partitions", parts)
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val nDocs = (50000 * sf).toLong
+    val nVecs = (20000 * sf).toLong
+    val nEvents = (1000000 * sf).toLong
+    val nUsers = math.max(1500L, (15000 * sf).toLong)
+
+    val vocab = vocabFor(nDocs)
+    spark.range(0, nDocs, 1, parts).as[Long].map { id =>
+      val text = textFor(id, vocab)
+      Doc(id, text, langs(nextInt(id, 6, langs.length)),
+        s"src${nextInt(id, 7, 20)}", text.length.toLong)
+    }.write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
+
+    val dim = 64
+    spark.range(0, nVecs, 1, parts).as[Long].map { id =>
+      // Box–Muller gaussian per axis, then L2-normalize (driver vecs
+      // are unit-norm)
+      val g = Array.tabulate(dim) { i =>
+        val u1 = math.max(u(id, 200 + 2 * i), 1e-12)
+        val u2 = u(id, 201 + 2 * i)
+        math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+      }
+      val norm = math.sqrt(g.map(x => x * x).sum)
+      Vec(id, g.map(x => (x / norm).toFloat), nextInt(id, 3, 10))
+    }.write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
+
+    val baseMicros = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      .getEpochSecond * 1000000L
+    val spanMicros = 30L * 24 * 3600 * 1000000L
+    spark.range(0, nEvents, 1, parts).as[Long].map { id =>
+      Ev(id, baseMicros + (u(id, 10) * spanMicros).toLong,
+        nextInt(id, 11, nUsers.toInt).toLong,
+        eventTypes(nextInt(id, 12, eventTypes.length)),
+        math.floor(math.min(-50.0 * math.log1p(-u(id, 13)), 600.0) * 100) / 100,
+        s"""{"k": ${nextInt(id, 14, 100)}}""")
+    }.select(col("event_id"), timestamp_micros(col("tsMicros")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
+
+    println(s"GENDATA sf=$sf docs=$nDocs vecs=$nVecs events=$nEvents -> $outDir")
+    spark.stop()
+    sys.exit(0)
+  }
+}

@@ -325,10 +325,15 @@ object StreamingQueries {
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
     val schema = spark.read.parquet(path).schema
-    val ev = spark.readStream.schema(schema).parquet(streamDir.toString)
-      .select(col("user_id"),
-        expr("timestamp_micros(ts div 1000)").as("ts"), // nanos → micros
-        col("event_type"))
+    val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
+    // driver tables carry ts as TIMESTAMP(NANOS) → LongType epoch-nanos
+    // (see Tables.events); generated tables carry a real timestamp
+    val normalized =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val ev = normalized
+      .select(col("user_id"), col("ts"), col("event_type"))
       .as[FunnelMachine.FEvent]
     val emitted = drainToMemory(spark,
       FunnelMachine
