@@ -55,13 +55,18 @@ class PlanAuditSpec extends AnyFunSuite {
   private val exchangePins = Map(
     //                      (hash, roundrobin, range, broadcast)
     "c06_corpus_card"    -> ((2, 1, 0, 4)),
-    "d02_minhash_lsh"    -> ((3, 2, 1, 1)),
+    "d02_minhash_lsh"    -> ((4, 4, 1, 1)),
     "d03_ngram_jaccard"  -> ((18, 12, 1, 4)),
     "s11_ivfpq_search"   -> ((3, 6, 1, 5)),
     "d04_simhash"        -> ((1, 2, 1, 1)))
 
   exchangePins.foreach { case (name, (hash, rr, range, bcast)) =>
     test(s"$name: exchange counts stay pinned") {
+      // execute once first: a query whose plan embeds PlanMemo-cached
+      // relations prints differently cold vs warm, and suite order
+      // must not decide which state this test sees — pin the WARM one
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
       val s = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
       def n(pat: String) = pat.r.findAllIn(s).size
