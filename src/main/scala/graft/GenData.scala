@@ -105,6 +105,46 @@ object GenData {
   private val eventTypes =
     Array("view", "click", "purchase", "signup", "error")
 
+  // ----- TPC-H-ish star schema (value shapes dumped from sf0.1) -----
+  final case class Cust(c_custkey: Long, c_name: String, c_nationkey: Int,
+      c_acctbal: Double, c_mktsegment: String)
+  final case class Supp(s_suppkey: Long, s_name: String, s_nationkey: Int,
+      s_acctbal: Double)
+  final case class Part(p_partkey: Long, p_name: String, p_brand: String,
+      p_type: String, p_size: Int, p_retailprice: Double)
+  final case class Order(o_orderkey: Long, o_custkey: Long,
+      o_orderstatus: String, o_totalprice: Double, o_orderdateMicros: Long,
+      o_orderpriority: String)
+  final case class Line(l_orderkey: Long, l_partkey: Long, l_suppkey: Long,
+      l_linenumber: Int, l_quantity: Double, l_extendedprice: Double,
+      l_discount: Double, l_tax: Double, l_returnflag: String,
+      l_linestatus: String, l_shipdateMicros: Long)
+
+  private val segments = Array(
+    "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+  private val priorities = Array(
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+  private val statuses = Array("O", "P", "F")
+  private val partAdj = Array(
+    "red", "small", "hot", "cold", "old", "new", "large", "blue")
+  private val partNoun = Array(
+    "gear", "gizmo", "widget", "ring", "plate", "anvil", "bolt", "rod")
+  private val partTypes = Array(
+    "ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")
+  private val regions = Array(
+    "AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+  private val returnFlags = Array("A", "N", "R")
+
+  private def money(id: Long, salt: Long, lo: Double, hi: Double): Double =
+    math.floor((lo + u(id, salt) * (hi - lo)) * 100) / 100
+
+  private def dateMicros(id: Long, salt: Long): Long = {
+    val base = java.time.Instant.parse("1995-01-01T00:00:00Z")
+      .getEpochSecond * 1000000L
+    val spanDays = 2400L
+    base + (u(id, salt) * spanDays).toLong * 86400L * 1000000L
+  }
+
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
     val sf = args(1).toDouble
@@ -155,7 +195,66 @@ object GenData {
         col("user_id"), col("event_type"), col("value"), col("props"))
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
 
-    println(s"GENDATA sf=$sf docs=$nDocs vecs=$nVecs events=$nEvents -> $outDir")
+    // ----- TPC-H-ish star schema, sf-proportional to the driver's -----
+    val nCust = (150000 * sf).toLong
+    val nSupp = (10000 * sf).toLong
+    val nPart = (200000 * sf).toLong
+    val nOrders = (1500000 * sf).toLong
+    val nLines = (6000000 * sf).toLong
+
+    Seq.tabulate(regions.length)(i => (i, regions(i)))
+      .toDF("r_regionkey", "r_name")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/region.parquet")
+    Seq.tabulate(25)(i => (i, s"NATION_$i", i % regions.length))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/nation.parquet")
+
+    spark.range(0, nCust, 1, parts).as[Long].map { id =>
+      Cust(id, f"Customer#$id%09d", nextInt(id, 20, 25),
+        money(id, 21, -1000, 10000), segments(nextInt(id, 22, 5)))
+    }.write.mode(SaveMode.Overwrite).parquet(s"$outDir/customer.parquet")
+
+    spark.range(0, nSupp, 1, parts).as[Long].map { id =>
+      Supp(id, f"Supplier#$id%09d", nextInt(id, 30, 25),
+        money(id, 31, 0, 10000))
+    }.write.mode(SaveMode.Overwrite).parquet(s"$outDir/supplier.parquet")
+
+    spark.range(0, nPart, 1, parts).as[Long].map { id =>
+      Part(id,
+        s"${partAdj(nextInt(id, 40, 8))} ${partNoun(nextInt(id, 41, 8))}",
+        s"Brand#${nextInt(id, 42, 25)}", partTypes(nextInt(id, 43, 6)),
+        1 + nextInt(id, 44, 50), 900.0 + (id % 1000) * 0.1)
+    }.write.mode(SaveMode.Overwrite).parquet(s"$outDir/part.parquet")
+
+    spark.range(0, nOrders, 1, parts).as[Long].map { id =>
+      Order(id, nextInt(id, 50, nCust.toInt).toLong,
+        statuses(nextInt(id, 51, 3)), money(id, 52, 1000, 500000),
+        dateMicros(id, 53), priorities(nextInt(id, 54, 5)))
+    }.select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        timestamp_micros(col("o_orderdateMicros")).as("o_orderdate"),
+        col("o_orderpriority"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/orders.parquet")
+
+    spark.range(0, nLines, 1, parts).as[Long].map { id =>
+      Line(nextInt(id, 60, nOrders.toInt).toLong,
+        nextInt(id, 61, nPart.toInt).toLong,
+        nextInt(id, 62, nSupp.toInt).toLong,
+        1 + nextInt(id, 63, 7), (1 + nextInt(id, 64, 50)).toDouble,
+        money(id, 65, 900, 105000), nextInt(id, 66, 11) * 0.01,
+        nextInt(id, 67, 9) * 0.01, returnFlags(nextInt(id, 68, 3)),
+        if (u(id, 69) < 0.5) "F" else "O", dateMicros(id, 70))
+    }.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"),
+        timestamp_micros(col("l_shipdateMicros")).as("l_shipdate"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineitem.parquet")
+
+    println(s"GENDATA sf=$sf docs=$nDocs vecs=$nVecs events=$nEvents " +
+      s"lineitem=$nLines -> $outDir")
     spark.stop()
     sys.exit(0)
   }
