@@ -73,10 +73,23 @@ object GenData {
 
   private val langs = Array("en", "en", "en", "en", "zh", "es", "fr", "de")
 
-  /** Base (non-duplicate) text for a doc id: 10–100 vocab words. */
-  private def rawWords(id: Long, vocab: Array[String]): Array[String] = {
+  /** Base (non-duplicate) text for a doc id: 10–100 vocab words.
+    * `zipf=false` draws words uniformly (the driver tables' shape);
+    * `zipf=true` draws log-uniformly over the rank (≈ Zipf-1) — the
+    * shape REAL text has, where a few words dominate and shingle
+    * document frequency is heavily skewed. The Zipf corpus is the
+    * honest stress case for posting-list dedup (hot shingles) and the
+    * value case for prefix filtering (d19).
+    */
+  private def rawWords(id: Long, vocab: Array[String],
+      zipf: Boolean): Array[String] = {
     val n = 10 + nextInt(id, 2, 91)
-    Array.tabulate(n)(i => vocab(nextInt(id, 100 + i, vocab.length)))
+    Array.tabulate(n) { i =>
+      if (zipf)
+        vocab((math.pow(vocab.length.toDouble, u(id, 100 + i)) - 1).toInt
+          .min(vocab.length - 1))
+      else vocab(nextInt(id, 100 + i, vocab.length))
+    }
   }
 
   /** Final text: ~0.2% exact duplicates and ~0.6% near-duplicates
@@ -84,16 +97,17 @@ object GenData {
     * the dedup families mine; rates mirror the driver tables' 8 dup
     * pairs per 5k docs.
     */
-  private def textFor(id: Long, vocab: Array[String]): String = {
+  private def textFor(id: Long, vocab: Array[String],
+      zipf: Boolean): String = {
     val r = u(id, 1)
     if (id >= 10 && r < 0.002) {
-      rawWords(id - 1 - (nextInt(id, 4, 8)), vocab).mkString(" ")
+      rawWords(id - 1 - (nextInt(id, 4, 8)), vocab, zipf).mkString(" ")
     } else if (id >= 10 && r < 0.008) {
-      val w = rawWords(id - 1 - nextInt(id, 5, 8), vocab)
+      val w = rawWords(id - 1 - nextInt(id, 5, 8), vocab, zipf)
       Array.tabulate(w.length) { i =>
         if (i % 7 == 3) vocab(nextInt(id, 5000 + i, vocab.length)) else w(i)
       }.mkString(" ")
-    } else rawWords(id, vocab).mkString(" ")
+    } else rawWords(id, vocab, zipf).mkString(" ")
   }
 
   final case class Doc(doc_id: Long, text: String, lang: String,
@@ -148,6 +162,8 @@ object GenData {
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
     val sf = args(1).toDouble
+    // optional 3rd arg "zipf": log-uniform word ranks (real-text df skew)
+    val zipf = args.lift(2).contains("zipf")
     val parts = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Tables.configure(
       SparkSession.builder()
@@ -164,7 +180,7 @@ object GenData {
 
     val vocab = vocabFor(nDocs)
     spark.range(0, nDocs, 1, parts).as[Long].map { id =>
-      val text = textFor(id, vocab)
+      val text = textFor(id, vocab, zipf)
       Doc(id, text, langs(nextInt(id, 6, langs.length)),
         s"src${nextInt(id, 7, 20)}", text.length.toLong)
     }.write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")

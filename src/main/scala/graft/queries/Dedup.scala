@@ -333,6 +333,83 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     jaccardPairs(spark, dir).orderBy("d1", "d2")
 
+  // ---------------------------------------------------------------
+  /** d19 — exact Jaccard pairs via PREFIX FILTERING (All-Pairs /
+    * PPJoin, Bayardo et al. WWW'07, Xiao et al. WWW'08): the
+    * candidate-bounded spelling of d03. Order each document's shingle
+    * set globally by (document frequency, shingle) ascending and
+    * index only its PREFIX — the first `n − ⌈t·n⌉ + 1` (rarest)
+    * shingles. Theorem: J(A,B) ≥ t ⇒ |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, and an
+    * intersection that large cannot hide entirely in either suffix,
+    * so every qualifying pair shares a shingle indexed by BOTH
+    * prefixes. Candidates come from prefix-only posting lists;
+    * verification computes the EXACT intersection per candidate with
+    * one codegen'd `array_intersect` over the two (bounded, distinct)
+    * shingle arrays — never a second pass over posting lists.
+    *
+    * Same answer as d03 by construction (shares its oracle). Scale
+    * contrast: d03's pair emission is Σ df² over ALL posting lists;
+    * d19 indexes the rarest ~(1−t) fraction of each doc, so common
+    * shingles — exactly the ones with the quadratic df — never enter
+    * a posting list, and the verify cost is candidates × one array
+    * intersection. The [[maxShingleDf]] stop-shingle cap still guards
+    * a pathological hot PREFIX shingle; under skew it almost never
+    * engages for d19 (hot shingles sort to the END of the df order,
+    * outside every prefix), so d19 even retains qualifying pairs
+    * whose only shared shingles d03's cap had to drop.
+    *
+    * Measured (GenData sf1, local[32]): on UNIFORM-df text (no
+    * common shingles — d03's best case) the pruning cannot pay for
+    * its extra shuffles: d03 19 s vs d19 42 s at sf3. On ZIPF text
+    * (real-text df skew, `GenData ... zipf`): d03 41 s vs d19 17 s —
+    * 2.4× — and the gap widens with scale since d03's emission on
+    * the skewed lists is quadratic where d19 stays candidate-
+    * bounded. Pick by corpus: d03 for flat/engineered token spaces,
+    * d19 for natural text.
+    */
+  def prefixJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sets = shingled(spark, dir)
+      .withColumn("fps", array_sort(col("fps"))) // canonical order
+      .filter(size(col("fps")) > 0)
+    val ex = sets
+      .select(col("doc_id"), explode_outer(col("fps")).as("sh"))
+      .filter(col("sh").isNotNull)
+    val dfreq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+    // per-doc (df, sh)-ascending order, keep the prefix: collect +
+    // array_sort on structs keeps the work in codegen after ONE
+    // shuffle by doc_id (a rank window would sort the same shuffle)
+    val prefix = ex.join(dfreq, "sh")
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("df"), col("sh"))).as("ent"))
+      .select(col("doc_id"),
+        expr(s"""slice(
+          |  transform(array_sort(ent), e -> e.sh),
+          |  1,
+          |  size(ent) - CAST(ceil($jaccardThreshold * size(ent)) AS INT) + 1
+          |)""".stripMargin).as("pre"))
+      .select(col("doc_id"), explode(col("pre")).as("sh"))
+    // prefix posting lists → candidates where BOTH entries are prefix
+    val posting = prefix.groupBy("sh")
+      .agg(collect_list(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) <= maxShingleDf)
+    val cand = posting
+      .select(explode(col("docs")).as("d1"), col("docs"))
+      .select(col("d1"), explode(col("docs")).as("d2"))
+      .filter(col("d1") < col("d2"))
+      .distinct()
+    // exact verify: one array_intersect over the two shingle sets
+    val a = sets.select(col("doc_id").as("d1"), col("fps").as("fps1"))
+    val b = sets.select(col("doc_id").as("d2"), col("fps").as("fps2"))
+    cand.join(a, "d1").join(b, "d2")
+      .withColumn("inter",
+        size(array_intersect(col("fps1"), col("fps2"))).cast("long"))
+      .withColumn("jaccard", Exact.round4(col("inter").cast("double") /
+        (size(col("fps1")) + size(col("fps2")) - col("inter"))))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("d1", "d2", "inter", "jaccard")
+      .orderBy("d1", "d2")
+  }
+
   /** DuckDB CTE block computing the verified near-dup pairs — the
     * shared front half of the d03/d08/d09 oracles. Exposes a `pairs`
     * CTE (d1, d2, inter, jaccard).
@@ -1556,6 +1633,7 @@ object Dedup {
     "d16_source_overlap" -> sourceOverlap _,
     "d17_bloom_increment" -> bloomIncrementalDedup _,
     "d18_source_rank" -> sourceRank _,
+    "d19_prefix_jaccard" -> prefixJaccard _,
     "w10_streaming_increment" -> streamingIncrementalDedup _
   )
 
@@ -1579,6 +1657,8 @@ object Dedup {
     // the bloom prefilter cannot change verdicts → d13's oracle
     "d17_bloom_increment" -> incrementalDedupSql,
     "d18_source_rank" -> sourceRankSql,
+    // prefix filtering computes exactly d03's semantics → its oracle
+    "d19_prefix_jaccard" -> ngramJaccardSql,
     // arrival order cannot change per-doc verdicts → d13's oracle
     "w10_streaming_increment" -> incrementalDedupSql
   )

@@ -46,8 +46,8 @@ class GoldenSpec extends AnyFunSuite {
     "mm06_audio_resample", "c06_corpus_card", "r10_asof_native",
     "s13_radius_search", "w12_streaming_funnel", "mm07_image_resize",
     "c07_incremental_kpis",
-    // round-8: native range join
-    "r11_range_native")
+    // round-8: native range join, prefix-filtered exact jaccard
+    "r11_range_native", "d19_prefix_jaccard")
 
   private def render(df: DataFrame): Seq[String] = {
     val header = df.columns.mkString("\t")

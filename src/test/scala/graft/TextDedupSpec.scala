@@ -209,6 +209,16 @@ class TextDedupSpec extends AnyFunSuite {
     assert(df.filter(col("d1") >= col("d2")).count() === 0)
   }
 
+  test("d19 prefix-filtered jaccard equals d03 row-for-row (exactness)") {
+    // prefix filtering is a CANDIDATE pruning, never a recall loss:
+    // the All-Pairs prefix theorem guarantees every pair with
+    // J >= t survives, and the verify step recomputes exact jaccard
+    val full = Dedup.ngramJaccard(spark, sfDir)
+    val pref = Dedup.prefixJaccard(spark, sfDir)
+    assert(pref.exceptAll(full).count() === 0)
+    assert(full.exceptAll(pref).count() === 0)
+  }
+
   test("simhash signatures fit 60 bits, bands fit 15 bits") {
     val r = Dedup.simhash(spark, sfDir).agg(
       min("simhash"), max("simhash"),
