@@ -368,9 +368,11 @@ object Dedup {
     * d19 for natural text.
     */
   def prefixJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // no size(fps)>0 filter: alias-inlining would drag the whole
+    // shingle derivation into a Filter (the PlanAuditSpec trap);
+    // empty-set docs simply produce no exploded rows and no candidates
     val sets = shingled(spark, dir)
       .withColumn("fps", array_sort(col("fps"))) // canonical order
-      .filter(size(col("fps")) > 0)
     val ex = sets
       .select(col("doc_id"), explode_outer(col("fps")).as("sh"))
       .filter(col("sh").isNotNull)
@@ -387,7 +389,10 @@ object Dedup {
           |  1,
           |  size(ent) - CAST(ceil($jaccardThreshold * size(ent)) AS INT) + 1
           |)""".stripMargin).as("pre"))
-      .select(col("doc_id"), explode(col("pre")).as("sh"))
+      // explode_outer: an inner explode's inferred non-empty predicate
+      // would carry the prefix derivation into a Filter (see d02/d03)
+      .select(col("doc_id"), explode_outer(col("pre")).as("sh"))
+      .filter(col("sh").isNotNull)
     // prefix posting lists → candidates where BOTH entries are prefix
     val posting = prefix.groupBy("sh")
       .agg(collect_list(col("doc_id")).as("docs"))

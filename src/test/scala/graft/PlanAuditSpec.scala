@@ -38,7 +38,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "d14_semantic_dedup", "d15_paragraph_dedup", "d16_source_overlap",
     "t16_c4_clean", "t17_gopher_rules", "t18_dsir_weights",
     "d17_bloom_increment", "t19_cdc_chunks", "d18_source_rank",
-    "p06_leakage_splits", "c06_corpus_card")
+    "p06_leakage_splits", "c06_corpus_card",
+    // round-8 HOF-heavy addition
+    "d19_prefix_jaccard")
 
   /** Exchange-count pins for the most expensive plans (round-7 verdict
     * "next" 8): a future edit that doubles a shuffle must fail CI with
