@@ -112,14 +112,28 @@ object Dedup {
   /** The d02 candidate pipeline without its presentation sort —
     * [[neardupVerified]] (d11) consumes it as a relation.
     */
-  private[graft] def lshCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val bands = lshBands(spark, dir)
-    val a = bands.as("a")
-    val b = bands.as("b")
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+  private[graft] def lshCandidates(spark: SparkSession, dir: String): DataFrame =
+    // memoized like jaccardPairs: d02 sorts these pairs, d11 verifies
+    // them — one persisted candidate set serves both
+    PlanMemo.cached(spark, s"dedup.lshCandidates:$dir")(
+      buildLshCandidates(spark, dir))
+
+  private def buildLshCandidates(spark: SparkSession, dir: String): DataFrame = {
+    // POSTING-LIST pair emission, not a self-join (same shape as
+    // d03's inverted index): one shuffle groups the band table into
+    // (band, key) → [doc_id…] buckets, and candidate pairs are
+    // emitted MAP-SIDE from each bucket. The earlier self-join
+    // spelling either broadcast the corpus-scale band frame (the
+    // static planner's pick — the thing that dies first on a real
+    // cluster) or, hinted to merge, shuffled and sorted it twice.
+    val posting = lshBands(spark, dir)
+      .groupBy("band", "key")
+      .agg(collect_list(col("doc_id")).as("docs"))
+    posting
+      .select(explode(col("docs")).as("d1"), col("docs"))
+      .select(col("d1"), explode(col("docs")).as("d2"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2")
       .agg(count(lit(1)).as("n_bands"))
   }
 
@@ -227,9 +241,16 @@ object Dedup {
 
   def neardupVerified(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // shuffle_hash building the CANDIDATE side, NOT a broadcast of
+    // the docs side: the text frames are corpus-scale (the widest
+    // frames here), so they must move by shuffle — and building the
+    // hash on the band-filtered pair frame (no text payload) keeps
+    // the corpus side streaming, unsorted
     lshCandidates(spark, dir)
       .select("d1", "d2")
+      .hint("shuffle_hash")
       .join(docs.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
+      .hint("shuffle_hash")
       .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
       .withColumn("lev", levenshtein(col("t1"), col("t2")).cast("long"))
       .withColumn("edit_sim", Exact.round4(
@@ -320,9 +341,19 @@ object Dedup {
       .filter(col("d1") < col("d2"))
       .groupBy("d1", "d2")
       .agg(count(lit(1)).as("inter"))
+    // shuffle_hash, NOT broadcast: `sizes` has one row per document —
+    // it grows with the corpus, so auto-broadcasting it (what the
+    // static planner picks from its post-aggregate size guess) builds
+    // a docs-sized hash relation on the driver. That is exactly the
+    // plan that fails first at scale: the zipf sf1 stress run died in
+    // the broadcast build while the hinted plan runs in the same time
+    // (the pair frame re-shuffles by d1/d2 either way; a per-partition
+    // hash build of the small shuffled side replaces the driver one).
     inter
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1")
+        .hint("shuffle_hash"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2")
+        .hint("shuffle_hash"), "d2")
       .withColumn("jaccard",
         Exact.round4(col("inter").cast("double") /
           (col("n1") + col("n2") - col("inter"))))
@@ -380,7 +411,10 @@ object Dedup {
     // per-doc (df, sh)-ascending order, keep the prefix: collect +
     // array_sort on structs keeps the work in codegen after ONE
     // shuffle by doc_id (a rank window would sort the same shuffle)
-    val prefix = ex.join(dfreq, "sh")
+    // shuffle_hash: `dfreq` is one row per distinct shingle — the
+    // corpus vocabulary, unbounded at scale — so it must meet the
+    // exploded stream via a shuffle, not a driver-built broadcast
+    val prefix = ex.join(dfreq.hint("shuffle_hash"), "sh")
       .groupBy("doc_id")
       .agg(collect_list(struct(col("df"), col("sh"))).as("ent"))
       .select(col("doc_id"),
@@ -403,9 +437,14 @@ object Dedup {
       .filter(col("d1") < col("d2"))
       .distinct()
     // exact verify: one array_intersect over the two shingle sets
+    // sort-merge, NOT broadcast: `a`/`b` carry every document's FULL
+    // shingle array — the widest docs-sized frames in the engine; a
+    // broadcast would ship the whole shingled corpus to the driver.
+    // Merge (not shuffle_hash) because the build side's per-partition
+    // hash map would hold the arrays themselves; SMJ streams them.
     val a = sets.select(col("doc_id").as("d1"), col("fps").as("fps1"))
     val b = sets.select(col("doc_id").as("d2"), col("fps").as("fps2"))
-    cand.join(a, "d1").join(b, "d2")
+    cand.join(a.hint("merge"), "d1").join(b.hint("merge"), "d2")
       .withColumn("inter",
         size(array_intersect(col("fps1"), col("fps2"))).cast("long"))
       .withColumn("jaccard", Exact.round4(col("inter").cast("double") /
@@ -478,7 +517,9 @@ object Dedup {
       .withColumn("sh", expr(
         (0 until 60).map(b => s"IF(v$b > 0, ${1L << b}L, 0L)").mkString(" + ")))
       .select("doc_id", "sh")
-    docs.select("doc_id").join(sig, Seq("doc_id"), "left")
+    // shuffle_hash: `sig` has one (doc_id, simhash) row per document
+    // with tokens — corpus-scale, never a broadcast candidate
+    docs.select("doc_id").join(sig.hint("shuffle_hash"), Seq("doc_id"), "left")
       .withColumn("simhash", coalesce(col("sh"), lit(0L)))
       .select(
         col("doc_id"), col("simhash"),
@@ -565,7 +606,10 @@ object Dedup {
       .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
       .filter(col("lo") =!= col("hi"))
       .select("wh")
-    val dupWins = wins.join(dupHashes, "wh")
+    // shuffle_hash: the duplicated-hash set grows with the corpus
+    // (every cross-doc repeated window lands in it) — shuffle both
+    // sides by wh instead of driver-building a broadcast of it
+    val dupWins = wins.join(dupHashes.hint("shuffle_hash"), "wh")
       .select("doc_id", "n_tok", "pos")
     // union-merge overlapping [pos, pos+k-1] spans: a chain breaks
     // when the gap to the previous start is >= k; covered tokens per
@@ -589,8 +633,8 @@ object Dedup {
       .withColumn("toks",
         expr("filter(split(lower(text), ' '), t -> t != '')"))
       .select(col("doc_id"), size(col("toks")).as("n_tok"))
-      .join(perDoc.select("doc_id", "dup_windows", "dup_tokens"),
-        Seq("doc_id"), "left")
+      .join(perDoc.select("doc_id", "dup_windows", "dup_tokens")
+        .hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         col("n_tok").cast("long").as("n_tok"),
@@ -698,7 +742,10 @@ object Dedup {
       .select(fp.as("fp")).distinct()
     val exact = docs.filter(isNew)
       .select(col("doc_id"), fp.as("fp"))
-      .join(baseHashes, Seq("fp"), "left_semi")
+      // shuffle_hash: the BASE side's artifacts are O(corpus) — the
+      // increment is the small side, but a left-semi must build the
+      // right, so the meeting has to be a shuffle, never a broadcast
+      .join(baseHashes.hint("shuffle_hash"), Seq("fp"), "left_semi")
       .select(col("doc_id")).withColumn("exact_dup", lit(1))
     // near layer: banded MinHash signatures (the persisted band table
     // from the d02 pipeline, split by side)
@@ -706,12 +753,14 @@ object Dedup {
     val baseBands = bands.filter(col("doc_id") < splitId)
       .select("band", "key").distinct()
     val near = bands.filter(col("doc_id") >= splitId)
-      .join(baseBands, Seq("band", "key"), "left_semi")
+      .join(baseBands.hint("shuffle_hash"), Seq("band", "key"), "left_semi")
       .select("doc_id").distinct()
       .withColumn("near_dup", lit(1))
     docs.filter(isNew).select("doc_id", "lang")
-      .join(exact, Seq("doc_id"), "left")
-      .join(near, Seq("doc_id"), "left")
+      // the increment is PROPORTIONAL to the corpus (a fraction,
+      // not a bound) — its verdict frames shuffle as well
+      .join(exact.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(near.hint("shuffle_hash"), Seq("doc_id"), "left")
       .withColumn("verdict",
         when(col("exact_dup") === 1, 2)
           .when(col("near_dup") === 1, 1)
@@ -972,7 +1021,9 @@ object Dedup {
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
     Tables.documents(spark, dir)
-      .join(keep, Seq("doc_id"), "left_semi")
+      // shuffle_hash: `keep` has ~one row per distinct document —
+      // corpus-scale, so the semi join must shuffle, not broadcast
+      .join(keep.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
   }
@@ -1061,7 +1112,9 @@ object Dedup {
     val overlap = corpus.join(broadcast(bench), "sh")
       .groupBy("doc_id").agg(count(lit(1)).as("overlap"))
     val sizes = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    sizes.join(overlap, "doc_id")
+    // shuffle_hash: both per-doc aggregates are corpus-scale; only
+    // the bench shingle set above is a legitimate broadcast
+    sizes.join(overlap.hint("shuffle_hash"), "doc_id")
       .select(col("doc_id"), col("n_shingles"), col("overlap"),
         Exact.round4(col("overlap").cast("double") / col("n_shingles"))
           .as("overlap_rate"))
@@ -1260,7 +1313,10 @@ object Dedup {
   def neardupClusters(spark: SparkSession, dir: String): DataFrame = {
     val labels = ccLabels(spark, dir)
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "lbl")
+    // shuffle_hash: cluster count grows with the corpus (most docs
+    // are singleton clusters), so the per-cluster size frame is
+    // docs-scale — never a broadcast candidate
+    labels.join(sizes.hint("shuffle_hash"), "lbl")
       .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
         col("cluster_size"))
       .orderBy("doc_id")
@@ -1299,7 +1355,10 @@ object Dedup {
       .filter(col("node") =!= col("lbl"))
       .select(col("node").as("doc_id"))
     Tables.documents(spark, dir)
-      .join(losers, Seq("doc_id"), "left_anti")
+      // shuffle_hash: "tiny next to the corpus" is a RATIO, not a
+      // bound — the loser set is ~the near-dup rate times the corpus,
+      // which still grows linearly with it
+      .join(losers.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
   }
@@ -1351,18 +1410,21 @@ object Dedup {
     val exact = docs.filter(isNew)
       .select(col("doc_id"), fp.as("fp"))
       .filter(BloomProbe.probe(spark, col("fp"), filter)) // map-side prune
-      .join(baseHashes, Seq("fp"), "left_semi")           // exact confirm
+      // shuffle_hash: base hash set is O(corpus) — see d13
+      .join(baseHashes.hint("shuffle_hash"), Seq("fp"), "left_semi")
       .select(col("doc_id")).withColumn("exact_dup", lit(1))
     val bands = lshBands(spark, dir)
     val baseBands = bands.filter(col("doc_id") < splitId)
       .select("band", "key").distinct()
     val near = bands.filter(col("doc_id") >= splitId)
-      .join(baseBands, Seq("band", "key"), "left_semi")
+      .join(baseBands.hint("shuffle_hash"), Seq("band", "key"), "left_semi")
       .select("doc_id").distinct()
       .withColumn("near_dup", lit(1))
     docs.filter(isNew).select("doc_id", "lang")
-      .join(exact, Seq("doc_id"), "left")
-      .join(near, Seq("doc_id"), "left")
+      // the increment is PROPORTIONAL to the corpus (a fraction,
+      // not a bound) — its verdict frames shuffle as well
+      .join(exact.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(near.hint("shuffle_hash"), Seq("doc_id"), "left")
       .withColumn("verdict",
         when(col("exact_dup") === 1, 2)
           .when(col("near_dup") === 1, 1)
@@ -1442,7 +1504,8 @@ object Dedup {
     val ex = paraHashes(spark, dir)
       .withColumn("ord", col("doc_id") * paraOrd + col("pi"))
     val first = ex.groupBy("px").agg(min("ord").as("keep_ord"))
-    ex.join(first, "px")
+    // shuffle_hash: one row per DISTINCT paragraph — corpus-scale
+    ex.join(first.hint("shuffle_hash"), "px")
       .withColumn("kept", (col("ord") === col("keep_ord")).cast("int"))
       .groupBy("doc_id")
       .agg(

@@ -322,7 +322,9 @@ object Packing {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val labels = Dedup.ccLabels(spark, dir)
       .select(col("node").as("doc_id"), col("lbl"))
-    val sp = docs.join(labels, Seq("doc_id"), "left")
+    // shuffle_hash: cluster labels are docs-scale, like every frame
+    // in this query except the final 1-row leak counts
+    val sp = docs.join(labels.hint("shuffle_hash"), Seq("doc_id"), "left")
       .withColumn("cluster", coalesce(col("lbl"), col("doc_id")))
       .select(col("doc_id"),
         splitName(pmod(Text.fp64(col("cluster").cast("string")),
@@ -331,8 +333,10 @@ object Packing {
           lit(splitBuckets.toLong))).as("s_naive"))
     val pairs = Dedup.jaccardPairs(spark, dir).select("d1", "d2")
     def leaked(scheme: String) = pairs
-      .join(sp.select(col("doc_id").as("d1"), col(scheme).as("sa")), "d1")
-      .join(sp.select(col("doc_id").as("d2"), col(scheme).as("sb")), "d2")
+      .join(sp.select(col("doc_id").as("d1"), col(scheme).as("sa"))
+        .hint("shuffle_hash"), "d1")
+      .join(sp.select(col("doc_id").as("d2"), col(scheme).as("sb"))
+        .hint("shuffle_hash"), "d2")
       .filter(col("sa") =!= col("sb"))
       .agg(count(lit(1)).as("leaked_pairs"))
     def counts(scheme: String, name: String) = sp

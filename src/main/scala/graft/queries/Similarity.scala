@@ -259,8 +259,12 @@ object Similarity {
       .select("vec_id", "embedding", "nrm", "bucket")
     val a = emb.select(col("bucket"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    // sort-merge, NOT broadcast: `b` is every embedding in the corpus
+    // (with its vector payload) — the bucketed self-join must meet by
+    // shuffle on bucket; merge keeps the arrays out of hash builds
     val b = emb.select(col("bucket"), col("vec_id").as("id_b"),
       col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+      .hint("merge")
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", Exact.round4(
@@ -488,8 +492,10 @@ object Similarity {
       .select("vec_id", "embedding", "nrm", "bucket")
     val a = emb.select(col("bucket"), col("vec_id"),
       col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    // sort-merge: corpus-scale self-join on bucket — see nearDupPairs
     val b = emb.select(col("bucket"), col("vec_id").as("nn_id"),
       col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+      .hint("merge")
     a.join(b, Seq("bucket"))
       .filter(col("vec_id") =!= col("nn_id"))
       .withColumn("cosine", Exact.round4(
@@ -553,7 +559,10 @@ object Similarity {
     val shortlist = topkPerGroup(coarse, Seq("q_id"), shortlistK)
       .select(col("q_id"), col("vec_id"))
     // stage 2: full-dim exact cosine over the shortlist only
-    val rescored = shortlist
+    // broadcast the SHORTLIST (bounded: queries × shortlistK rows),
+    // not `cand` — the static planner was building the whole
+    // embedding corpus as the broadcast side of this join
+    val rescored = broadcast(shortlist)
       .join(cand.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
       .join(broadcast(q), "q_id")
       .withColumn("cosine", Exact.round4(

@@ -67,7 +67,8 @@ object Temporal {
       .groupBy("p_id", "user_id")
       .agg(count(lit(1)).as("n_clicks"))
     purchases.select("p_id", "user_id")
-      .join(matched, Seq("p_id", "user_id"), "left")
+      // shuffle_hash: per-purchase click counts are events-scale
+      .join(matched.hint("shuffle_hash"), Seq("p_id", "user_id"), "left")
       .select(col("p_id"), col("user_id"),
         coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
       .orderBy("p_id")
@@ -112,7 +113,9 @@ object Temporal {
       ev.filter(col("event_type") === funnelSteps.head)
         .groupBy("user_id").agg(min("ts").as("t"))) { (prev, step) =>
       ev.filter(col("event_type") === step)
-        .join(prev, "user_id")
+        // shuffle_hash: `prev` has one row per user still in the
+        // funnel — users-scale, not a broadcast side
+        .join(prev.hint("shuffle_hash"), "user_id")
         .filter(col("ts") > col("t") &&
           col("ts") <= expr(s"timestampadd(HOUR, $funnelWindowHours, t)"))
         .groupBy("user_id").agg(min("ts").as("t"))
@@ -199,7 +202,9 @@ object Temporal {
     val cohorts = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
     val sizes = cohorts.groupBy("cohort_day")
       .agg(count(lit(1)).as("cohort_size"))
-    ev.join(cohorts, "user_id")
+    // shuffle_hash: one cohort row per user — users-scale (the
+    // day-level `sizes` frame below IS bounded and stays a broadcast)
+    ev.join(cohorts.hint("shuffle_hash"), "user_id")
       .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
       .filter(col("day_offset").between(0, retentionDays))
       .groupBy("cohort_day", "day_offset")
@@ -260,7 +265,8 @@ object Temporal {
       .groupBy("p_id", "p_uid")
       .agg(count(lit(1)).as("n_clicks"))
     purchases.select(col("p_id"), col("p_uid"))
-      .join(matched, Seq("p_id", "p_uid"), "left")
+      // shuffle_hash: per-purchase click counts are events-scale
+      .join(matched.hint("shuffle_hash"), Seq("p_id", "p_uid"), "left")
       .select(col("p_id"), col("p_uid").as("user_id"),
         coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
       .orderBy("p_id")

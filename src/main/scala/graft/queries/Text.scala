@@ -364,7 +364,9 @@ object Text {
           .as("top_bigram_frac"),
         Exact.round4(col("n_distinct").cast("double") / col("n_bigrams"))
           .as("distinct_frac"))
-    docs.select("doc_id").join(stats, Seq("doc_id"), "left")
+    // shuffle_hash: per-doc stats are corpus-scale — the static
+    // planner's post-aggregate size guess must not broadcast them
+    docs.select("doc_id").join(stats.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
@@ -415,7 +417,9 @@ object Text {
     val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
-    tf.join(dfreq, "w")
+    // shuffle_hash: document frequencies span the corpus VOCABULARY —
+    // unbounded at scale, never a broadcast candidate
+    tf.join(dfreq.hint("shuffle_hash"), "w")
       .crossJoin(broadcast(total))
       .withColumn("score", Exact.round4(
         col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0))))
@@ -540,7 +544,9 @@ object Text {
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
     val oov = toks.join(broadcast(vocab), Seq("w"), "left_anti")
       .groupBy("doc_id").agg(count(lit(1)).as("n_oov"))
-    sizes.join(oov, Seq("doc_id"), "left")
+    // shuffle_hash: per-doc OOV counts are corpus-scale (the top-K
+    // `vocab` above is the bounded side and stays a broadcast)
+    sizes.join(oov.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tok"),
         coalesce(col("n_oov"), lit(0L)).as("n_oov"),
         Exact.round4(coalesce(col("n_oov"), lit(0L)).cast("double")
@@ -701,16 +707,19 @@ object Text {
       .select(explode_outer(tokens(lower(col("text")))).as("w"))
       .filter(col("w").isNotNull)
       .agg(countDistinct("w").as("v"))
+    // shuffle_hash: bigram (vocab²-scale) and unigram (vocab-scale)
+    // LM counts grow with the corpus vocabulary — shuffle, never
+    // broadcast; only the 1-row `vocab` total is a broadcast side
     val scored = perDoc
-      .join(c2, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
+      .join(c2.hint("shuffle_hash"), Seq("w1", "w2"))
+      .join(c1.hint("shuffle_hash"), Seq("w1"))
       .crossJoin(broadcast(vocab))
       .withColumn("lp4", expr(
         "n * CAST(FLOOR(ln((c2 + 1.0) / (c1 + v)) * 10000) AS BIGINT)"))
       .groupBy("doc_id")
       .agg(sum("lp4").as("lp4sum"), sum("n").as("n_bigrams"))
     docs.select("doc_id")
-      .join(scored, Seq("doc_id"), "left")
+      .join(scored.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
@@ -867,7 +876,10 @@ object Text {
       .agg(count(lit(1)).as("n_lines"),
         sum("keep").as("n_kept"),
         coalesce(sum(col("n_chars") * col("keep")), lit(0L)).as("kept_chars"))
-    pages.join(agg, "doc_id")
+    // shuffle_hash on the NARROW per-doc aggregate: both sides are
+    // corpus-scale, and `pages` carries the full cleaned text — the
+    // static plan was broadcasting the TEXT side
+    pages.join(agg.hint("shuffle_hash"), "doc_id")
       .select(col("doc_id"), col("n_lines"), col("n_kept"), col("kept_chars"),
         when(instr(col("page"), "{") > 0, "brace")
           .when(instr(lower(col("page")), "lorem ipsum") > 0, "lorem")
@@ -1074,8 +1086,10 @@ object Text {
     val totals = perDocWord
       .agg(sum("n").as("nr"), sum(when(isT, col("n")).otherwise(0L)).as("nt"))
     val vocab = wordStats.agg(count(lit(1)).as("v"))
+    // shuffle_hash: per-word raw/target counts span the corpus
+    // vocabulary — unbounded; the 1-row totals stay broadcasts
     val scored = perDocWord
-      .join(wordStats, "w")
+      .join(wordStats.hint("shuffle_hash"), "w")
       .crossJoin(broadcast(totals))
       .crossJoin(broadcast(vocab))
       .withColumn("lw4", expr(
@@ -1083,7 +1097,7 @@ object Text {
       .groupBy("doc_id")
       .agg(sum("lw4").as("lw4sum"), sum("n").as("n_tokens"))
     docs.select(col("doc_id"), col("lang"))
-      .join(scored, Seq("doc_id"), "left")
+      .join(scored.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(
         col("doc_id"), col("lang"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),

@@ -56,11 +56,15 @@ class PlanAuditSpec extends AnyFunSuite {
     */
   private val exchangePins = Map(
     //                      (hash, roundrobin, range, broadcast)
+    // broadcast counts here are BOUNDED sides only (1-row stats,
+    // query sets, centroids): every corpus-scale side is pinned to a
+    // shuffle join — a regression that re-broadcasts a docs-scale
+    // frame shows up as bcast going UP and fails this test
     "c06_corpus_card"    -> ((2, 1, 0, 4)),
-    "d02_minhash_lsh"    -> ((4, 4, 1, 1)),
-    "d03_ngram_jaccard"  -> ((18, 12, 1, 4)),
+    "d02_minhash_lsh"    -> ((8, 4, 1, 0)),
+    "d03_ngram_jaccard"  -> ((22, 12, 1, 0)),
     "s11_ivfpq_search"   -> ((3, 6, 1, 5)),
-    "d04_simhash"        -> ((1, 2, 1, 1)))
+    "d04_simhash"        -> ((2, 2, 1, 0)))
 
   exchangePins.foreach { case (name, (hash, rr, range, bcast)) =>
     test(s"$name: exchange counts stay pinned") {
