@@ -11,15 +11,15 @@ import org.apache.spark.sql.functions._
   * The Spark-side architecture is real and tested — schema, binary
   * payloads, partition-preserving `mapPartitions` batch shape (the
   * Scala analog of `mapInPandas`: one iterator per partition, records
-  * streamed, nothing collected). All three modalities now decode REAL
+  * streamed, nothing collected). All three modalities decode REAL
   * bytes through JDK codecs: images as PNG (`javax.imageio`, mm03/
   * mm07), audio as WAV/RIFF (`javax.sound.sampled`, mm04/mm06), and
-  * multi-frame video-shaped clips as animated GIF (mm05). The only
-  * remaining stub is [[FakeCodec]] backing the generic mm01/mm02
-  * metadata plumbing — kept deliberately: those two queries gate the
-  * payload-agnostic schema/partitioning path a codec-less column
-  * (e.g. a proprietary format) takes, and mm03–mm07 prove the same
-  * plumbing carries real codecs unchanged.
+  * multi-frame video-shaped clips as animated GIF (mm05). The
+  * generic mm02 ingest dispatches each record of the MIXED media
+  * table to its type's real codec (no stub anywhere — the former
+  * FakeCodec is gone); mm01 profiles payload metadata with native
+  * binary functions only, the path a codec-less proprietary column
+  * takes.
   *
   * Scale posture: payloads never shuffle — every stage is map-side;
   * aggregations group only extracted scalar features. At 100 TB the
@@ -35,31 +35,82 @@ object Multimodal {
       doc_id: Long, media_type: String, n_bytes: Long,
       width: Int, height: Int, byte_mean: Double, n_frames: Int)
 
-  /** STUB codec — stands in for libjpeg/ffmpeg/etc., which are absent
-    * in this container. Every function is a pure, deterministic
-    * byte-level fake with the same signature shape a real codec
-    * binding would have.
+  /** Per-modality synthesis closed forms shared by the generic mm02
+    * dispatch — the same deterministic shapes mm03 (PNG), mm04 (WAV)
+    * and mm05 (GIF) use, so every modality in the mixed table rides a
+    * REAL container through a REAL JDK codec (no stub anywhere).
     */
-  object FakeCodec {
-    /** "Decode header": fake dimensions derived from payload length. */
-    def decodeDims(payload: Array[Byte]): (Int, Int) = {
-      val w = 16 + (payload.length % 64)
-      val h = 16 + ((payload.length / 64) % 64)
-      (w, h)
+  private object TypedMedia {
+    def pngFor(id: Long): Array[Byte] = {
+      val w = (8 + id % 16).toInt
+      val h = (8 + (id / 16) % 16).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, ((id * 31 + x * 7 + y * 13) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
     }
 
-    /** "Feature extraction": mean of unsigned byte values. */
-    def byteMean(payload: Array[Byte]): Double =
-      if (payload.isEmpty) 0.0
-      else payload.map(b => (b & 0xff).toDouble).sum / payload.length
+    def wavFor(id: Long, fmt: javax.sound.sampled.AudioFormat): Array[Byte] = {
+      val n = (256 + id % 512).toInt
+      val bytes = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = (((id * 7 + i * 31) % 65536) - 32768).toInt
+        bytes(2 * i) = (s & 0xff).toByte
+        bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      WavCodec.writer.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
 
-    /** "Resize": truncate/pad the payload to n bytes. */
-    def resize(payload: Array[Byte], n: Int): Array[Byte] =
-      java.util.Arrays.copyOf(payload, n)
-
-    /** "Frame sampling": every k-th byte as a 1-byte 'frame'. */
-    def sampleFrames(payload: Array[Byte], k: Int): Array[Byte] =
-      payload.zipWithIndex.collect { case (b, i) if i % k == 0 => b }
+    def gifFor(id: Long, writer: javax.imageio.ImageWriter,
+        cm: java.awt.image.IndexColorModel): Array[Byte] = {
+      val nf = (4 + id % 9).toInt
+      val w = (8 + id % 8).toInt
+      val h = (8 + (id / 8) % 8).toInt
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nf) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0,
+              ((id * 31 + f * 17 + x * 7 + y * 13) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+      ios.close()
+      bos.toByteArray
+    }
   }
 
   /** Synthetic media table: the documents' text bytes as the opaque
@@ -75,21 +126,99 @@ object Multimodal {
         .otherwise("video").as("media_type"),
       length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
 
-  /** Decode + feature-extract as a partition-preserving mapPartitions
-    * (the mapInPandas batch shape): one iterator per partition, the
-    * payload is dropped after extraction, only scalars flow on.
+  /** Decode + feature-extract as partition-preserving mapPartitions
+    * stages (the mapInPandas batch shape): one iterator per
+    * partition, the payload is dropped after extraction, only scalars
+    * flow on. The MIXED-media dispatch is the point: one pipeline
+    * routes each record to the codec its `media_type` requires —
+    * image rows through the JDK PNG codec, audio rows through the
+    * WAV/RIFF codec, video rows through the animated-GIF reader —
+    * which is exactly what an ingest over a heterogeneous 100 TB
+    * media table does (per-type codec choice is per-record control
+    * flow, not per-query topology). Features are decoded values
+    * (dims, frame counts, mean decoded sample), never proxies off
+    * the compressed bytes.
     */
   def extractFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
     import spark.implicits._
-    mediaTable(spark, dir)
-      .select("doc_id", "payload", "media_type", "n_bytes")
-      .as[(Long, Array[Byte], String, Long)]
-      .mapPartitions { it =>
-        it.map { case (id, payload, mtype, nBytes) =>
-          val (w, h) = FakeCodec.decodeDims(payload)
-          val frames = FakeCodec.sampleFrames(payload, k = 32)
-          MediaFeatures(id, mtype, nBytes, w, h,
-            FakeCodec.byteMean(payload), frames.length)
+    Tables.balanced(Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
+      .mapPartitions { it => // encode: one REAL typed container each
+        javax.imageio.ImageIO.setUseCache(false)
+        val gifWriter = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        val cm = grayPalette
+        val fmt = new javax.sound.sampled.AudioFormat(
+          wavSampleRate, 16, 1, true, false)
+        it.map { id =>
+          (id % 3) match {
+            case 0 => (id, "image", TypedMedia.pngFor(id))
+            case 1 => (id, "audio", TypedMedia.wavFor(id, fmt))
+            case _ => (id, "video", TypedMedia.gifFor(id, gifWriter, cm))
+          }
+        }
+      }
+      .mapPartitions { it => // decode: the matching REAL codec
+        javax.imageio.ImageIO.setUseCache(false)
+        val gifReader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("gif").next()
+        it.map { case (id, mtype, payload) =>
+          mtype match {
+            case "image" =>
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(payload))
+              val (w, h) = (img.getWidth, img.getHeight)
+              val raster = img.getRaster
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+                y += 1
+              }
+              MediaFeatures(id, mtype, payload.length.toLong, w, h,
+                sum.toDouble / (w * h), 1)
+            case "audio" =>
+              val ais = WavCodec.reader.getAudioInputStream(
+                new java.io.ByteArrayInputStream(payload))
+              val frames = ais.getFrameLength.toInt
+              val raw = ais.readAllBytes()
+              var ampSum = 0L
+              var i = 0
+              while (i < raw.length - 1) {
+                ampSum += ((raw(i) & 0xff) | (raw(i + 1) << 8)).toShort.toLong
+                i += 2
+              }
+              MediaFeatures(id, mtype, payload.length.toLong, 0, 0,
+                ampSum.toDouble / frames, frames)
+            case _ =>
+              val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+                new java.io.ByteArrayInputStream(payload))
+              gifReader.setInput(iis, false, true)
+              val nf = gifReader.getNumImages(true)
+              var pxSum = 0L
+              var w = 0
+              var h = 0
+              var f = 0
+              while (f < nf) { // generic ingest decodes EVERY frame
+                val img = gifReader.read(f)
+                w = img.getWidth
+                h = img.getHeight
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    pxSum += (img.getRGB(x, y) & 0xff) // identity-gray
+                    x += 1
+                  }
+                  y += 1
+                }
+                f += 1
+              }
+              iis.close()
+              MediaFeatures(id, mtype, payload.length.toLong, w, h,
+                pxSum.toDouble / (nf.toLong * w * h), nf)
+          }
         }
       }
   }
@@ -121,9 +250,11 @@ object Multimodal {
       |  COUNT(DISTINCT md5(text)) AS distinct_payloads
       |FROM documents GROUP BY 1 ORDER BY media_type""".stripMargin
 
-  /** mm02 — decoded-feature rollup through the mapPartitions stage.
-    * The stub dims/frames are deterministic integer arithmetic on the
-    * payload length, so the rollup is oracle-checkable end-to-end
+  /** mm02 — decoded-feature rollup through the mixed-media codec
+    * dispatch. Every modality's dims/frame-counts come from REAL
+    * containers decoded by the matching JDK codec, and each is a
+    * closed-form function of doc_id (the same shapes mm03/mm04/mm05
+    * pin individually), so the rollup is oracle-checkable end-to-end
     * through the Dataset/mapPartitions plumbing (byte_mean stays a
     * per-row feature, pinned in MultimodalSpec — averaging it across
     * rows would reintroduce order-dependent double sums).
@@ -144,9 +275,15 @@ object Multimodal {
       |    CASE WHEN doc_id % 3 = 0 THEN 'image'
       |         WHEN doc_id % 3 = 1 THEN 'audio'
       |         ELSE 'video' END AS media_type,
-      |    16 + (octet_length(encode(text)) % 64) AS width,
-      |    16 + ((octet_length(encode(text)) // 64) % 64) AS height,
-      |    (octet_length(encode(text)) + 31) // 32 AS n_frames
+      |    CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 16
+      |         WHEN doc_id % 3 = 1 THEN 0
+      |         ELSE 8 + doc_id % 8 END AS width,
+      |    CASE WHEN doc_id % 3 = 0 THEN 8 + (doc_id // 16) % 16
+      |         WHEN doc_id % 3 = 1 THEN 0
+      |         ELSE 8 + (doc_id // 8) % 8 END AS height,
+      |    CASE WHEN doc_id % 3 = 0 THEN 1
+      |         WHEN doc_id % 3 = 1 THEN 256 + doc_id % 512
+      |         ELSE 4 + doc_id % 9 END AS n_frames
       |  FROM documents)
       |SELECT media_type, COUNT(*) AS n_media,
       |  CAST(SUM(width) AS BIGINT) AS total_width,

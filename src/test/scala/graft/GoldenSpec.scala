@@ -45,6 +45,7 @@ class GoldenSpec extends AnyFunSuite {
     "q21_pivot_matrix", "q22_rollup_summary",
     "mm06_audio_resample", "c06_corpus_card", "r10_asof_native",
     "s13_radius_search", "w12_streaming_funnel", "mm07_image_resize",
+    "mm02_feature_rollup",
     "c07_incremental_kpis",
     // round-8: native range join, prefix-filtered exact jaccard
     "r11_range_native", "d19_prefix_jaccard")

@@ -4,11 +4,10 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Multimodal plumbing: the binary schema, the mapPartitions batch
-  * shape, and the deterministic stub codec.
+  * shape, and the mixed-media real-codec dispatch.
   */
 class MultimodalSpec extends AnyFunSuite {
   import TestSpark._
-  import Multimodal.FakeCodec
 
   test("media table schema: opaque binary payload + typed metadata") {
     val df = Multimodal.mediaTable(spark, sfDir)
@@ -19,33 +18,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(df.filter(col("n_bytes") =!= length(col("payload"))).count() === 0)
   }
 
-  test("stub codec: deterministic dims, mean, resize, frame sampling") {
-    val payload = "hello world, a fake media payload".getBytes("UTF-8")
-    assert(FakeCodec.decodeDims(payload) === FakeCodec.decodeDims(payload))
-    val (w, h) = FakeCodec.decodeDims(payload)
-    assert(w >= 16 && w < 80 && h >= 16 && h < 80)
-    val mean = FakeCodec.byteMean(payload)
-    assert(mean > 0 && mean < 256)
-    assert(FakeCodec.byteMean(Array.emptyByteArray) === 0.0)
-    assert(FakeCodec.resize(payload, 8).length === 8)
-    assert(FakeCodec.resize(payload, 64).length === 64) // pads
-    assert(FakeCodec.sampleFrames(payload, 32).length ===
-      (payload.length + 31) / 32)
-  }
-
-  test("extractFeatures streams partitions; features match the codec") {
+  test("extractFeatures: every modality matches its codec's closed form") {
     val feats = Multimodal.extractFeatures(spark, sfDir)
     // payload must NOT survive the decode stage
     assert(!feats.schema.fieldNames.contains("payload"))
-    val byId = feats.collect().map(f => f.doc_id -> f).toMap
-    val raw = Multimodal.mediaTable(spark, sfDir)
-      .select("doc_id", "payload").collect()
-    raw.foreach { r =>
-      val f = byId(r.getLong(0))
-      val p = r.getAs[Array[Byte]]("payload")
-      assert((f.width, f.height) === FakeCodec.decodeDims(p))
-      assert(f.byte_mean === FakeCodec.byteMean(p))
-      assert(f.n_frames === FakeCodec.sampleFrames(p, 32).length)
+    val rows = feats.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.media_type).toSet === Set("image", "audio", "video"))
+    rows.foreach { f =>
+      val id = f.doc_id
+      f.media_type match {
+        case "image" =>
+          val (w, h) = ((8 + id % 16).toInt, (8 + (id / 16) % 16).toInt)
+          assert((f.width, f.height, f.n_frames) === ((w, h, 1)))
+          val pxSum = (for (y <- 0 until h; x <- 0 until w)
+            yield (id * 31 + x * 7 + y * 13) % 256).sum
+          assert(f.byte_mean === pxSum.toDouble / (w * h))
+        case "audio" =>
+          val n = (256 + id % 512).toInt
+          assert((f.width, f.height, f.n_frames) === ((0, 0, n)))
+          val ampSum = (0 until n).map(i => (id * 7 + i * 31) % 65536 - 32768).sum
+          assert(f.byte_mean === ampSum.toDouble / n)
+        case _ =>
+          val nf = (4 + id % 9).toInt
+          val (w, h) = ((8 + id % 8).toInt, (8 + (id / 8) % 8).toInt)
+          assert((f.width, f.height, f.n_frames) === ((w, h, nf)))
+          val pxSum = (for (fr <- 0 until nf; y <- 0 until h; x <- 0 until w)
+            yield (id * 31 + fr * 17 + x * 7 + y * 13) % 256).sum
+          assert(f.byte_mean === pxSum.toDouble / (nf.toLong * w * h))
+      }
+      // payloads are REAL containers: byte length is codec output,
+      // strictly larger than any fixed header
+      assert(f.n_bytes > 40)
     }
   }
 
