@@ -88,6 +88,23 @@ object PlanMemo {
     df
   }
 
+  /** [[cached]] plus eager materialization: one `count()` action runs
+    * before returning. A memoized plan whose consumers fan out into
+    * CONCURRENT leaf stages needs this: AQE submits independent
+    * shuffle stages in parallel, and when they race on a persisted
+    * but not-yet-materialized relation each stage computes the whole
+    * build pipeline itself (cache blocks dedupe only after the fact).
+    * d19's four-branch consumer measured 164 s racing vs 22 s
+    * materialized at GenData sf10. The count is a cheap cached scan
+    * while blocks are live, and it re-materializes the frame after a
+    * Bench/Verify `clearCache`.
+    */
+  def cachedEager(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val df = cached(spark, key)(build)
+    df.count()
+    df
+  }
+
   /** Memoized DRIVER-SIDE value (e.g. trained Lloyd centroids —
     * deterministic O(k·d) metadata, the same thing a broadcast
     * literal carries). The builder may run eager Spark jobs; it runs

@@ -328,7 +328,9 @@ object Dedup {
     // memoized persist: `posting` feeds per-doc sizes AND pair
     // emission; without it the shingle pipeline runs twice. Rows are
     // bounded (≤ df-cap ids per list); MEMORY_AND_DISK = spill-safe.
-    val posting = PlanMemo.cached(spark, s"dedup.posting:$dir")(
+    // cachedEager: sizes and inter are independent AQE leaf stages —
+    // lazily persisted they race two builds of the shingle pipeline
+    val posting = PlanMemo.cachedEager(spark, s"dedup.posting:$dir")(
       ex.groupBy("sh")
         .agg(collect_list(col("doc_id")).as("docs"))
         .filter(size(col("docs")) <= maxShingleDf))
@@ -389,22 +391,36 @@ object Dedup {
     * outside every prefix), so d19 even retains qualifying pairs
     * whose only shared shingles d03's cap had to drop.
     *
-    * Measured (GenData sf1, local[32]): on UNIFORM-df text (no
-    * common shingles — d03's best case) the pruning cannot pay for
-    * its extra shuffles: d03 19 s vs d19 42 s at sf3. On ZIPF text
-    * (real-text df skew, `GenData ... zipf`): d03 41 s vs d19 17 s —
-    * 2.4× — and the gap widens with scale since d03's emission on
-    * the skewed lists is quadratic where d19 stays candidate-
-    * bounded. Pick by corpus: d03 for flat/engineered token spaces,
-    * d19 for natural text.
+    * Measured (GenData, local[32]): on ZIPF text (real-text df skew,
+    * `GenData ... zipf`): d03 41 s vs d19 17 s at sf3 — 2.4× — and
+    * the gap widens with scale since d03's emission on the skewed
+    * lists is quadratic where d19 stays candidate-bounded. On
+    * UNIFORM-df text (no common shingles — d03's best case, where
+    * prefix pruning is weakest) d19 is within ~10% of d03 at sf10
+    * (29.6 s vs 27.4 s cold): PPJoin's length + positional bounds
+    * (below) cut the emitted 40 M candidates to 12 M, and the
+    * eager-materialized shared shingle frame keeps the md5 pipeline
+    * to one pass. Pick by corpus: d03 for flat/engineered token
+    * spaces, d19 for natural text.
     */
-  def prefixJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // no size(fps)>0 filter: alias-inlining would drag the whole
-    // shingle derivation into a Filter (the PlanAuditSpec trap);
-    // empty-set docs simply produce no exploded rows and no candidates
-    val sets = shingled(spark, dir)
-      .withColumn("fps", array_sort(col("fps"))) // canonical order
-    val ex = sets
+  /** The canonical-order shingle-set frame (doc_id, fps sorted) —
+    * MEMOIZED: it feeds FOUR plan branches (the df count, the prefix
+    * join, and both verify sides); unpersisted, the tokenize+md5
+    * pipeline (the dominant CPU) ran four times. No size(fps)>0
+    * filter: alias-inlining would drag the whole shingle derivation
+    * into a Filter (the PlanAuditSpec trap); empty-set docs simply
+    * produce no exploded rows and no candidates.
+    */
+  private[graft] def sortedSets(spark: SparkSession, dir: String): DataFrame =
+    // cachedEager: the four consumer branches become independent AQE
+    // leaf stages that would otherwise race four copies of the build
+    PlanMemo.cachedEager(spark, s"dedup.sortedSets:$dir")(
+      shingled(spark, dir)
+        .withColumn("fps", array_sort(col("fps")))) // canonical order
+
+  /** Per-doc prefix entries (doc_id, n, pos, sh). */
+  private[graft] def prefixEntries(spark: SparkSession, dir: String): DataFrame = {
+    val ex = sortedSets(spark, dir)
       .select(col("doc_id"), explode_outer(col("fps")).as("sh"))
       .filter(col("sh").isNotNull)
     val dfreq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -414,37 +430,76 @@ object Dedup {
     // shuffle_hash: `dfreq` is one row per distinct shingle — the
     // corpus vocabulary, unbounded at scale — so it must meet the
     // exploded stream via a shuffle, not a driver-built broadcast
-    val prefix = ex.join(dfreq.hint("shuffle_hash"), "sh")
+    ex.join(dfreq.hint("shuffle_hash"), "sh")
       .groupBy("doc_id")
       .agg(collect_list(struct(col("df"), col("sh"))).as("ent"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), size(col("ent")).as("n"),
         expr(s"""slice(
           |  transform(array_sort(ent), e -> e.sh),
           |  1,
           |  size(ent) - CAST(ceil($jaccardThreshold * size(ent)) AS INT) + 1
           |)""".stripMargin).as("pre"))
-      // explode_outer: an inner explode's inferred non-empty predicate
-      // would carry the prefix derivation into a Filter (see d02/d03)
-      .select(col("doc_id"), explode_outer(col("pre")).as("sh"))
+      // posexplode_outer: an inner explode's inferred non-empty
+      // predicate would carry the prefix derivation into a Filter
+      // (see d02/d03); the position IS the shingle's rank in the
+      // doc's full (df, sh)-ascending order, since the prefix is a
+      // contiguous head of that order — the positional filter needs it
+      .select(col("doc_id"), col("n"),
+        posexplode_outer(col("pre")).as(Seq("pos", "sh")))
       .filter(col("sh").isNotNull)
-    // prefix posting lists → candidates where BOTH entries are prefix
-    val posting = prefix.groupBy("sh")
-      .agg(collect_list(col("doc_id")).as("docs"))
+  }
+
+  /** Prefix posting lists (sh → [(doc_id, n, pos)…]). */
+  private[graft] def prefixPosting(spark: SparkSession, dir: String): DataFrame =
+    prefixEntries(spark, dir).groupBy("sh")
+      .agg(collect_list(struct(col("doc_id"), col("n"), col("pos")))
+        .as("docs"))
       .filter(size(col("docs")) <= maxShingleDf)
-    val cand = posting
-      .select(explode(col("docs")).as("d1"), col("docs"))
-      .select(col("d1"), explode(col("docs")).as("d2"))
-      .filter(col("d1") < col("d2"))
-      .distinct()
-    // exact verify: one array_intersect over the two shingle sets
-    // sort-merge, NOT broadcast: `a`/`b` carry every document's FULL
+
+  /** Candidate pairs after PPJoin's two cheap bounds — they kill
+    * candidates BEFORE the verify joins. Length filter (map-side,
+    * before the pair shuffle): J ≥ t ⇒ |A∩B| ≥ t·max(n1,n2) and
+    * |A∩B| ≤ min(n1,n2), so min ≥ t·max. Positional filter (per
+    * pair, after grouping): for the FIRST shared prefix shingle w —
+    * both docs order shingles by the same global (df, sh) key, so
+    * any shared shingle earlier than w would sit in BOTH contiguous
+    * prefix heads and contradict w's minimality; hence no shared
+    * shingle precedes w and |A∩B| ≤ 1 + min(n1−p1−1, n2−p2−1),
+    * which must reach ⌈t/(1+t)·(n1+n2)⌉ (the J-≥-t overlap bound).
+    */
+  private[graft] def prefixCand(spark: SparkSession, dir: String): DataFrame = {
+    val tt = jaccardThreshold / (1 + jaccardThreshold)
+    prefixPosting(spark, dir)
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        col("b.n") * jaccardThreshold <= col("a.n") &&
+        col("a.n") * jaccardThreshold <= col("b.n"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(min(col("a.pos")).as("p1"), min(col("b.pos")).as("p2"),
+        first(col("a.n")).as("n1"), first(col("b.n")).as("n2"))
+      .filter(lit(1) +
+        least(col("n1") - col("p1") - 1, col("n2") - col("p2") - 1) >=
+        ceil((col("n1") + col("n2")) * tt - lit(1e-9)))
+      .select("d1", "d2")
+  }
+
+  def prefixJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sets = sortedSets(spark, dir)
+    val cand = prefixCand(spark, dir)
+    // exact verify: one array_intersect over the two shingle sets.
+    // shuffle_hash, NOT broadcast: `a`/`b` carry every document's FULL
     // shingle array — the widest docs-sized frames in the engine; a
     // broadcast would ship the whole shingled corpus to the driver.
-    // Merge (not shuffle_hash) because the build side's per-partition
-    // hash map would hold the arrays themselves; SMJ streams them.
+    // And shuffle_hash, NOT merge: SMJ sorts the candidate stream —
+    // after the first join that stream drags fps1 through the d2
+    // sort, a corpus-scale array sort that spilled at GenData sf10
+    // (184 s; the hash build per partition holds only that
+    // partition's share of the doc arrays, and the probe streams).
     val a = sets.select(col("doc_id").as("d1"), col("fps").as("fps1"))
     val b = sets.select(col("doc_id").as("d2"), col("fps").as("fps2"))
-    cand.join(a.hint("merge"), "d1").join(b.hint("merge"), "d2")
+    cand.join(a.hint("shuffle_hash"), "d1")
+      .join(b.hint("shuffle_hash"), "d2")
       .withColumn("inter",
         size(array_intersect(col("fps1"), col("fps2"))).cast("long"))
       .withColumn("jaccard", Exact.round4(col("inter").cast("double") /
@@ -828,13 +883,26 @@ object Dedup {
     * duplicate triples {base, base+7, base+9} with cosine ≈ 0.9999
     * against a ≤ 0.52 background.
     *
-    * Scale posture: pair generation is O(Σ cell²), never corpus²; in
-    * a real deployment k grows with the corpus (SemDeDup uses 11 k
-    * clusters for 100 M docs) so cells stay bounded; the cosine runs
-    * in codegen; CC shuffles (node, label) pairs only.
+    * Scale posture: pair generation is O(Σ cell²), never corpus² —
+    * and the cell count GROWS with the corpus so Σ cell² stays
+    * linear: k = max(8, n / [[semCellTarget]]) holds expected
+    * occupancy (and therefore per-cell pair work) constant, the same
+    * knob SemDeDup itself turns (11 k clusters for 100 M docs). Below
+    * 8 × [[semCellTarget]] vectors k is the km01 default, so every
+    * driver-scale result (golden sf0.001, oracle sf0.01) is
+    * bit-identical to the fixed-k spelling; the fixed-k oracle SQL
+    * stays valid at exactly those scales. Measured (GenData, quiet
+    * machine): fixed k=8 went 18.0 s → 189.0 s from sf3 to sf10
+    * (10.5× at 3.33× data — quadratic); scaled k runs linear. The
+    * corpus count feeding k is one parquet-metadata count, memoized
+    * per (session, dir). The cosine runs in codegen; CC shuffles
+    * (node, label) pairs only.
     */
   val semTheta = 0.9
   private val semDim = 64
+
+  /** Target expected vectors-per-cell for d14's clustering stage. */
+  val semCellTarget = 1000
 
   /** Augmented (vec_id, emb double[]) frame — persisted: the lattice
     * quantization, the norm pass, and BOTH pair-join sides read it.
@@ -862,7 +930,11 @@ object Dedup {
     val aug = semAug(spark, dir)
     val qe = aug.select(col("vec_id"), expr(
       s"transform(emb, x -> CAST(FLOOR(x * ${Clustering.quantScale}) AS BIGINT))").as("q"))
-    val cells = Clustering.assignedOn(spark, s"semdedup:$dir", qe)
+    val nVecs = PlanMemo.cachedValue(spark, s"dedup.semCount:$dir")(
+      Tables.embeddings(spark, dir).count())
+    val k = math.max(Clustering.kClusters,
+      (nVecs / semCellTarget).toInt)
+    val cells = Clustering.assignedOn(spark, s"semdedup:$dir", qe, k)
       .select("vec_id", "cluster")
     val e = aug
       .withColumn("nrm", sqrt(expr("dot_product(emb, emb)")))
