@@ -319,6 +319,12 @@ object Dedup {
       buildJaccardPairs(spark, dir))
 
   private def buildJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    // NOT derived from the d19 sortedSets memo: layering the posting
+    // build on a second cached frame costs a serial materialization
+    // pass that the fused tokenize+md5→groupBy pipeline doesn't pay —
+    // measured +18 s per cold rep at GenData sf10 against ~0 saved
+    // (the posting memo is already the shared artifact d03's own
+    // consumers reuse)
     val ex = shingled(spark, dir)
       // explode_outer + null filter, not explode: see minhashLsh — an
       // inner explode's inferred non-empty predicate pushes the full
