@@ -397,17 +397,17 @@ object Dedup {
     * outside every prefix), so d19 even retains qualifying pairs
     * whose only shared shingles d03's cap had to drop.
     *
-    * Measured (GenData, local[32]): on ZIPF text (real-text df skew,
-    * `GenData ... zipf`): d03 41 s vs d19 17 s at sf3 — 2.4× — and
-    * the gap widens with scale since d03's emission on the skewed
-    * lists is quadratic where d19 stays candidate-bounded. On
-    * UNIFORM-df text (no common shingles — d03's best case, where
-    * prefix pruning is weakest) d19 is within ~10% of d03 at sf10
-    * (29.6 s vs 27.4 s cold): PPJoin's length + positional bounds
-    * (below) cut the emitted 40 M candidates to 12 M, and the
-    * eager-materialized shared shingle frame keeps the md5 pipeline
-    * to one pass. Pick by corpus: d03 for flat/engineered token
-    * spaces, d19 for natural text.
+    * Measured (GenData, local[32], post-PPJoin-bounds): on ZIPF text
+    * (real-text df skew, `GenData ... zipf`): d03 62 s vs d19 13.6 s
+    * at sf3 — 4.6× — and the gap widens with scale since d03's
+    * emission on the skewed lists is quadratic where d19 stays
+    * candidate-bounded. On UNIFORM-df text (no common shingles —
+    * d03's best case, where prefix pruning is weakest) d19 is within
+    * ~10% of d03 at sf10 (29.6 s vs 27.4 s cold): PPJoin's length +
+    * positional bounds (below) cut the emitted 40 M candidates to
+    * 12 M, and the eager-materialized shared shingle frame keeps the
+    * md5 pipeline to one pass. Pick by corpus: d03 for
+    * flat/engineered token spaces, d19 for natural text.
     */
   /** The canonical-order shingle-set frame (doc_id, fps sorted) —
     * MEMOIZED: it feeds FOUR plan branches (the df count, the prefix
