@@ -64,7 +64,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "d02_minhash_lsh"    -> ((8, 4, 1, 0)),
     "d03_ngram_jaccard"  -> ((22, 12, 1, 0)),
     "s11_ivfpq_search"   -> ((3, 6, 1, 5)),
-    "d04_simhash"        -> ((2, 2, 1, 0)))
+    "d04_simhash"        -> ((2, 2, 1, 0)),
+    // round-8 scale fixes: pin the PPJoin candidate pipeline (d19)
+    // and the occupancy-scaled SemDeDup cells (d14) so a regression
+    // re-introducing the quadratic spellings fails CI by name
+    "d19_prefix_jaccard" -> ((9, 8, 1, 0)),
+    "d14_semantic_dedup" -> ((2, 1, 1, 0)))
 
   exchangePins.foreach { case (name, (hash, rr, range, bcast)) =>
     test(s"$name: exchange counts stay pinned") {

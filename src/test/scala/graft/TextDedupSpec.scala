@@ -219,6 +219,46 @@ class TextDedupSpec extends AnyFunSuite {
     assert(full.exceptAll(pref).count() === 0)
   }
 
+  test("d19 bounds never prune a qualifying pair (adversarial corpus)") {
+    // The PPJoin length/positional filters are pruning BOUNDS — any
+    // off-by-one (prefix length, 0- vs 1-based positions, the ceil on
+    // t/(1+t)·(n1+n2)) silently loses pairs near the threshold. The
+    // sf0.001 fixture has few boundary pairs, so this corpus is built
+    // to be dense with them: a TINY vocabulary (8 words → 512 possible
+    // 3-grams) plus mutation/extension/truncation of 40 base docs
+    // yields hundreds of pairs straddling J = t with extreme size
+    // ratios. d19 must equal d03 row-for-row on it.
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(421)
+    val vocab = Array("a", "b", "c", "d", "e", "f", "g", "h")
+    def words(n: Int): Array[String] =
+      Array.fill(n)(vocab(rnd.nextInt(vocab.length)))
+    val base = Array.fill(40)(words(3 + rnd.nextInt(27)))
+    val docs = (0 until 200).map { i =>
+      val b = base(rnd.nextInt(base.length))
+      val t = rnd.nextInt(5) match {
+        case 0 => b // exact duplicate
+        case 1 => b.map(w => // scattered mutations
+          if (rnd.nextInt(7) == 0) vocab(rnd.nextInt(vocab.length)) else w)
+        case 2 => b ++ words(1 + rnd.nextInt(10)) // extension (size skew)
+        case 3 => b.take(1 + rnd.nextInt(b.length)) // truncation
+        case _ => words(3 + rnd.nextInt(27)) // fresh
+      }
+      (i.toLong, t.mkString(" "))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("d19adv").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val full = Dedup.ngramJaccard(spark, dir)
+    val pref = Dedup.prefixJaccard(spark, dir)
+    assert(full.count() > 100) // the fixture really is dense
+    assert(pref.exceptAll(full).count() === 0)
+    assert(full.exceptAll(pref).count() === 0)
+  }
+
   test("simhash signatures fit 60 bits, bands fit 15 bits") {
     val r = Dedup.simhash(spark, sfDir).agg(
       min("simhash"), max("simhash"),
