@@ -35,11 +35,34 @@ object Similarity {
   val nPlanes = 8
   val nQueries = 10
 
+  /** Target expected vectors-per-bucket for the SCALED bucket used by
+    * the within-bucket self-join families (s03/s08): with the base 8
+    * planes fixed, occupancy grows linearly with the corpus and the
+    * Σ bucket² self-join is quadratic — the d14 fixed-cell cliff in
+    * LSH form. [[extraPlanes]] appends refinement planes (same
+    * deterministic generator, weights continuing 2^8, 2^9, …) until
+    * expected occupancy falls to this target, which is LSH's native
+    * recall/cost knob: more planes = finer buckets = linear work at
+    * constant occupancy. Below 64·2^8 vectors no extra plane is
+    * added, so every driver-scale result (golden sf0.001, oracle
+    * sf0.01) is bit-identical to the fixed-8-plane spelling — where
+    * the fixed-plane oracle SQL remains valid.
+    */
+  val bucketTarget = 64L
+
+  private[graft] def extraPlanes(nVecs: Long): Int = {
+    var e = 0
+    while (nVecs > (bucketTarget << (nPlanes + e))) e += 1
+    e
+  }
+
   /** Deterministic pseudo-random hyperplanes: component (p, i) is an
     * md5-derived integer mapped to a 6-dp value in [-1, 1]. Fixed
-    * constants — regenerated identically forever, no RNG state.
+    * constants — regenerated identically forever, no RNG state; the
+    * generator extends past [[nPlanes]] for [[extraPlanes]]
+    * refinement.
     */
-  lazy val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
+  private def planeVec(p: Int): Seq[Double] =
     (0 until dim).map { i =>
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(s"plane:$p:$i".getBytes("UTF-8"))
@@ -47,7 +70,8 @@ object Similarity {
         d.take(8).map("%02x".format(_)).mkString.take(15), 16)
       ((h % 2000001L) - 1000000L) / 1e6
     }
-  }
+
+  lazy val planes: Seq[Seq[Double]] = (0 until nPlanes).map(planeVec)
 
   private def sparkArr(h: Seq[Double]): String =
     "array(" + h.map(v => f"$v%.6fD").mkString(",") + ")"
@@ -69,6 +93,18 @@ object Similarity {
   private val sparkBucketExpr: String = planes.zipWithIndex.map {
     case (h, p) => s"(CASE WHEN ${sparkPlaneDot(h)} > 0 THEN ${1 << p} ELSE 0 END)"
   }.mkString(" + ")
+
+  /** The scaled bucket: the base 8-plane bucket refined by
+    * [[extraPlanes]] further sign bits (weights continue 2^8, 2^9, …
+    * so each scaled bucket is a SUBSET of a base bucket). `extra = 0`
+    * reduces to [[sparkBucketExpr]] exactly.
+    */
+  private def sparkScaledBucketExpr(extra: Int): String =
+    if (extra == 0) sparkBucketExpr
+    else (0 until nPlanes + extra).map { p =>
+      val h = if (p < nPlanes) planes(p) else planeVec(p)
+      s"(CASE WHEN ${sparkPlaneDot(h)} > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
   private val duckBucketExpr: String = planes.zipWithIndex.map {
     case (h, p) => s"(CASE WHEN ${duckPlaneDot(h)} > 0 THEN ${1 << p} ELSE 0 END)"
   }.mkString(" + ")
@@ -87,12 +123,21 @@ object Similarity {
 
   /** embeddings + norm (+ LSH bucket when asked) — map-side only. */
   private[graft] def withNorm(spark: SparkSession, dir: String,
-                       bucket: Boolean = false): DataFrame = {
+                       bucket: Boolean = false,
+                       scaledBucket: Boolean = false): DataFrame = {
     DotProduct.register(spark) // idempotent; covers non-configured sessions
     TopKScoreId.register(spark)
     val base = Tables.embeddings(spark, dir)
       .withColumn("nrm", expr(sparkNorm))
-    if (bucket) base.withColumn("bucket", expr(sparkBucketExpr)) else base
+    if (scaledBucket) {
+      // the within-bucket self-join families: refine buckets to
+      // constant expected occupancy so Σ bucket² stays linear (one
+      // memoized parquet-metadata count decides the plane count)
+      val n = PlanMemo.cachedValue(spark, s"similarity.nVecs:$dir")(
+        Tables.embeddings(spark, dir).count())
+      base.withColumn("bucket", expr(sparkScaledBucketExpr(extraPlanes(n))))
+    } else if (bucket) base.withColumn("bucket", expr(sparkBucketExpr))
+    else base
   }
 
   /** Per-group top-k of (cosine, vec_id) via the bounded-buffer
@@ -255,7 +300,10 @@ object Similarity {
     * candidate generation is O(Σ bucket²), never all-pairs.
     */
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val emb = withNorm(spark, dir, bucket = true)
+    // scaledBucket: the self-join is Σ bucket², so occupancy must not
+    // grow with the corpus — see [[bucketTarget]]; driver scales are
+    // bit-identical to the fixed-8-plane spelling the oracle uses
+    val emb = withNorm(spark, dir, bucket = true, scaledBucket = true)
       .select("vec_id", "embedding", "nrm", "bucket")
     val a = emb.select(col("bucket"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
@@ -488,7 +536,9 @@ object Similarity {
     * neighbor id via the aggregate's (score desc, id asc) order.
     */
   def knnJoin(spark: SparkSession, dir: String): DataFrame = {
-    val emb = withNorm(spark, dir, bucket = true)
+    // scaledBucket: see nearDupPairs — constant expected occupancy
+    // keeps the bucket self-join linear in the corpus
+    val emb = withNorm(spark, dir, bucket = true, scaledBucket = true)
       .select("vec_id", "embedding", "nrm", "bucket")
     val a = emb.select(col("bucket"), col("vec_id"),
       col("embedding").as("emb_a"), col("nrm").as("nrm_a"))

@@ -164,4 +164,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mutual.nonEmpty, "expected at least one mutual-NN pair")
     mutual.foreach { case (a, (b, c)) => assert(byId(b)._2 === c) }
   }
+
+  test("scaled LSH planes: occupancy-driven, zero below driver scales") {
+    import Similarity.{bucketTarget, extraPlanes, nPlanes}
+    // every driver testdata scale stays on the base 8 planes — the
+    // fixed-plane oracle SQL remains valid exactly where it is checked
+    assert(extraPlanes(200L) === 0)
+    assert(extraPlanes(2000L) === 0)
+    assert(extraPlanes(bucketTarget << nPlanes) === 0) // boundary
+    assert(extraPlanes((bucketTarget << nPlanes) + 1) === 1)
+    // GenData sf10 (200k vectors) refines to 4096 buckets (~49/bucket)
+    assert(extraPlanes(200000L) === 4)
+    // monotone, and occupancy never exceeds target post-refinement
+    var prev = 0
+    for (e <- 10 to 30) {
+      val n = 1L << e
+      val x = extraPlanes(n)
+      assert(x >= prev); prev = x
+      assert(n <= (bucketTarget << (nPlanes + x)))
+    }
+  }
 }
