@@ -295,6 +295,48 @@ object IoQueries {
   }
 
   // ---------------------------------------------------------------
+  /** c08 — ORC round-trip: events → hive-partitioned multi-part ORC
+    * sink (`partitionBy(event_type)`, one file per task — the bulk
+    * layout, never `coalesce(1)`) → read back → per-type profile.
+    * ORC is Spark's second built-in columnar format; a warehouse
+    * migrating between ORC and parquet estates needs both directions
+    * lossless. The profile pins what the round-trip must preserve:
+    * row counts, user cardinality, exact value sums (integer-cents,
+    * order-independent), and the event-id range per partition. The
+    * oracle computes the same profile straight from the parquet
+    * source — any loss or type drift in the ORC trip breaks the hash.
+    *
+    * Scale shape: the write is one task per input partition into
+    * pruned `event_type=` directories; the read-back scan prunes on
+    * the partition column and the profile is a scan-shaped bounded
+    * group-by (one row per event type).
+    */
+  def orcRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = TempArtifacts.register(java.nio.file.Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft_orc/events")).toString
+    Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").partitionBy("event_type").orc(out)
+    spark.read.orc(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("events"),
+        countDistinct(col("user_id")).as("users"),
+        sum(floor(col("value") * 10000 + lit(0.5)).cast("long"))
+          .as("value_e4"),
+        min(col("event_id")).as("id_min"),
+        max(col("event_id")).as("id_max"))
+      .orderBy("event_type")
+  }
+
+  val orcRoundTripSql: String =
+    """SELECT event_type, COUNT(*) AS events,
+      |  COUNT(DISTINCT user_id) AS users,
+      |  CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS value_e4,
+      |  MIN(event_id) AS id_min, MAX(event_id) AS id_max
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
   /** c06 — CORPUS CARD: the one-row dataset summary a corpus release
     * ships (docs/tokens/languages/sources, order-independent mean
     * quality, the near-dup footprint, and the duplicate-paragraph
@@ -420,7 +462,8 @@ object IoQueries {
     "c02_safe_display" -> safeDisplay _,
     "c03_rand_sample" -> randSample _,
     "c04_jsonl_roundtrip" -> jsonlRoundTrip _,
-    "c05_zorder_profile" -> zorderProfile _
+    "c05_zorder_profile" -> zorderProfile _,
+    "c08_orc_roundtrip" -> orcRoundTrip _
   )
 
   def oracles: Map[String, String] = Map(
@@ -430,6 +473,7 @@ object IoQueries {
     "c02_safe_display" -> safeDisplaySql,
     // c03 rows-only: rand(seed) is partition-dependent by design
     "c04_jsonl_roundtrip" -> jsonlRoundTripSql,
-    "c05_zorder_profile" -> zorderProfileSql
+    "c05_zorder_profile" -> zorderProfileSql,
+    "c08_orc_roundtrip" -> orcRoundTripSql
   )
 }

@@ -207,6 +207,32 @@ class IoSpec extends AnyFunSuite {
     assert(full.exceptAll(merged).count() === 0)
   }
 
+  test("c08 ORC round-trip: hive-partitioned layout, lossless content") {
+    IoQueries.orcRoundTrip(spark, sfDir).collect() // runs the write
+    val out = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_orc/events")
+    val partDirs = out.listFiles().filter(_.isDirectory)
+      .filter(_.getName.startsWith("event_type="))
+    assert(partDirs.nonEmpty, "expected hive event_type= partition dirs")
+    assert(partDirs.forall(_.listFiles().exists(_.getName.endsWith(".orc"))))
+    // read-back is lossless: same multiset of rows as the source
+    val src = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val back = spark.read.orc(out.toString)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    assert(back.exceptAll(src).count() === 0)
+    assert(src.exceptAll(back).count() === 0)
+    // the partition column prunes: the filter lands in PartitionFilters
+    // (directory pruning), not in the data filters
+    val one = spark.read.orc(out.toString)
+      .filter(col("event_type") === "view")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("event_type"),
+      s"partition filter not pushed:\n$plan")
+  }
+
   test("c06 corpus card restates its source pipelines") {
     val card = IoQueries.corpusCard(spark, sfDir).head()
     assert(card.getLong(card.fieldIndex("docs")) ===
