@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Dedup
+
+/** Dev-loop micro-profiler: times named sub-plans of a query family so
+  * regressions can be localized without a full Bench run. Not part of
+  * the driver contract; see Bench for the recorded harness.
+  *
+  * Usage: `sbt "runMain graft.Probe <what> [sfDir]"` where `<what>`
+  * selects a probe set below. Each probe noop-writes the plan (full
+  * physical execution, no sink I/O) and prints `PROBE <label> <sec>`.
+  */
+object Probe {
+
+  def main(args: Array[String]): Unit = {
+    val what = args.headOption.getOrElse("d11")
+    val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Tables.configure(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000).selectExpr("sum(id)").write
+      .format("noop").mode("overwrite").save()
+
+    def run(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"PROBE $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    what match {
+      case "d11" =>
+        time("d11_cold") { run(Dedup.neardupVerified(spark, dir)) }
+        spark.catalog.clearCache()
+        time("cand_only") { run(Dedup.lshCandidates(spark, dir)) }
+        time("d11_warm_cand") { run(Dedup.neardupVerified(spark, dir)) }
+        spark.catalog.clearCache()
+        time("d11_again") { run(Dedup.neardupVerified(spark, dir)) }
+        println("PROBE cand_count " +
+          Dedup.lshCandidates(spark, dir).count())
+        println("PROBE docs_count " + Tables.documents(spark, dir).count())
+      case "explain" =>
+        val plan = Dedup.minhashLsh(spark, dir).queryExecution.executedPlan.toString
+        println(plan.take(8000))
+        println("PROBE md5_count " + "md5".r.findAllIn(plan).length)
+        println("PROBE exchange_count " + "Exchange".r.findAllIn(plan).length)
+      case "d11parts" =>
+        import org.apache.spark.sql.functions._
+        val docs = Tables.documents(spark, dir)
+        println("PROBE avg_len " + docs.selectExpr("avg(length(text))").first().getDouble(0))
+        val cands = Dedup.lshCandidates(spark, dir).select("d1", "d2")
+        run(cands) // warm the memo
+        val joined = cands
+          .hint("shuffle_hash")
+          .join(docs.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
+          .hint("shuffle_hash")
+          .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
+        time("join_only") { run(joined.select(length(col("t1")), length(col("t2")))) }
+        time("join_lev") { run(joined.select(levenshtein(col("t1"), col("t2")))) }
+        time("join_lev_banded") { run(joined.select(
+          expr("levenshtein(t1, t2, cast(greatest(length(t1), length(t2)) / 5 + 2 as int))"))) }
+      case "cand" =>
+        // candidates-per-doc growth: the d11 scale invariant's raw data
+        val n = Tables.documents(spark, dir).count()
+        val c = Dedup.lshCandidates(spark, dir).count()
+        println(s"PROBE docs $n cands $c per_doc ${c.toDouble / n}")
+      case other =>
+        System.err.println(s"unknown probe set: $other")
+    }
+    spark.stop()
+    sys.exit(0)
+  }
+}

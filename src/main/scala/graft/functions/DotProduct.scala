@@ -113,6 +113,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       OptimizerBarrier.builder))
     e.injectFunction((NfcNormalize.fnId, NfcNormalize.info,
       NfcNormalize.builder))
+    e.injectFunction((MinHashSigs.fnId, MinHashSigs.info,
+      MinHashSigs.builder))
     e.injectFunction((PqEncode.fnId, PqEncode.info, PqEncode.builder))
     e.injectFunction((BloomProbe.fnId, BloomProbe.info, BloomProbe.builder))
     e.injectFunction((graft.plans.AsOfLE.fnId, graft.plans.AsOfLE.info,

@@ -61,7 +61,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // shuffle join — a regression that re-broadcasts a docs-scale
     // frame shows up as bcast going UP and fails this test
     "c06_corpus_card"    -> ((2, 1, 0, 4)),
-    "d02_minhash_lsh"    -> ((8, 4, 1, 0)),
+    // round-10: the minhash_sigs codegen expression moved signature
+    // computation map-side — the per-doc sig aggregation exchanges
+    // (8→4 hash) are deleted, not hidden
+    "d02_minhash_lsh"    -> ((4, 4, 1, 0)),
     "d03_ngram_jaccard"  -> ((22, 12, 1, 0)),
     "s11_ivfpq_search"   -> ((3, 6, 1, 5)),
     "d04_simhash"        -> ((2, 2, 1, 0)),

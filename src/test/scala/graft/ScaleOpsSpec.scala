@@ -114,6 +114,28 @@ class ScaleOpsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       .toSeq === Seq(1L))
   }
 
+  test("d02 candidate volume stays ~linear: candidates/doc bounded across 10x") {
+    // The d11 scale guard (round-9 verdict "next" 1): LSH band false
+    // positives grow the per-document candidate count as the corpus
+    // grows; if that count trends super-linear, d11's verify stage
+    // inherits a quadratic term. Measured today: 0.050/doc at sf0.01
+    // vs 0.051/doc at sf0.1 (testdata), 0.0022 vs 0.0028 across
+    // GenData sf0.1→sf1 — flat to +26% per decade. The pin allows 2×
+    // per decade before failing: a breach means the banding needs
+    // refinement (wider rows-per-band at scale, the s03/s08
+    // extraPlanes pattern), not that the corpus got bigger.
+    def perDoc(dir: String): Double = {
+      val docs = Tables.documents(spark, dir).count()
+      val cands = Dedup.lshCandidates(spark, dir).count()
+      cands.toDouble / docs
+    }
+    val small = perDoc("/root/testdata/sf0.01")
+    val big = perDoc("/root/testdata/sf0.1")
+    assert(big <= 2.0 * small,
+      f"candidates/doc grew ${big / small}%.2fx across 10x docs " +
+        "(pin: <= 2x) — re-tune the LSH banding before shipping")
+  }
+
   test("d08 clusters are edge-consistent and keyed by min member") {
     val clusters = Dedup.neardupClusters(spark, sfDir)
       .persist()

@@ -295,6 +295,97 @@ class TextDedupSpec extends AnyFunSuite {
     assert(sim < Dedup.editSimThreshold)
   }
 
+  test("minhash_sigs expression equals the explode + min-aggregate spelling") {
+    // the codegen expression replaced 16 codegen'd min aggregates
+    // (round-10); this pins bit-identity of every signature value
+    MinHashSigs.register(spark)
+    val sigAggs = Dedup.hashAs.zip(Dedup.hashBs).zipWithIndex.map {
+      case ((a, b), i) => min(expr(s"($a * sh + $b) % ${Dedup.P}")).as(s"sig$i")
+    }
+    val shingledDocs = Tables.documents(spark, sfDir)
+      .withColumn("toks", expr("filter(split(lower(text), ' '), t -> t != '')"))
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(
+          |  CASE WHEN size(toks) < 3 THEN array()
+          |       ELSE transform(sequence(1, size(toks) - 2),
+          |                      i -> array_join(slice(toks, i, 3), ' ')) END,
+          |  s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % 2147483647))"""
+          .stripMargin).as("fps"))
+    val viaAgg = shingledDocs
+      .select(col("doc_id"), explode_outer(col("fps")).as("sh"))
+      .filter(col("sh").isNotNull)
+      .groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val viaExpr = shingledDocs
+      .select(col("doc_id"), expr("minhash_sigs(fps)").as("sigs"))
+      .filter(col("sigs").isNotNull)
+      .select(col("doc_id") +:
+        (0 until 16).map(i => expr(s"sigs[$i]").as(s"sig$i")): _*)
+    assert(viaAgg.exceptAll(viaExpr).count() === 0)
+    assert(viaExpr.exceptAll(viaAgg).count() === 0)
+    assert(viaExpr.count() > 0)
+  }
+
+  test("minhash_sigs edge cases: empty array and null yield null") {
+    MinHashSigs.register(spark)
+    val s = spark
+    import s.implicits._
+    val rows = Seq((1L, Seq(7L, 11L)), (2L, Seq.empty[Long]))
+      .toDF("id", "fps")
+      .select(col("id"), expr("minhash_sigs(fps)").as("sigs"))
+      .union(Seq(3L).toDF("id")
+        .select(col("id"), expr("minhash_sigs(cast(null as array<bigint>))")))
+      .collect().sortBy(_.getLong(0))
+    assert(!rows(0).isNullAt(1) && rows(0).getSeq[Long](1).length === 16)
+    assert(rows(1).isNullAt(1), "empty shingle set must yield NULL sigs")
+    assert(rows(2).isNullAt(1), "null input must yield NULL sigs")
+    // spot-check one signature value against the formula
+    val sigs = rows(0).getSeq[Long](1)
+    val expected = Seq(7L, 11L)
+      .map(sh => (Dedup.hashAs.head * sh + Dedup.hashBs.head) % Dedup.P).min
+    assert(sigs.head === expected)
+  }
+
+  test("d11 broadcast and shuffle_hash spellings return identical rows") {
+    // the strategy switch keys on the MEASURED candidate count
+    // (candBroadcastCap); both plans must be value-identical
+    val cands = Dedup.lshCandidates(spark, sfDir).select("d1", "d2")
+    val bc = Dedup.neardupVerifiedPlan(spark, sfDir, cands,
+      broadcastCands = true).collect()
+    val sh = Dedup.neardupVerifiedPlan(spark, sfDir, cands,
+      broadcastCands = false).collect()
+    assert(bc.toSeq === sh.toSeq)
+    assert(bc.nonEmpty)
+  }
+
+  test("banded levenshtein cap never flips a round4(sim) >= 0.8 decision") {
+    val s = spark
+    import s.implicits._
+    // pairs of length-L strings with exactly k substitutions: lev = k,
+    // sim = 1 - k/L; sweep k across the 0.2·L boundary (L=1000 → 200)
+    val base = "a" * 1000
+    def edited(k: Int) = "b" * k + "a" * (1000 - k)
+    val pairs = Seq(198, 199, 200, 201, 202, 210)
+      .map(k => (base, edited(k), k)).toDF("t1", "t2", "k")
+    val out = pairs.select(col("k"),
+      levenshtein(col("t1"), col("t2")).as("full"),
+      expr("levenshtein(t1, t2, " +
+        "cast(greatest(length(t1), length(t2)) * 0.20005 + 2.0 as int))")
+        .as("banded"))
+      .collect()
+    out.foreach { r =>
+      val (k, full, banded) = (r.getInt(0), r.getInt(1), r.getInt(2))
+      assert(full === k)
+      val fullKeeps = BigDecimal(1.0 - full / 1000.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP) >= 0.8
+      val bandedKeeps = banded >= 0 &&
+        BigDecimal(1.0 - banded / 1000.0)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP) >= 0.8
+      assert(fullKeeps === bandedKeeps, s"k=$k full=$full banded=$banded")
+      if (bandedKeeps) assert(banded === full,
+        s"surviving pair must carry the exact distance (k=$k)")
+    }
+  }
+
   test("d11 engine caveat holds: the corpus is pure ASCII") {
     // Spark levenshtein counts chars, DuckDB's counts bytes; the hash
     // gate is only valid while they coincide — i.e. ASCII text
