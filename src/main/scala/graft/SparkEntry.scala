@@ -30,7 +30,8 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     Kpis.oracles ++ Relational.oracles ++ Text.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ StreamingQueries.oracles ++
+      Dedup.oracles ++ Similarity.oracles ++ MlQueries.oracles ++
+      StreamingQueries.oracles ++
       IoQueries.oracles ++ Multimodal.oracles ++ Temporal.oracles ++
       Packing.oracles ++ Clustering.oracles ++ Quantization.oracles
 }

@@ -96,25 +96,43 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     balanced(read(spark, dir, "embeddings"))
 
-  /** `events` carries a TIMESTAMP(NANOS) column. Spark (4.x) has no
-    * nanosecond timestamp type; with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` the column surfaces as
-    * a LongType of epoch-nanos. We truncate (integer-divide) to
-    * microseconds — the same semantics DuckDB applies when casting
-    * TIMESTAMP_NS → TIMESTAMP — and expose a proper TimestampType `ts`
-    * so downstream hour/date derivations match the oracle exactly.
+  /** `events` carries a timestamp column whose parquet physical
+    * encoding has varied across data generations: TIMESTAMP(NANOS)
+    * (surfaced as LongType epoch-nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`), timestamp[us]
+    * without timezone (Spark `TIMESTAMP_NTZ`), and plain UTC-adjusted
+    * TIMESTAMP. All three normalize to one TimestampType `ts`:
+    * nanos truncate (integer-divide) to micros — the same semantics
+    * DuckDB applies casting TIMESTAMP_NS → TIMESTAMP — and NTZ
+    * wall-clock reinterprets as a UTC instant (the session is pinned
+    * UTC, so the values are bit-identical to the instant encoding).
+    * Mirrors the ingest tolerance of the reference
+    * (spark_jobs/01_ingest.py:25-29), which never crashes on a
+    * timestamp encoding.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // Defensive: a caller-supplied session (driver smoke check) may not
     // have gone through configure(); nanosAsLong is runtime-settable
     // and without it Spark 4.x refuses TIMESTAMP(NANOS) parquet.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = read(spark, dir, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+    normalizeTs(read(spark, dir, "events"))
+  }
+
+  /** Normalize a `ts` column of any supported physical encoding to
+    * TimestampType (see [[events]]). Safe no-op when `ts` is absent or
+    * already a UTC-adjusted timestamp.
+    */
+  def normalizeTs(raw: DataFrame, colName: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    if (!raw.schema.fieldNames.contains(colName)) raw
+    else raw.schema(colName).dataType match {
+      case LongType =>
         // integer div, NOT `/`: Column `/` is double division and
         // epoch-nanos (~1.7e18) exceed 2^53 → off-by-a-microsecond
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        raw.withColumn(colName, timestamp_micros(expr(s"$colName div 1000")))
+      case TimestampNTZType =>
+        // session is UTC-pinned: NTZ wall-clock → UTC instant is exact
+        raw.withColumn(colName, col(colName).cast(TimestampType))
       case _ => raw // already a timestamp (micros/millis parquet)
     }
   }

@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.plans.LeftOuter
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
-import org.apache.spark.sql.types.{BooleanType, DataType, LongType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Native AS-OF JOIN — the build brief's preference-order (c): a whole
   * custom operator (marker expression → planner Strategy → physical
@@ -43,7 +43,7 @@ case class AsOfLE(left: Expression, right: Expression)
   override def dataType: DataType = BooleanType
   override def checkInputDataTypes(): TypeCheckResult =
     if (Seq(left, right).forall(e =>
-      e.dataType == TimestampType || e.dataType == LongType))
+      e.dataType == TimestampType || e.dataType == TimestampNTZType || e.dataType == LongType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       "asof_le expects timestamp/long ts columns")

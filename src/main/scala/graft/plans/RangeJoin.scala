@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
-import org.apache.spark.sql.types.{BooleanType, DataType, LongType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Native RANGE JOIN (points-in-intervals) — the same custom-operator
   * pattern as [[AsOfJoinExec]] (marker expression → planner Strategy →
@@ -47,7 +47,7 @@ case class IntervalContains(pt: Expression, start: Expression, end: Expression)
   override def dataType: DataType = BooleanType
   override def checkInputDataTypes(): TypeCheckResult =
     if (Seq(pt, start, end).forall(e =>
-      e.dataType == TimestampType || e.dataType == LongType))
+      e.dataType == TimestampType || e.dataType == TimestampNTZType || e.dataType == LongType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       "interval_contains expects timestamp/long columns")

@@ -354,8 +354,18 @@ object MlQueries {
     "ml04_rf_regression" -> rfRegression _,
     "ml05_rf_classification" -> rfClassification _,
     "ml06_persistence" -> persistenceRoundTrip _,
-    "ml07_threshold_scoring" -> thresholdScoring _
+    "ml07_threshold_scoring" -> thresholdScoring _,
+    "ml08_metric_bands" -> metricBands _
   )
 
-  def oracles: Map[String, String] = Map() // rows-only by design (ML)
+  /** ml01–ml07 are rows-only by design (float training metrics are
+    * not hash targets). ml08 reduces them to booleans, so it carries
+    * a constant-TRUE oracle: any broken band hash-reds the row.
+    */
+  def oracles: Map[String, String] = Map(
+    "ml08_metric_bands" ->
+      """SELECT TRUE AS band_lr_leak_auc, TRUE AS band_rf_below_lr_auc,
+        |  TRUE AS band_rf_honest_auc, TRUE AS band_rf_r2,
+        |  TRUE AS band_rf_beats_lr_reg, TRUE AS band_accuracies""".stripMargin
+  )
 }

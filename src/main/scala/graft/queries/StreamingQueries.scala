@@ -150,10 +150,10 @@ object StreamingQueries {
       streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
     val schema = spark.read.parquet(path).schema
     val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
-    val events =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    // Same physical-encoding tolerance as Tables.events: nanos-as-long
+    // and TIMESTAMP_NTZ both normalize to TimestampType — a watermark
+    // on an NTZ column is rejected by Structured Streaming.
+    val events = graft.Tables.normalizeTs(raw)
     val agg = events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"))
@@ -230,6 +230,40 @@ object StreamingQueries {
   val streamingDedupSql: String =
     """SELECT DISTINCT md5(text) AS fingerprint FROM documents
       |ORDER BY fingerprint""".stripMargin
+
+  /** The production spelling of w07: file source → stateful
+    * `dropDuplicates` → append-mode PARQUET sink with a checkpoint.
+    * The memory-sink variant above proves semantics; this one proves
+    * the operational contract a continuously-ingesting pipeline
+    * relies on — kill the query mid-stream, restart from the same
+    * checkpoint, and the sink holds each fingerprint exactly once
+    * (dedup state and source offsets both restore from the
+    * checkpoint; the parquet sink commits batches transactionally).
+    * StreamingSpec pins exactly that with a mid-stream kill/restart.
+    *
+    * Callers own the query lifecycle: pass `availableNow = true` for
+    * a drain-everything-then-stop run (the restart leg), false for a
+    * continuous micro-batch run (the kill leg).
+    */
+  def checkpointedDedup(spark: SparkSession, srcDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      checkpointDir: String, outDir: String,
+      availableNow: Boolean = false,
+      maxFilesPerTrigger: Int = 1)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val deduped = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .select(md5(col("text")).as("fingerprint"))
+      .dropDuplicates("fingerprint")
+    val writer = deduped.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+    (if (availableNow)
+      writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else writer).start()
+  }
 
   // ---------------------------------------------------------------
   /** w08 — STREAMING benchmark-contamination screen: d07's semantics
@@ -326,12 +360,9 @@ object StreamingQueries {
       streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
     val schema = spark.read.parquet(path).schema
     val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
-    // driver tables carry ts as TIMESTAMP(NANOS) → LongType epoch-nanos
-    // (see Tables.events); generated tables carry a real timestamp
-    val normalized =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    // same physical-encoding tolerance as Tables.events (nanos-as-long,
+    // TIMESTAMP_NTZ, or plain timestamp all normalize to TimestampType)
+    val normalized = graft.Tables.normalizeTs(raw)
     val ev = normalized
       .select(col("user_id"), col("ts"), col("event_type"))
       .as[FunnelMachine.FEvent]

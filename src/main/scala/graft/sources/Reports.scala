@@ -79,7 +79,9 @@ object Reports {
       f.dataType match {
         case _: ArrayType | _: MapType | _: StructType => None
         case _: DecimalType => Some(col(f.name).cast("double").as(f.name))
-        case _: TimestampType =>
+        case _: TimestampType | _: TimestampNTZType =>
+          // NTZ formats identically under the UTC-pinned session —
+          // a display surface must never leak a raw timestamp object
           Some(date_format(col(f.name), DisplayTsFormat).as(f.name))
         case _ => Some(col(f.name))
       }
@@ -226,6 +228,36 @@ object IoQueries {
       .orderBy(rand(42))
       .limit(100)
       .select("event_id", "user_id", "event_type", "value")
+
+  /** c03 driver gate (round-9 verdict item 3): the sampled ROWS are
+    * partition-layout dependent, but the sample's CONTRACT is not —
+    * exactly n rows, every id drawn from the source (left-anti join,
+    * distributed), and the same seed in the same session reproduces
+    * the identical row set (order-independent bit_xor/xxhash64
+    * digest, overflow-free). Reduced to one hashable row with a
+    * constant oracle, so any violated property turns c03 hash-red
+    * instead of hiding behind a rows-only check.
+    */
+  def randSampleGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val s1 = randSample(spark, dir).cache()
+    val nRows = s1.count()
+    val outside = s1.select("event_id")
+      .join(ev.select("event_id"), Seq("event_id"), "left_anti").count()
+    def digest(df: DataFrame): Long = df
+      .agg(bit_xor(xxhash64(col("event_id"), col("user_id"),
+        col("event_type"), col("value"))))
+      .head().getLong(0)
+    val stable = digest(s1) == digest(randSample(spark, dir))
+    s1.unpersist()
+    Seq((nRows, outside == 0L, stable))
+      .toDF("n_rows", "ids_subset", "seed_stable")
+  }
+
+  val randSampleGateSql: String =
+    """SELECT CAST(100 AS BIGINT) AS n_rows,
+      |  TRUE AS ids_subset, TRUE AS seed_stable""".stripMargin
 
   /** c04 — JSONL round-trip: documents → json-lines sink → explicit-
     * schema read-back → per-language profile. JSONL is the canonical
@@ -460,7 +492,7 @@ object IoQueries {
     "c06_corpus_card" -> corpusCard _,
     "c01_csv_roundtrip" -> csvRoundTrip _,
     "c02_safe_display" -> safeDisplay _,
-    "c03_rand_sample" -> randSample _,
+    "c03_rand_sample" -> randSampleGate _,
     "c04_jsonl_roundtrip" -> jsonlRoundTrip _,
     "c05_zorder_profile" -> zorderProfile _,
     "c08_orc_roundtrip" -> orcRoundTrip _
@@ -471,7 +503,7 @@ object IoQueries {
     "c06_corpus_card" -> corpusCardSql,
     "c01_csv_roundtrip" -> csvRoundTripSql,
     "c02_safe_display" -> safeDisplaySql,
-    // c03 rows-only: rand(seed) is partition-dependent by design
+    "c03_rand_sample" -> randSampleGateSql,
     "c04_jsonl_roundtrip" -> jsonlRoundTripSql,
     "c05_zorder_profile" -> zorderProfileSql,
     "c08_orc_roundtrip" -> orcRoundTripSql

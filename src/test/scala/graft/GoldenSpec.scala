@@ -48,7 +48,10 @@ class GoldenSpec extends AnyFunSuite {
     "mm02_feature_rollup",
     "c07_incremental_kpis",
     // round-8: native range join, prefix-filtered exact jaccard
-    "r11_range_native", "d19_prefix_jaccard")
+    "r11_range_native", "d19_prefix_jaccard",
+    // round-11: IVFPQ search, streaming incremental dedup — the last
+    // two families from the round-9 "one golden per family" mandate
+    "s11_ivfpq_search", "w10_streaming_increment")
 
   private def render(df: DataFrame): Seq[String] = {
     val header = df.columns.mkString("\t")

@@ -153,4 +153,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.exceptAll(b).count() === 0)
     assert(b.exceptAll(s).count() === 0)
   }
+
+  test("checkpointed dedup: kill mid-stream + restart equals batch (exactly-once)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    try {
+      val src = s"$root/src"; val ckpt = s"$root/ckpt"; val out = s"$root/out"
+      // stage documents as 4 source files → 4 one-file micro-batches
+      val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      docs.repartition(4).write.parquet(src)
+      val schema = spark.read.parquet(src).schema
+      // leg 1: continuous micro-batches; kill once >= 1 batch committed
+      // (mid-stream — later files are still unprocessed at stop time)
+      val q1 = StreamingQueries.checkpointedDedup(
+        spark, src, schema, ckpt, out)
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while ((q1.lastProgress == null ||
+          q1.lastProgress.numInputRows == 0) &&
+          System.nanoTime() < deadline && q1.isActive)
+        Thread.sleep(50)
+      q1.stop(); q1.awaitTermination()
+      val afterKill = spark.read.parquet(out).count()
+      // leg 2: restart from the SAME checkpoint, drain what's left
+      val q2 = StreamingQueries.checkpointedDedup(
+        spark, src, schema, ckpt, out, availableNow = true)
+      q2.awaitTermination(120000)
+      val sink = spark.read.parquet(out).select("fingerprint")
+      val batch = Tables.documents(spark, sfDir)
+        .select(md5(col("text")).as("fingerprint")).distinct()
+      // exactly-once across the restart: no fingerprint duplicated...
+      assert(sink.count() === sink.distinct().count(),
+        s"sink must hold each fingerprint once (kill landed at $afterKill rows)")
+      // ...and the recovered run completes to exactly the batch answer
+      assert(sink.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(sink).count() === 0)
+    } finally {
+      val d = java.nio.file.Paths.get(root)
+      java.nio.file.Files.walk(d)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
 }

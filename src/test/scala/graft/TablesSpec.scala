@@ -85,4 +85,49 @@ class TablesSpec extends AnyFunSuite {
         ">= parallelism row groups in one file must gate the rebalance off")
     }
   }
+
+  // -----------------------------------------------------------------
+  // The events.ts physical-encoding contract (round-10 regression):
+  // the driver has shipped ts as TIMESTAMP(NANOS) (→ LongType under
+  // nanosAsLong), as timestamp[us] WITHOUT timezone (→ TIMESTAMP_NTZ),
+  // and plain UTC TIMESTAMP is the third encoding a real lake holds.
+  // Tables.events must normalize ALL THREE to identical TimestampType
+  // values — pinned here on 5-row fixtures so the next silent driver
+  // regeneration is a red unit test, not 28 red driver rows.
+  // Fixture instants carry sub-microsecond nanos to pin the
+  // truncation rule (nanos div 1000, DuckDB's TIMESTAMP_NS → TIMESTAMP
+  // semantics).
+
+  private def fixturePath(name: String): String =
+    getClass.getResource(s"/ts_fixtures/$name.parquet").getPath
+
+  private def eventsVia(fixture: String): Seq[String] = withTmp { dir =>
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(fixturePath(fixture)),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val df = Tables.events(spark, dir.toString)
+    assert(df.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType,
+      s"$fixture must normalize ts to TimestampType")
+    df.select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .orderBy("ts").collect().map(_.getString(0)).toSeq
+  }
+
+  test("events.ts: nanos-as-long, NTZ and UTC encodings yield identical values") {
+    val nanos = eventsVia("events_nanos")
+    val ntz   = eventsVia("events_ntz")
+    val utc   = eventsVia("events_utc")
+    assert(nanos.nonEmpty)
+    assert(nanos === ntz, "TIMESTAMP(NANOS) and TIMESTAMP_NTZ must agree")
+    assert(nanos === utc, "TIMESTAMP(NANOS) and UTC TIMESTAMP must agree")
+    // pin the truncation rule on the sub-microsecond fixture rows:
+    // ...123456789 ns → .123456, ...999999999 ns → .999999 (floor)
+    assert(nanos.head.endsWith(".123456"))
+    assert(nanos(2).endsWith(".999999"))
+  }
+
+  test("normalizeTs leaves a frame without a ts column untouched") {
+    val df = Tables.region(spark, sfDir)
+    assert(Tables.normalizeTs(df) eq df)
+  }
 }
