@@ -265,6 +265,39 @@ object StreamingQueries {
     else writer).start()
   }
 
+  /** The production spelling of w05: file source → watermark →
+    * tumbling-window count → append-mode PARQUET sink with a
+    * checkpoint. Append mode emits each window exactly once, when the
+    * watermark passes its end — which is what makes kill/restart
+    * verifiable: windows emitted before the kill must not re-emit
+    * after recovery (offsets, watermark AND window state all restore
+    * from the checkpoint). StreamingSpec drives this with
+    * time-range-ordered source files and a mid-stream kill.
+    */
+  def checkpointedHourlyCounts(spark: SparkSession, srcDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      checkpointDir: String, outDir: String,
+      availableNow: Boolean = false,
+      maxFilesPerTrigger: Int = 1)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val events = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(srcDir))
+    val agg = events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("events"))
+      .select(col("window.start").as("window_start"), col("events"))
+    val writer = agg.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+    (if (availableNow)
+      writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else writer).start()
+  }
+
   // ---------------------------------------------------------------
   /** w08 — STREAMING benchmark-contamination screen: d07's semantics
     * at ingest time. New corpus documents arrive as a stream; the

@@ -154,6 +154,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(b.exceptAll(s).count() === 0)
   }
 
+  test("checkpointed windowed agg: kill/restart emits finalized windows once, equal to batch") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ckpt_w").toString
+    try {
+      val src = s"$root/src"; val ckpt = s"$root/ckpt"; val out = s"$root/out"
+      // stage events as 4 DISJOINT-TIME-RANGE files with increasing
+      // mtimes: the file source processes oldest-first, so event time
+      // advances across micro-batches and the 1 h watermark finalizes
+      // windows progressively (random row-partitioned files would put
+      // 30 days in EVERY file and the watermark would close windows
+      // before their data finished arriving)
+      val ev = Tables.events(spark, sfDir).select("ts")
+      ev.repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+        .write.parquet(src)
+      val parts = new java.io.File(src).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1000000000000L + i * 60000L) }
+      val schema = spark.read.parquet(src).schema
+      val q1 = StreamingQueries.checkpointedHourlyCounts(
+        spark, src, schema, ckpt, out)
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while ((q1.lastProgress == null ||
+          q1.lastProgress.numInputRows == 0) &&
+          System.nanoTime() < deadline && q1.isActive)
+        Thread.sleep(50)
+      q1.stop(); q1.awaitTermination()
+      val q2 = StreamingQueries.checkpointedHourlyCounts(
+        spark, src, schema, ckpt, out, availableNow = true)
+      q2.awaitTermination(120000)
+      val sink = spark.read.parquet(out)
+      val batch = Tables.events(spark, sfDir)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("b_events"))
+        .select(col("window.start").as("window_start"), col("b_events"))
+      val nSink = sink.count()
+      // exactly-once across the restart: no window emitted twice
+      assert(sink.select("window_start").distinct().count() === nSink)
+      // every emitted window carries the exact batch count
+      val agree = sink.join(batch, "window_start")
+        .filter(col("events") === col("b_events")).count()
+      assert(agree === nSink, "an emitted window drifted from batch")
+      // the restart continued past the kill point: far more windows
+      // than one micro-batch (1 of 4 files ≈ 25%) can account for —
+      // only the open tail past the final watermark may be missing
+      assert(nSink >= (batch.count() * 6) / 10,
+        s"recovery stalled: only $nSink windows emitted")
+    } finally {
+      val d = java.nio.file.Paths.get(root)
+      java.nio.file.Files.walk(d)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
+
   test("checkpointed dedup: kill mid-stream + restart equals batch (exactly-once)") {
     val root = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     try {
