@@ -66,6 +66,35 @@ object Probe {
         time("join_lev") { run(joined.select(levenshtein(col("t1"), col("t2")))) }
         time("join_lev_banded") { run(joined.select(
           expr("levenshtein(t1, t2, cast(greatest(length(t1), length(t2)) / 5 + 2 as int))"))) }
+      case "q09" =>
+        import org.apache.spark.sql.functions._
+        val raw = spark.read.parquet(s"$dir/events.parquet")
+        time("raw_scan") { run(raw) }
+        val norm = Tables.normalizeTs(raw)
+        time("norm_ts") { run(norm) }
+        time("norm_agg") { run(norm.groupBy(
+          (weekday(col("ts")) + 1).as("dow"), hour(col("ts")).as("hour"))
+          .count()) }
+        val enriched = graft.Features.enrich(norm)
+        time("enrich") { run(enriched) }
+        time("enrich_agg") { run(enriched
+          .groupBy(col("pickup_dow_iso").as("dow"), col("pickup_hour").as("hour"))
+          .agg(count(lit(1)).as("trips"))) }
+        time("q09_full") { run(Kpis.heatmapDowHour(spark, dir)) }
+        time("q09_again") { run(Kpis.heatmapDowHour(spark, dir)) }
+        OptimizerBarrier.register(spark)
+        val fenced = graft.Features.enrich(norm, graft.Features.kColFenced)
+        time("enrich_fenced") { run(fenced) }
+        time("fenced_q09_agg") { run(fenced
+          .groupBy(col("pickup_dow_iso").as("dow"), col("pickup_hour").as("hour"))
+          .agg(count(lit(1)).as("trips"),
+            graft.Exact.avgMoney(col("total_amount")).as("avg_total"))
+          .orderBy("dow", "hour")) }
+        time("fenced_q09_again") { run(fenced
+          .groupBy(col("pickup_dow_iso").as("dow"), col("pickup_hour").as("hour"))
+          .agg(count(lit(1)).as("trips"),
+            graft.Exact.avgMoney(col("total_amount")).as("avg_total"))
+          .orderBy("dow", "hour")) }
       case "cand" =>
         // candidates-per-doc growth: the d11 scale invariant's raw data
         val n = Tables.documents(spark, dir).count()

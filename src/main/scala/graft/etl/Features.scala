@@ -53,8 +53,19 @@ object Features {
     * (round-2 verdict: q01 paid a 6.7× tax for exactly that).
     * [[Tables.balanced]] is reserved for genuinely CPU-bound per-row
     * stages (MinHash/md5/embedding dots on documents/embeddings).
+    *
+    * The default `k` is [[kColFenced]], not [[kCol]]: six derived
+    * columns reference k, and with a bare alias CollapseProject
+    * inlines the `get_json_object` parse into every one of them —
+    * the projection carries ~8 JSON parses per row instead of 1.
+    * The fence pins parse-once semantics (measured at GenData sf10,
+    * 10M events: enrich materialization 29 s → 15 s, q09-shaped agg
+    * ~3× faster; at 100 TB the inlining tax is ~7 redundant parses
+    * over the full events table). Requires `optimizer_barrier`
+    * (GraftExtensions — every `Tables.configure` session has it);
+    * callers with a bare session can pass [[kCol]] explicitly.
     */
-  def enrich(events: DataFrame): DataFrame = enrich(events, kCol)
+  def enrich(events: DataFrame): DataFrame = enrich(events, kColFenced)
 
   /** [[enrich]] with a caller-chosen `k` expression (the balanced
     * clean/feature pipelines pass [[kColFenced]]).
