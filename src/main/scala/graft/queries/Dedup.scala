@@ -149,9 +149,16 @@ object Dedup {
     */
   private def pairEmit(posting: DataFrame): DataFrame = posting
     .select(array_sort(col("docs")).as("docs"))
-    .select(posexplode(col("docs")), col("docs"))
+    // *_outer generates, not inner: an inner Generate's inferred
+    // non-empty/isnotnull predicates would inline the array_sort into
+    // a Filter and evaluate it twice per row (the d02/d03 pushdown
+    // trap — PlanAuditSpec flags exactly this). Outer rows from empty
+    // or single-element lists surface as NULL d2 and die in the O(1)
+    // post-Generate filter.
+    .select(posexplode_outer(col("docs")), col("docs"))
     .select(col("col").as("d1"),
-      explode(expr("slice(docs, pos + 2, size(docs))")).as("d2"))
+      explode_outer(expr("slice(docs, pos + 2, size(docs))")).as("d2"))
+    .filter(col("d2").isNotNull)
 
   /** The persisted (doc_id, band, key) MinHash signature table — the
     * materialized index artifact shared by d02's self-join, d11's
@@ -535,9 +542,20 @@ object Dedup {
   private[graft] def prefixCand(spark: SparkSession, dir: String): DataFrame = {
     val tt = jaccardThreshold / (1 + jaccardThreshold)
     prefixPosting(spark, dir)
-      .select(explode(col("docs")).as("a"), col("docs"))
-      .select(col("a"), explode(col("docs")).as("b"))
-      .filter(col("a.doc_id") < col("b.doc_id") &&
+      // sorted-slice emission (see pairEmit): doc_id is the struct's
+      // FIRST field, so array_sort orders buckets by doc_id and the
+      // positional tail guarantees a.doc_id < b.doc_id — each
+      // unordered pair generated once instead of df² rows half
+      // discarded. The PPJoin length bound is symmetric in (a, b),
+      // so filtering after positional emission keeps the exact same
+      // candidate set.
+      .select(array_sort(col("docs")).as("docs"))
+      // *_outer + null filter, not inner generates: see pairEmit —
+      // inference would inline the struct array_sort into a Filter
+      .select(posexplode_outer(col("docs")).as(Seq("i", "a")), col("docs"))
+      .select(col("a"),
+        explode_outer(expr("slice(docs, i + 2, size(docs))")).as("b"))
+      .filter(col("b").isNotNull &&
         col("b.n") * jaccardThreshold <= col("a.n") &&
         col("a.n") * jaccardThreshold <= col("b.n"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
