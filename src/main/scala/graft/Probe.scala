@@ -123,6 +123,47 @@ object Probe {
         time("slice_emit_1") { run(agg(sliced)) }
         time("cross_emit_2") { run(agg(cross)) }
         time("slice_emit_2") { run(agg(sliced)) }
+      case "d03stages" =>
+        import org.apache.spark.sql.functions._
+        // stage ladder for the shared jaccardPairs pipeline: each step
+        // adds one operator block, so step-to-step deltas localize the
+        // dominant cost (tokenize+md5 scan vs posting shuffle vs pair
+        // emission vs the sizes joins).
+        val sh = Dedup.shingled(spark, dir)
+        time("shingled_scan") { run(sh.select(col("doc_id"), size(col("fps")))) }
+        val ex = sh
+          .select(col("doc_id"), explode_outer(col("fps")).as("sh"))
+          .filter(col("sh").isNotNull)
+        time("exploded") { run(ex) }
+        val posting = ex.groupBy("sh")
+          .agg(collect_list(col("doc_id")).as("docs"))
+          .filter(size(col("docs")) <= Dedup.maxShingleDf)
+        time("posting") { run(posting) }
+        time("posting_again") { run(posting) }
+        val emitted = posting
+          .select(array_sort(col("docs")).as("docs"))
+          .select(posexplode_outer(col("docs")), col("docs"))
+          .select(col("col").as("d1"),
+            explode_outer(expr("slice(docs, pos + 2, size(docs))")).as("d2"))
+          .filter(col("d2").isNotNull)
+        time("pairs_emit") { run(emitted) }
+        time("pairs_count") { run(emitted
+          .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))) }
+        spark.catalog.clearCache()
+        time("d03_full_cold") { run(Dedup.ngramJaccard(spark, dir)) }
+      case "d19stages" =>
+        import org.apache.spark.sql.functions._
+        // stage ladder for the PPJoin spelling: localize cost between
+        // the sorted-set build, the prefix index, candidate emission,
+        // and the full-array verify joins.
+        time("sortedSets") { run(Dedup.sortedSets(spark, dir)) }
+        time("prefixEntries") { run(Dedup.prefixEntries(spark, dir)) }
+        time("prefixPosting") { run(Dedup.prefixPosting(spark, dir)) }
+        time("prefixCand") { run(Dedup.prefixCand(spark, dir)) }
+        println("PROBE cand_count " + Dedup.prefixCand(spark, dir).count())
+        time("d19_verify") { run(Dedup.prefixJaccard(spark, dir)) }
+        spark.catalog.clearCache()
+        time("d19_full_cold") { run(Dedup.prefixJaccard(spark, dir)) }
       case "cand" =>
         // candidates-per-doc growth: the d11 scale invariant's raw data
         val n = Tables.documents(spark, dir).count()

@@ -115,6 +115,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       NfcNormalize.builder))
     e.injectFunction((MinHashSigs.fnId, MinHashSigs.info,
       MinHashSigs.builder))
+    e.injectFunction((SortedInterSize.fnId, SortedInterSize.info,
+      SortedInterSize.builder))
     e.injectFunction((PqEncode.fnId, PqEncode.info, PqEncode.builder))
     e.injectFunction((BloomProbe.fnId, BloomProbe.info, BloomProbe.builder))
     e.injectFunction((graft.plans.AsOfLE.fnId, graft.plans.AsOfLE.info,

@@ -568,9 +568,14 @@ object Dedup {
   }
 
   def prefixJaccard(spark: SparkSession, dir: String): DataFrame = {
+    SortedInterSize.register(spark)
     val sets = sortedSets(spark, dir)
     val cand = prefixCand(spark, dir)
-    // exact verify: one array_intersect over the two shingle sets.
+    // exact verify: one sorted_inter_size over the two shingle sets —
+    // a codegen two-pointer merge over the already-array_sorted fps
+    // (functions/SortedInterSize.scala); the general array_intersect
+    // built a per-row hash set AND materialized the intersection
+    // array only for `size` to discard it, 12M+ times per sf10 pass.
     // shuffle_hash, NOT broadcast: `a`/`b` carry every document's FULL
     // shingle array — the widest docs-sized frames in the engine; a
     // broadcast would ship the whole shingled corpus to the driver.
@@ -579,12 +584,17 @@ object Dedup {
     // sort, a corpus-scale array sort that spilled at GenData sf10
     // (184 s; the hash build per partition holds only that
     // partition's share of the doc arrays, and the probe streams).
-    val a = sets.select(col("doc_id").as("d1"), col("fps").as("fps1"))
-    val b = sets.select(col("doc_id").as("d2"), col("fps").as("fps2"))
+    // array<int> narrowing: shingle hashes are `mod 2147483647` —
+    // always in [0, 2^31) — so the int cast is lossless and
+    // order-preserving, and HALVES the bytes the candidate stream
+    // drags through the d2 exchange (the widest shuffle in d19).
+    val a = sets.select(col("doc_id").as("d1"),
+      col("fps").cast("array<int>").as("fps1"))
+    val b = sets.select(col("doc_id").as("d2"),
+      col("fps").cast("array<int>").as("fps2"))
     cand.join(a.hint("shuffle_hash"), "d1")
       .join(b.hint("shuffle_hash"), "d2")
-      .withColumn("inter",
-        size(array_intersect(col("fps1"), col("fps2"))).cast("long"))
+      .withColumn("inter", expr("sorted_inter_size(fps1, fps2)"))
       .withColumn("jaccard", Exact.round4(col("inter").cast("double") /
         (size(col("fps1")) + size(col("fps2")) - col("inter"))))
       .filter(col("jaccard") >= jaccardThreshold)

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Custom codegen expression: sorted_inter_size must equal
+  * size(array_intersect) on every sorted-distinct input pair d19
+  * actually feeds it, agree between codegen and interpreted eval,
+  * and honor the null contract.
+  */
+class SortedInterSizeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("equals size(array_intersect) over the real d19 verify inputs") {
+    SortedInterSize.register(spark)
+    val sets = Dedup.sortedSets(spark, sfDir)
+    val cand = Dedup.prefixCand(spark, sfDir)
+    val a = sets.select(col("doc_id").as("d1"), col("fps").as("fps1"))
+    val b = sets.select(col("doc_id").as("d2"), col("fps").as("fps2"))
+    val diff = cand.join(a, "d1").join(b, "d2")
+      .withColumn("fast", expr("sorted_inter_size(fps1, fps2)"))
+      .withColumn("slow", size(array_intersect(col("fps1"), col("fps2"))).cast("long"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diff === 0)
+  }
+
+  test("synthetic sorted-distinct pairs incl. empty and disjoint") {
+    SortedInterSize.register(spark)
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      (Seq(1L, 3L, 7L), Seq(1L, 3L, 7L), 3L),          // identical
+      (Seq(1L, 3L, 7L), Seq(2L, 4L, 8L), 0L),          // disjoint
+      (Seq(1L, 3L, 7L, 9L), Seq(3L, 9L), 2L),          // subset
+      (Seq[Long](), Seq(1L, 2L), 0L),                  // empty left
+      (Seq(1L), Seq[Long](), 0L),                      // empty right
+      (Seq(Long.MinValue, 0L, Long.MaxValue),
+        Seq(Long.MinValue, Long.MaxValue), 2L))        // extremes
+    cases.foreach { case (a, b, want) =>
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(expr("sorted_inter_size(a, b)")).head().getLong(0)
+      assert(got === want, s"a=$a b=$b")
+    }
+  }
+
+  test("null array yields null, not a crash") {
+    SortedInterSize.register(spark)
+    val s = spark
+    import s.implicits._
+    val df = Seq((Some(Seq(1L, 2L)), Option.empty[Seq[Long]])).toDF("a", "b")
+    assert(df.select(expr("sorted_inter_size(a, b)")).head().isNullAt(0))
+  }
+
+  test("interpreted eval matches codegen output") {
+    SortedInterSize.register(spark)
+    val s = spark
+    import s.implicits._
+    val df = Seq((Seq(1L, 5L, 9L, 12L), Seq(2L, 5L, 12L))).toDF("a", "b")
+    val viaCodegen = df.select(expr("sorted_inter_size(a, b)")).head().getLong(0)
+    val lit = SortedInterSize(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1L, 5L, 9L, 12L),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(2L, 5L, 12L),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)))
+    assert(lit.eval(null).asInstanceOf[Long] === viaCodegen)
+    assert(viaCodegen === 2L)
+  }
+
+  test("registered through SparkSessionExtensions at session build") {
+    assert(spark.sessionState.functionRegistry
+      .functionExists(SortedInterSize.fnId))
+  }
+}
