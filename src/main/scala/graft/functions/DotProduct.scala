@@ -117,6 +117,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MinHashSigs.builder))
     e.injectFunction((SortedInterSize.fnId, SortedInterSize.info,
       SortedInterSize.builder))
+    e.injectFunction((ShingleFps.fnId, ShingleFps.info, ShingleFps.builder))
     e.injectFunction((PqEncode.fnId, PqEncode.info, PqEncode.builder))
     e.injectFunction((BloomProbe.fnId, BloomProbe.info, BloomProbe.builder))
     e.injectFunction((graft.plans.AsOfLE.fnId, graft.plans.AsOfLE.info,

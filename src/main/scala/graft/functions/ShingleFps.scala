@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The whole shingle-fingerprint pipeline as ONE native expression:
+  * `shingle_fps(text)` = distinct 3-gram shingle hashes of the
+  * whitespace-tokenized, lowercased text — bit-identical to the
+  * HOF spelling [[Dedup.shingleFpsExpr]] (pinned by TextDedupSpec):
+  *
+  * {{{ array_distinct(transform(3-grams of filter(split(lower(text),
+  *     ' '), t -> t != ''),
+  *     s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)
+  *          % 2147483647)) }}}
+  *
+  * Why native: that spelling stacks FOUR interpreted higher-order
+  * functions (filter, two transforms, the distinct) and per shingle
+  * renders a 32-char md5 HEX STRING, substrings it, and re-parses the
+  * hex — each lambda step costs ~µs and every md5 allocates. This is
+  * the single hottest scan in the engine: every cold build of the
+  * d02/d03/d19 shared indexes (and their d07/d11/d12/d13/d17/w07/w10
+  * consumers) pays it over the full corpus. The expression runs the
+  * identical arithmetic on the RAW md5 digest bytes — the first 15
+  * hex chars are the first 60 bits, i.e. (first-8-bytes-BE >>> 4) —
+  * in one per-row loop with zero hex strings, inside whole-stage
+  * codegen (one static call per row; the loop itself is JIT-compiled
+  * Scala, the MinHashSigs pattern).
+  *
+  * Null contract (matches the HOF chain exactly): NULL text → NULL
+  * (`size(NULL)` is NULL, so the CASE's ELSE transform propagates the
+  * null through the whole chain). Distinct keeps FIRST-occurrence
+  * order like `array_distinct`.
+  */
+case class ShingleFps(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle_fps expects string, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleFps.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ShingleFps.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_fps"
+}
+
+object ShingleFps {
+  val P: Long = 2147483647L
+
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Static per-row kernel (called from generated code); input is
+    * never null (nullSafeCodeGen guards).
+    */
+  def compute(text: UTF8String): UnsafeArrayData = {
+    // lower + split(' ') + drop empties — same tokens as
+    // filter(split(lower(text), ' '), t -> t != '')
+    val toks0 = text.toLowerCase.toString.split(" ", -1)
+    var nTok = 0
+    var i = 0
+    while (i < toks0.length) {
+      if (!toks0(i).isEmpty) { toks0(nTok) = toks0(i); nTok += 1 }
+      i += 1
+    }
+    if (nTok < 3) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val md = mdLocal.get()
+    val out = new Array[Long](nTok - 2)
+    var n = 0
+    i = 0
+    while (i + 2 < nTok) {
+      val s = toks0(i) + " " + toks0(i + 1) + " " + toks0(i + 2)
+      md.reset()
+      val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex chars == first 60 bits == (first 8 bytes BE) >>> 4
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      val fp = (v >>> 4) % P
+      // first-occurrence distinct, linear scan (arrays are ~50 long;
+      // allocation-free beats a boxing HashSet at this size)
+      var seen = false
+      var j = 0
+      while (j < n && !seen) { seen = out(j) == fp; j += 1 }
+      if (!seen) { out(n) = fp; n += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n))
+  }
+
+  val fnId: FunctionIdentifier = FunctionIdentifier("shingle_fps")
+  val info = new ExpressionInfo(classOf[ShingleFps].getName, "shingle_fps")
+  val builder: Seq[Expression] => Expression = es => ShingleFps(es.head)
+
+  /** Runtime registration for an already-built session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(fnId, info, builder)
+}

@@ -89,11 +89,15 @@ object Dedup {
       |  s -> CAST(CONCAT('0x', SUBSTR(md5(s), 1, 15)) AS BIGINT) % 2147483647))""".stripMargin
 
   /** doc_id + shingle-hash-set frame (map-side only). */
-  private[graft] def shingled(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def shingled(spark: SparkSession, dir: String): DataFrame = {
+    // native shingle_fps (functions/ShingleFps.scala): the four-HOF +
+    // hex-md5 spelling above, fused into one codegen kernel per row.
+    // ShingleFpsSpec pins bit-equality against shingleFpsExpr, which
+    // remains the documented recipe and the oracle's SQL shape.
+    ShingleFps.register(spark)
     Tables.documents(spark, dir)
-      .withColumn("toks",
-        expr("filter(split(lower(text), ' '), t -> t != '')"))
-      .select(col("doc_id"), expr(shingleFpsExpr).as("fps"))
+      .select(col("doc_id"), expr("shingle_fps(text)").as("fps"))
+  }
 
   // ---------------------------------------------------------------
   /** d02 — MinHash + LSH banded near-dup candidate pairs.
