@@ -118,6 +118,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((SortedInterSize.fnId, SortedInterSize.info,
       SortedInterSize.builder))
     e.injectFunction((ShingleFps.fnId, ShingleFps.info, ShingleFps.builder))
+    e.injectFunction((SpanFps.fnId, SpanFps.info, SpanFps.builder))
+    e.injectFunction((TokCount.fnId, TokCount.info, TokCount.builder))
     e.injectFunction((PqEncode.fnId, PqEncode.info, PqEncode.builder))
     e.injectFunction((BloomProbe.fnId, BloomProbe.info, BloomProbe.builder))
     e.injectFunction((graft.plans.AsOfLE.fnId, graft.plans.AsOfLE.info,

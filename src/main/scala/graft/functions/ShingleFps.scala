@@ -63,7 +63,7 @@ case class ShingleFps(child: Expression) extends UnaryExpression {
 object ShingleFps {
   val P: Long = 2147483647L
 
-  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+  private[graft] val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
@@ -82,7 +82,7 @@ object ShingleFps {
       i += 1
     }
     if (nTok < 3) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
-    val md = mdLocal.get()
+    val md = md5Local.get()
     val out = new Array[Long](nTok - 2)
     var n = 0
     i = 0

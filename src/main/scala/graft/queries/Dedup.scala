@@ -732,23 +732,25 @@ object Dedup {
 
   def dupNgramSpans(spark: SparkSession, dir: String): DataFrame = {
     val k = spanTokens
-    // CASE guard, not greatest(…, 0): Spark's sequence(1, 0) yields a
-    // DESCENDING [1, 0], not an empty array — a <k-token doc would
-    // fabricate two bogus windows
-    val winFp =
-      s"""CASE WHEN size(toks) < $k THEN CAST(array() AS ARRAY<BIGINT>)
-         |ELSE transform(
-         |  sequence(1, size(toks) - ${k - 1}),
-         |  i -> CAST(conv(substring(md5(array_join(slice(toks, i, $k), ' ')), 1, 15), 16, 10) AS BIGINT))
-         |END""".stripMargin
+    // native span_fps (functions/SpanFps.scala): the window HOF +
+    // hex-md5 chain as one codegen kernel; position i's hash is at
+    // index i-1, so posexplode recovers the identical (pos, wh)
+    // pairs (SpanFpsSpec pins bit-and-order equality). Docs with ≥k
+    // tokens have n_tok ≡ size(fps) + k - 1; shorter docs emit no
+    // rows here, exactly like the old CASE-guarded spelling.
+    // optimizer_barrier fences the kernel so the size() reference is
+    // not alias-inlined into a second evaluation (the d02/d03 trap).
+    SpanFps.register(spark)
+    TokCount.register(spark)
+    OptimizerBarrier.register(spark)
     // memoized persist (dup-hash derivation + join-back both read it;
     // a bare per-call persist leaked one cached copy per invocation)
     val wins = PlanMemo.cached(spark, s"dedup.spanWins:$dir")(
       Tables.documents(spark, dir)
-        .withColumn("toks",
-          expr("filter(split(lower(text), ' '), t -> t != '')"))
-        .select(col("doc_id"), size(col("toks")).as("n_tok"),
-          posexplode_outer(expr(winFp)))
+        .withColumn("fps", expr(s"optimizer_barrier(span_fps(text, $k))"))
+        .select(col("doc_id"),
+          (size(col("fps")) + (k - 1)).as("n_tok"),
+          posexplode_outer(col("fps")))
         .toDF("doc_id", "n_tok", "pos0", "wh")
         .filter(col("wh").isNotNull)
         .select(col("doc_id"), col("n_tok"), (col("pos0") + 1).as("pos"),
@@ -782,9 +784,7 @@ object Dedup {
       .agg(sum("wins").as("dup_windows"),
         sum("covered").as("dup_tokens"))
     Tables.documents(spark, dir)
-      .withColumn("toks",
-        expr("filter(split(lower(text), ' '), t -> t != '')"))
-      .select(col("doc_id"), size(col("toks")).as("n_tok"))
+      .select(col("doc_id"), expr("tok_count(text)").as("n_tok"))
       .join(perDoc.select("doc_id", "dup_windows", "dup_tokens")
         .hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(
