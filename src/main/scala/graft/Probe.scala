@@ -164,6 +164,28 @@ object Probe {
         time("d19_verify") { run(Dedup.prefixJaccard(spark, dir)) }
         spark.catalog.clearCache()
         time("d19_full_cold") { run(Dedup.prefixJaccard(spark, dir)) }
+      case "q14" =>
+        import org.apache.spark.sql.functions._
+        // A/B the histogram build key: string col_name (current) vs
+        // int ordinal mapped back after aggregation.
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+        val li = Tables.balanced(Tables.lineitem(spark, dir))
+        val strArgs = cols.map(c => s"'$c', $c").mkString(", ")
+        val strHist = li.select(expr(
+            s"stack(${cols.size}, $strArgs) AS (col_name, v)"))
+          .groupBy("col_name", "v").agg(count(lit(1)).as("cnt"))
+        val ordArgs = cols.zipWithIndex
+          .map { case (c, i) => s"$i, $c" }.mkString(", ")
+        val ordHist = li.select(expr(
+            s"stack(${cols.size}, $ordArgs) AS (ord, v)"))
+          .groupBy("ord", "v").agg(count(lit(1)).as("cnt"))
+        time("hist_string_1") { run(strHist) }
+        time("hist_ordinal_1") { run(ordHist) }
+        time("hist_string_2") { run(strHist) }
+        time("hist_ordinal_2") { run(ordHist) }
+        println("PROBE distinct_rows " + ordHist.count())
+        spark.catalog.clearCache()
+        time("q14_full_cold") { run(Kpis.quantiles(spark, dir)) }
       case "cand" =>
         // candidates-per-doc growth: the d11 scale invariant's raw data
         val n = Tables.documents(spark, dir).count()

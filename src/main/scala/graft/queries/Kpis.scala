@@ -225,13 +225,20 @@ object Kpis {
     // own Percentile formula term-for-term ((hi−pos)·lo + (pos−lo)·hi
     // on doubles), so the answer is bit-identical to the old plan and
     // the DuckDB quantile_cont oracle is unchanged.
-    val stackArgs = quantileCols.map(c => s"'$c', $c").mkString(", ")
+    // int ORDINAL as the unpivot key, not the column-name string: the
+    // histogram hash-aggregate touches rows×cols entries (180M at
+    // GenData sf10) and hashing/storing a 15-char string per entry is
+    // pure overhead next to a 4-byte int — measured 11.0 → 8.6 s on
+    // the sf10 histogram stage. Names come back in the final 3-row
+    // projection, so the output (and the DuckDB oracle) is unchanged.
+    val stackArgs = quantileCols.zipWithIndex
+      .map { case (c, i) => s"$i, $c" }.mkString(", ")
     // balanced: the unpivot triples the row stream before the partial
     // aggregate; a single-split scan would fold it all on one core
     val hist = Tables.balanced(Tables.lineitem(spark, dir))
       .select(expr(
-        s"stack(${quantileCols.size}, $stackArgs) AS (col_name, v)"))
-      .groupBy("col_name", "v").agg(count(lit(1)).as("cnt"))
+        s"stack(${quantileCols.size}, $stackArgs) AS (ord, v)"))
+      .groupBy("ord", "v").agg(count(lit(1)).as("cnt"))
     // Cumulative ranks via a TWO-PHASE DISTRIBUTED PREFIX SUM. A
     // single `Window.partitionBy(col_name)` puts every distinct value
     // of a column in ONE task — l_extendedprice is 97% unique, so that
@@ -251,19 +258,19 @@ object Kpis {
     // per invocation in a JVM that doesn't clearCache between queries
     val parted = PlanMemo.cached(spark, s"kpis.quantileHist:$dir")(hist
       .repartitionByRange(spark.sparkContext.defaultParallelism,
-        col("col_name"), col("v"))
+        col("ord"), col("v"))
       .withColumn("pid", spark_partition_id()))
-    val wOff = Window.partitionBy("col_name").orderBy("pid")
+    val wOff = Window.partitionBy("ord").orderBy("pid")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = parted.groupBy("col_name", "pid")
+    val offsets = parted.groupBy("ord", "pid")
       .agg(sum("cnt").as("psum"))
       .withColumn("offset", coalesce(sum("psum").over(wOff), lit(0L)))
-      .withColumn("n", sum("psum").over(Window.partitionBy("col_name")))
-      .select("col_name", "pid", "offset", "n")
-    val wLoc = Window.partitionBy("col_name", "pid").orderBy("v")
+      .withColumn("n", sum("psum").over(Window.partitionBy("ord")))
+      .select("ord", "pid", "offset", "n")
+    val wLoc = Window.partitionBy("ord", "pid").orderBy("v")
     val cum = parted
       .withColumn("cumLoc", sum("cnt").over(wLoc))
-      .join(broadcast(offsets), Seq("col_name", "pid"))
+      .join(broadcast(offsets), Seq("ord", "pid"))
       .withColumn("cumEnd", col("cumLoc") + col("offset"))
       .withColumn("cumStart", col("cumEnd") - col("cnt"))
     val probs = Seq(0.05 -> "p05", 0.5 -> "p50", 0.95 -> "p95")
@@ -279,10 +286,15 @@ object Kpis {
         max(when(col("cumStart") <= hi && hi < col("cumEnd"), col("v")))
           .as(s"hi_$nm"))
     }
+    // ordinal → column-name mapping happens HERE, on 3 rows
+    val nameOf = quantileCols.zipWithIndex
+      .foldLeft(lit(null).cast("string")) { case (acc, (c, i)) =>
+        when(col("ord") === i, lit(c)).otherwise(acc)
+      }
     cum
-      .groupBy(col("col_name"), col("n"))
+      .groupBy(col("ord"), col("n"))
       .agg(ordAggs.head, ordAggs.tail: _*)
-      .select(col("col_name") +: probs.map { case (p, nm) =>
+      .select(nameOf.as("col_name") +: probs.map { case (p, nm) =>
         val lo = floor(pos(p))
         val hi = ceil(pos(p))
         round(when(lo === hi, col(s"lo_$nm")).otherwise(
