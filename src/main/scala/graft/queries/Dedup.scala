@@ -1103,12 +1103,12 @@ object Dedup {
     * the ingest path, not a nightly batch.
     *
     * Streaming-native differences from d13, both deliberate:
-    *   - MinHash signatures are computed PER RECORD with array HOFs
-    *     (`array_min(transform(...))`) instead of the batch
-    *     explode+codegen-min pipeline — a streaming record carries all
-    *     its shingles, so the per-doc fold (≈ shingles × 16 steps) is
-    *     the right shape at ingest rates, and no stateful signature
-    *     aggregation is needed.
+    *   - MinHash signatures are computed PER RECORD with the native
+    *     `shingle_fps` → `minhash_sigs` kernels (the same expressions
+    *     the batch index uses) — a streaming record carries all its
+    *     shingles, so one per-row kernel pass is the right shape at
+    *     ingest rates, and no stateful signature aggregation is
+    *     needed.
     *   - match detection is two stateless stream-static LEFT OUTER
     *     joins (hash set; band table), then one streaming max-verdict
     *     aggregation keyed by doc_id (complete mode into the memory
@@ -1136,21 +1136,24 @@ object Dedup {
     val schema = spark.read.parquet(path).schema
     val incoming = spark.readStream.schema(schema).parquet(streamDir.toString)
       .filter(col("doc_id") >= splitId)
-    // per-record MinHash band keys via array HOFs (see scaladoc)
-    val sigExprs = hashAs.zip(hashBs).zipWithIndex.map { case ((a, b), i) =>
-      s"array_min(transform(fps, x -> ($a * x + $b) % $P)) AS sig$i"
-    }
+    // per-record MinHash band keys through the SAME native kernels
+    // the batch index uses (shingle_fps → minhash_sigs) — per-record
+    // shapes both, so the ingest path needs no stateful signature
+    // aggregation; a shingle-less doc yields NULL sigs → four
+    // null-key band rows, exactly like the old per-sig HOF spelling
+    // (array_min over an empty transform was NULL per signature).
+    ShingleFps.register(spark)
+    MinHashSigs.register(spark)
     val keyExprs = (0 until 4).map { j =>
-      val Seq(s0, s1, s2, s3) = (0 until 4).map(k => s"sig${4 * j + k}")
+      val Seq(s0, s1, s2, s3) = (0 until 4).map(k => s"sigs[${4 * j + k}]")
       s"((($s0 * 31 + $s1) * 31 + $s2) * 31 + $s3)"
     }
     val banded = incoming
-      .withColumn("toks",
-        expr("filter(split(lower(text), ' '), t -> t != '')"))
-      .withColumn("fps", expr(shingleFpsExpr))
-      .selectExpr(Seq("doc_id", "lang", "md5(text) AS fp") ++ sigExprs: _*)
+      .withColumn("sigs", expr("minhash_sigs(shingle_fps(text))"))
+      .selectExpr("doc_id", "lang", "md5(text) AS fp",
+        s"array(${keyExprs.mkString(", ")}) AS keys")
       .select(col("doc_id"), col("lang"), col("fp"),
-        posexplode_outer(expr(s"array(${keyExprs.mkString(", ")})")))
+        posexplode_outer(col("keys")))
       .toDF("doc_id", "lang", "fp", "band", "key")
     // one row per doc, STATELESSLY: the band posexplode always emits
     // band 0 (or a single null-band row for a shingle-less doc) — no
