@@ -103,6 +103,13 @@ class PlanAuditSpec extends AnyFunSuite {
             case e: Md5 => e
             case e: GetJsonObject => e
             case e: HigherOrderFunction => e
+            // the engine's own per-row kernels are exactly as
+            // expensive as the chains they replaced — a Filter
+            // carrying one is the same trap
+            case e: ShingleFps => e
+            case e: SpanFps => e
+            case e: MinHashSigs => e
+            case e: SortedInterSize => e
           }
       }.flatten
       assert(offenders.isEmpty,
