@@ -51,7 +51,10 @@ class GoldenSpec extends AnyFunSuite {
     "r11_range_native", "d19_prefix_jaccard",
     // round-11: IVFPQ search, streaming incremental dedup — the last
     // two families from the round-9 "one golden per family" mandate
-    "s11_ivfpq_search", "w10_streaming_increment")
+    "s11_ivfpq_search", "w10_streaming_increment",
+    // round-11 kernel reworks: lock the exact-quantile histogram and
+    // the inverted-index jaccard pipeline at the golden level too
+    "q14_quantiles", "d03_ngram_jaccard")
 
   private def render(df: DataFrame): Seq[String] = {
     val header = df.columns.mkString("\t")
