@@ -72,7 +72,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // and the occupancy-scaled SemDeDup cells (d14) so a regression
     // re-introducing the quadratic spellings fails CI by name
     "d19_prefix_jaccard" -> ((9, 8, 1, 0)),
-    "d14_semantic_dedup" -> ((2, 1, 1, 0)))
+    "d14_semantic_dedup" -> ((2, 1, 1, 0)),
+    // round-11: span_fps rework — pin the exact-substring-dedup plan
+    "d12_dup_ngram_spans" -> ((4, 5, 1, 0)))
 
   exchangePins.foreach { case (name, (hash, rr, range, bcast)) =>
     test(s"$name: exchange counts stay pinned") {
