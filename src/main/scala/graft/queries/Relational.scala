@@ -118,40 +118,118 @@ object Relational {
   // ---------------------------------------------------------------
   /** r04 — the reference's actual approxQuantile API (A10):
     * `df.stat.approxQuantile` (Greenwald-Khanna, relativeError 0.01)
-    * over the lineitem numerics. Approximate by contract → no SQL
-    * oracle (driver checks rows/schema only); the exact-percentile
-    * twin q14 is the hash-checked variant. GK sketches merge
-    * per-partition — one pass, bounded memory at any scale, unlike
-    * exact percentile's per-group value buffering.
+    * over the lineitem numerics. GK sketches merge per-partition —
+    * one pass, bounded memory at any scale, unlike exact percentile's
+    * per-group value buffering.
+    *
+    * Gate (round-11 verdict "next" 2): the sketch VALUES are
+    * engine-specific, but the GK ERROR CONTRACT is exact — the value
+    * returned for quantile φ at relativeError ε has rank within
+    * [(φ−ε)N, (φ+ε)N]. So the query checks each sketch value against
+    * the exact interpolated percentiles at φ±2ε (the extra ε absorbs
+    * interpolation-vs-rank definition slack) and emits BOOLEAN
+    * verdicts with a constant-TRUE DuckDB oracle — the ml08 trick; a
+    * broken sketch hash-reds the driver row instead of hiding behind
+    * a rows-only check. The bound computation is test-scale scaffolding
+    * (exact percentile buffers per-partition values); the OPERATOR
+    * under test stays the mergeable one-pass GK sketch, and the
+    * exact-percentile twin q14 remains the value-level hash gate.
     */
   def approxQuantiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val probs = Seq(0.05, 0.5, 0.95)
+    val eps = 0.01
     val df = Tables.lineitem(spark, dir)
-    val qs = df.stat.approxQuantile(cols.toArray, Array(0.05, 0.5, 0.95), 0.01)
-    cols.zip(qs).map { case (c, Array(p05, p50, p95)) => (c, p05, p50, p95) }
-      .toDF("col_name", "p05", "p50", "p95")
+    val qs = df.stat.approxQuantile(cols.toArray, probs.toArray, eps)
+    // exact bracketing percentiles at φ±2ε — one scan for all cols
+    val lo = probs.map(p => math.max(0.0, p - 2 * eps))
+    val hi = probs.map(p => math.min(1.0, p + 2 * eps))
+    val aggs = cols.flatMap { c => Seq(
+      expr(s"percentile($c, array(${lo.mkString(",")}))").as(s"${c}__lo"),
+      expr(s"percentile($c, array(${hi.mkString(",")}))").as(s"${c}__hi"))
+    }
+    val b = df.agg(aggs.head, aggs.tail: _*).head()
+    val rows = cols.zip(qs).map { case (c, approx) =>
+      val los = b.getAs[scala.collection.Seq[Double]](s"${c}__lo")
+      val his = b.getAs[scala.collection.Seq[Double]](s"${c}__hi")
+      val ok = approx.indices.map(i => los(i) <= approx(i) && approx(i) <= his(i))
+      (c, ok(0), ok(1), ok(2))
+    }
+    rows.toDF("col_name", "p05_within", "p50_within", "p95_within")
       .orderBy("col_name")
   }
 
+  /** Raw GK sketch values for the scalatest-side bracketing assertions
+    * (the driver-facing r04 reduces them to booleans).
+    */
+  private[graft] def approxQuantileValues(
+      spark: SparkSession, dir: String): Map[String, Array[Double]] = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    cols.zip(Tables.lineitem(spark, dir).stat
+      .approxQuantile(cols.toArray, Array(0.05, 0.5, 0.95), 0.01)).toMap
+  }
+
+  val approxQuantilesSql: String =
+    """SELECT col_name, TRUE AS p05_within, TRUE AS p50_within,
+      |  TRUE AS p95_within
+      |FROM (VALUES ('l_discount'), ('l_extendedprice'), ('l_quantity'))
+      |  t(col_name)
+      |ORDER BY col_name""".stripMargin
+
   // ---------------------------------------------------------------
   /** r05 — approx distinct (SURVEY §7.4): HLL++ `approx_count_distinct`
-    * at two precisions. Sketch values are engine-specific → rows-only
-    * check; RelationalSpec computes the exact count separately and
-    * pins the ≤5% relative error. Deliberately NOT mixed with an
-    * exact `countDistinct` in the same agg: that combination forces
+    * at two precisions. The sketch agg is deliberately NOT mixed with
+    * an exact `countDistinct` in the same agg: that combination forces
     * an Expand (row duplication per aggregate family) — at 100 TB the
     * sketch-only form is the whole point (fixed memory, one pass, no
-    * key shuffle).
+    * key shuffle). The exact count for the bound check runs as a
+    * SEPARATE single-distinct agg (no Expand either way), test-scale
+    * scaffolding around the operator under test.
+    *
+    * Gate (round-11 verdict "next" 2): sketch values are
+    * engine-specific, so the driver row carries the exact `orders`
+    * count (oracle-computable) plus BOOLEAN error-band verdicts —
+    * |approx − exact| / exact within 3×rsd for the default 5% sketch
+    * and 5×rsd for the 1% one (HLL++'s rsd is a standard deviation;
+    * the multiples make the gate flake-free while still catching any
+    * broken sketch, which is off by orders of magnitude, not σs).
+    * Constant-TRUE oracle → hash-gated; RelationalSpec keeps the
+    * tighter 5% empirical pin on the raw values.
     */
   // no `balanced` rebalance: HLL register updates are ~ns-per-row —
   // nowhere near the CPU-per-row bar that pays for a full-width
   // shuffle of the table (the gate exists for shingle/codec stages)
-  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir).agg(
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val df = Tables.orders(spark, dir)
+    val s = df.agg(
       count(lit(1)).as("orders"),
-      approx_count_distinct("o_custkey").as("approx_customers"),
-      approx_count_distinct("o_custkey", 0.01).as("approx_customers_1pct"))
+      approx_count_distinct("o_custkey").as("a_default"),
+      approx_count_distinct("o_custkey", 0.01).as("a_1pct")).head()
+    val exact = df.agg(countDistinct("o_custkey")).head().getLong(0).toDouble
+    def within(approx: Long, bound: Double) =
+      math.abs(approx - exact) / exact <= bound
+    Seq((s.getLong(0), within(s.getLong(1), 3 * 0.05),
+        within(s.getLong(2), 5 * 0.01)))
+      .toDF("orders", "band_default_within", "band_1pct_within")
+  }
+
+  /** Raw sketch + exact values for RelationalSpec's 5% empirical pin. */
+  private[graft] def approxDistinctValues(
+      spark: SparkSession, dir: String): (Long, Long, Long) = {
+    val df = Tables.orders(spark, dir)
+    val s = df.agg(
+      approx_count_distinct("o_custkey").as("a"),
+      approx_count_distinct("o_custkey", 0.01).as("a1")).head()
+    val exact = df.agg(countDistinct("o_custkey")).head().getLong(0)
+    (s.getLong(0), s.getLong(1), exact)
+  }
+
+  val approxDistinctSql: String =
+    """SELECT COUNT(*) AS orders, TRUE AS band_default_within,
+      |  TRUE AS band_1pct_within
+      |FROM orders""".stripMargin
 
   // ---------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -165,7 +243,10 @@ object Relational {
   def oracles: Map[String, String] = Map(
     "r01_star_revenue" -> starRevenueSql,
     "r02_brand_revenue" -> brandRevenueSql,
-    "r03_customers_no_orders" -> customersNoOrdersSql
-    // r04 rows-only: approximate by design
+    "r03_customers_no_orders" -> customersNoOrdersSql,
+    // r04/r05 are approximate by design, but their ERROR CONTRACTS
+    // are exact — gated as constant-TRUE bound verdicts (round 11)
+    "r04_approx_quantiles" -> approxQuantilesSql,
+    "r05_approx_distinct" -> approxDistinctSql
   )
 }

@@ -32,30 +32,43 @@ class MlSpec extends AnyFunSuite {
   }
 
   test("vectorize/scale: constant feature width, rows preserved") {
-    val r = MlQueries.vectorizeScale(spark, sfDir).head()
-    assert(r.getAs[Long]("n_rows") > 0)
-    assert(r.getAs[Int]("feature_dim") === r.getAs[Int]("min_dim"))
-    assert(r.getAs[Int]("feature_dim") >=
+    val (nRows, dimMax, dimMin) = MlQueries.vectorizeScaleValues(spark, sfDir)
+    assert(nRows > 0)
+    assert(dimMax === dimMin)
+    assert(dimMax >=
       MlQueries.numericFeatures.size + MlQueries.leakyFeatures.size)
+    // and the driver row's band reduction is all-green
+    val r = MlQueries.vectorizeScale(spark, sfDir).head()
+    assert(r.getAs[Boolean]("band_nonempty"))
+    assert(r.getAs[Boolean]("band_dim_constant"))
+    assert(r.getAs[Boolean]("band_dim_min_width"))
   }
 
   test("RF regression lands in the plausibility band (reference R² 0.91)") {
-    val r = MlQueries.rfRegression(spark, sfDir).head()
-    val r2 = r.getAs[Double]("r2")
+    val (rmse, mae, r2, _) = MlQueries.rfRegMetrics(spark, sfDir)
     assert(r2 > 0.1 && r2 <= 1.0, s"r2=$r2")
-    assert(r.getAs[Double]("rmse") > 0)
-    assert(r.getAs[Double]("mae") > 0)
+    assert(rmse > 0)
+    assert(mae > 0)
   }
 
   test("leaky LR classifier reproduces the reference's near-1.0 AUC") {
-    val r = MlQueries.lrClassification(spark, sfDir).head()
-    assert(r.getAs[Double]("auc") > 0.95, s"auc=${r.getAs[Double]("auc")}")
-    assert(r.getAs[Double]("accuracy") > 0.9)
+    val (auc, acc, _) = MlQueries.lrClsMetrics(spark, sfDir)
+    assert(auc > 0.95, s"auc=$auc")
+    assert(acc > 0.9)
   }
 
   test("pipeline save/load round-trip scores identically") {
-    val r = MlQueries.persistenceRoundTrip(spark, sfDir).head()
-    assert(r.getAs[Long]("n_scored") > 0)
-    assert(r.getAs[Long]("n_mismatch") === 0)
+    val (nScored, nMismatch, maxProbDiff) =
+      MlQueries.persistenceValues(spark, sfDir)
+    assert(nScored > 0)
+    assert(nMismatch === 0)
+    assert(maxProbDiff === 0.0)
+  }
+
+  test("threshold scoring: raising the cut shrinks the positive set") {
+    val (n, p30, p50, p70) = MlQueries.thresholdValues(spark, sfDir)
+    assert(n > 0 && n <= 500)
+    assert(p30 >= p50 && p50 >= p70)
+    assert(p30 <= n && p70 >= 0)
   }
 }
