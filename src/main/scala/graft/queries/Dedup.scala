@@ -1130,12 +1130,16 @@ object Dedup {
       .select(col("band").as("bband"), col("key").as("bkey")).distinct()
     // incoming stream (symlink-dir staging, as w05/w08)
     val path = s"$dir/documents.parquet"
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_i")
+    val streamDir = TempArtifacts.scratchDir("graft_stream_i")
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("documents.parquet"), java.nio.file.Paths.get(path))
     val schema = spark.read.parquet(path).schema
-    val incoming = spark.readStream.schema(schema).parquet(streamDir.toString)
-      .filter(col("doc_id") >= splitId)
+    // balancedStream: the per-record shingle_fps → minhash_sigs kernel
+    // below is the CPU-heavy stage — single-row-group staging would
+    // run it on one core (see StreamingQueries.balancedStream)
+    val incoming = StreamingQueries.balancedStream(
+      spark.readStream.schema(schema).parquet(streamDir.toString)
+        .filter(col("doc_id") >= splitId))
     // per-record MinHash band keys through the SAME native kernels
     // the batch index uses (shingle_fps → minhash_sigs) — per-record
     // shapes both, so the ingest path needs no stateful signature

@@ -277,12 +277,15 @@ object Quantization {
     val cand = candidates(spark, dir)
     val books = trainCodebooks(cand)
     val path = s"$dir/embeddings.parquet"
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_pq")
+    val streamDir = TempArtifacts.scratchDir("graft_stream_pq")
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("embeddings.parquet"), java.nio.file.Paths.get(path))
     val schema = spark.read.parquet(path).schema
-    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
-      .filter(col("vec_id") >= Similarity.nQueries)
+    // balancedStream: pq_encode over every subvector is the CPU-heavy
+    // stage — single-row-group staging would run it on one core
+    val stream = StreamingQueries.balancedStream(
+      spark.readStream.schema(schema).parquet(streamDir.toString)
+        .filter(col("vec_id") >= Similarity.nQueries))
       .select(col("vec_id"), expr(
         s"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * ${Clustering.quantScale}) AS BIGINT))")
         .as("q"))

@@ -39,14 +39,62 @@ object StreamingQueries {
       mode: String, tag: String, streamDir: java.nio.file.Path): DataFrame = {
     val sink = tag + "_" +
       streamDir.getFileName.toString.replaceAll("[^A-Za-z0-9]", "_")
+    // Explicit tmpfs-backed checkpoint (round-11 verdict "next" 4):
+    // without it Spark creates a temp checkpoint under java.io.tmpdir
+    // (disk on this host) and every micro-batch pays offset/commit-log
+    // + state-store fsyncs — fixed harness cost that dwarfed the toy-
+    // scale work. Same lifecycle semantics (the recovery twins keep
+    // their own durable checkpoints); reclaimed with the staging dir.
+    val ckpt = TempArtifacts.scratchDir("graft_ckpt")
+    // Right-size the stream's STATE parallelism to the drain, like
+    // connectedComponents right-sizes its loop shuffles: a stateful
+    // streaming op instantiates one state store per shuffle partition
+    // PER BATCH (open + commit + snapshot bookkeeping), and at drain
+    // scale 32 near-empty stores per op are pure overhead (round-11
+    // verdict "next" 4 — ~1–2 s per entry over the batch twins). Each
+    // drain starts a FRESH checkpoint, so the partition count is not
+    // pinned by any prior run; a production deployment sizes it to the
+    // cluster via the session conf exactly as before. Results are
+    // partitioning-invariant (hash-gated), and the conf is restored
+    // after the drain completes.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(8, prevShuffle.toInt).toString)
     val q = df.writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt.toString)
       .outputMode(mode).start()
     try q.processAllAvailable()
-    finally { q.stop(); TempArtifacts.deleteNow(streamDir) }
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      // opt-in diagnostic: per-micro-batch durations + operator
+      // breakdown, for attributing harness overhead vs real work
+      if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+        q.recentProgress.foreach(p => System.err.println(
+          s"[stream:$tag] batch=${p.batchId} rows=${p.numInputRows} " +
+            s"durationMs=${p.durationMs}"))
+      q.stop()
+      TempArtifacts.deleteNow(streamDir)
+      TempArtifacts.deleteNow(ckpt)
+    }
     val out = spark.table(sink).localCheckpoint()
     spark.catalog.dropTempView(sink)
     out
   }
+
+  /** The streaming twin of [[Tables.balanced]]: a file-source
+    * micro-batch over one single-row-group parquet plans its scan as
+    * ONE non-empty split, so a CPU-heavy per-record kernel (shingles,
+    * MinHash, PQ-encode) silently runs single-core inside `addBatch`
+    * — the same trap the batch readers gate on row-group counts.
+    * Streaming plans expose no inputFiles to inspect, so the
+    * expensive-kernel call sites opt in explicitly. The explicit
+    * numPartitions is the executor parallelism, independent of the
+    * drain harness's state-partition right-sizing; at production
+    * ingest rates arriving batches span many files and the
+    * repartition is a cheap no-op-shaped rebalance.
+    */
+  private[graft] def balancedStream(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** w01 — tumbling 1-hour windows: events per hour + exact value sum. */
   def tumblingHourly(spark: SparkSession, dir: String): DataFrame =
@@ -145,7 +193,7 @@ object StreamingQueries {
     val path = s"$dir/events.parquet"
     // The file stream source requires a directory; the test table is a
     // single parquet file — stage a symlink dir (testdata is read-only).
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream")
+    val streamDir = TempArtifacts.scratchDir("graft_stream")
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
     val schema = spark.read.parquet(path).schema
@@ -216,7 +264,7 @@ object StreamingQueries {
     */
   def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/documents.parquet"
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_d")
+    val streamDir = TempArtifacts.scratchDir("graft_stream_d")
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("documents.parquet"), java.nio.file.Paths.get(path))
     val schema = spark.read.parquet(path).schema
@@ -311,14 +359,15 @@ object StreamingQueries {
     */
   def streamingContamination(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/documents.parquet"
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_c")
+    val streamDir = TempArtifacts.scratchDir("graft_stream_c")
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("documents.parquet"), java.nio.file.Paths.get(path))
     val schema = spark.read.parquet(path).schema
     // static side built from the batch reader — tiny, broadcast
     val bench = Dedup.benchShingles(spark, dir)
-    val corpus = spark.readStream.schema(schema).parquet(streamDir.toString)
-      .filter(col("doc_id") >= Dedup.contaminationBenchDocs)
+    val corpus = balancedStream(
+      spark.readStream.schema(schema).parquet(streamDir.toString)
+        .filter(col("doc_id") >= Dedup.contaminationBenchDocs))
       .withColumn("toks",
         expr("filter(split(lower(text), ' '), t -> t != '')"))
       .select(col("doc_id"),
@@ -359,7 +408,7 @@ object StreamingQueries {
     */
   def streamingQualityGate(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/documents.parquet"
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_q")
+    val streamDir = TempArtifacts.scratchDir("graft_stream_q")
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("documents.parquet"), java.nio.file.Paths.get(path))
     val schema = spark.read.parquet(path).schema
@@ -388,7 +437,7 @@ object StreamingQueries {
   def streamingFunnel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val path = s"$dir/events.parquet"
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_f")
+    val streamDir = TempArtifacts.scratchDir("graft_stream_f")
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
     val schema = spark.read.parquet(path).schema

@@ -74,6 +74,26 @@ object TempArtifacts {
     p
   }
 
+  /** Memory-backed scratch root when the platform has one. Streaming
+    * micro-batch plumbing (file-source staging dirs, offset/commit
+    * logs, state-store delta files) is many small fsync'd writes —
+    * pure harness overhead at test scale (round-11 verdict "next" 4:
+    * ~1–2.7 s per streaming entry vs the ~0.2 s batch twins). tmpfs
+    * turns those fsyncs into memory ops with no semantic change: the
+    * checkpoint CONTRACT (recovery twins in StreamingSpec) is
+    * exercised against real dirs either way, and production deploys
+    * point checkpointLocation at durable storage exactly as before.
+    */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isWritable(shm)) shm
+    else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+  }
+
+  /** Create a registered scratch dir (tmpfs-backed where available). */
+  def scratchDir(prefix: String): java.nio.file.Path =
+    register(java.nio.file.Files.createTempDirectory(scratchRoot, prefix))
+
   /** Recursive delete now (symlinks are removed, never followed). */
   def deleteNow(p: java.nio.file.Path): Unit =
     try {

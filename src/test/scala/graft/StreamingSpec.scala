@@ -99,6 +99,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream === batch)
   }
 
+  test("w05 file-source leg normalizes every ts encoding (NTZ fixture)") {
+    // The round-10 incident class: a driver regeneration switched the
+    // events.parquet physical ts encoding and the batch path was fixed
+    // (TablesSpec pins normalizeTs on three fixtures) — this closes
+    // the STREAMING replay: streamingHourly readStreams a staged dir,
+    // so drive it over each checked-in fixture and require the same
+    // hourly profile as the batch reader on the same file.
+    for (fx <- Seq("events_ntz", "events_nanos", "events_utc")) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_fx_$fx")
+      try {
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(
+            getClass.getResource(s"/ts_fixtures/$fx.parquet").getPath),
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+        val batch = StreamingQueries.tumblingHourly(spark, dir.toString)
+          .select("window_start", "events").collect().map(r =>
+            (r.getTimestamp(0), r.getLong(1))).toSeq
+        val stream = StreamingQueries.streamingHourly(spark, dir.toString)
+          .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+        assert(batch.nonEmpty, s"$fx: fixture read empty")
+        assert(stream === batch, s"$fx: stream/batch hourly profiles differ")
+      } finally TempArtifacts.deleteNow(dir)
+    }
+  }
+
   test("w12 streaming funnel equals the batch r08 summary row-for-row") {
     val s = StreamingQueries.streamingFunnel(spark, sfDir)
     val b = Temporal.funnel(spark, sfDir)
