@@ -168,7 +168,7 @@ object Probe {
         import org.apache.spark.sql.functions._
         // A/B the histogram build key: string col_name (current) vs
         // int ordinal mapped back after aggregation.
-        val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+        val cols = Kpis.quantileCols
         val li = Tables.balanced(Tables.lineitem(spark, dir))
         val strArgs = cols.map(c => s"'$c', $c").mkString(", ")
         val strHist = li.select(expr(

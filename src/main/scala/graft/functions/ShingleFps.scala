@@ -83,8 +83,20 @@ object ShingleFps {
     }
     if (nTok < 3) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
     val md = md5Local.get()
-    val out = new Array[Long](nTok - 2)
+    val nSh = nTok - 2
+    val out = new Array[Long](nSh)
     var n = 0
+    // First-occurrence distinct. Short docs (the common case): linear
+    // scan — allocation-free beats any hash structure at ~50 shingles.
+    // Long docs (round-11 advice: a many-thousand-token document made
+    // the scan quadratic per row): open-addressing primitive-long set,
+    // the same hash-set semantics array_distinct uses, still emitting
+    // in first-occurrence order. fp == 0 is a valid hash value, so it
+    // gets its own seen flag instead of colliding with empty slots.
+    val useSet = nSh > 256
+    val cap = if (useSet) java.lang.Integer.highestOneBit(nSh * 4 - 1) << 1 else 0
+    val table = if (useSet) new Array[Long](cap) else null
+    var seenZero = false
     i = 0
     while (i + 2 < nTok) {
       val s = toks0(i) + " " + toks0(i + 1) + " " + toks0(i + 2)
@@ -95,12 +107,22 @@ object ShingleFps {
       var b = 0
       while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
       val fp = (v >>> 4) % P
-      // first-occurrence distinct, linear scan (arrays are ~50 long;
-      // allocation-free beats a boxing HashSet at this size)
-      var seen = false
-      var j = 0
-      while (j < n && !seen) { seen = out(j) == fp; j += 1 }
-      if (!seen) { out(n) = fp; n += 1 }
+      if (useSet) {
+        if (fp == 0L) {
+          if (!seenZero) { seenZero = true; out(n) = 0L; n += 1 }
+        } else {
+          // Fibonacci-mix probe start; linear probing, 0 = empty
+          var slot = ((fp * 0x9e3779b97f4a7c15L) >>> 32).toInt & (cap - 1)
+          while (table(slot) != 0L && table(slot) != fp)
+            slot = (slot + 1) & (cap - 1)
+          if (table(slot) == 0L) { table(slot) = fp; out(n) = fp; n += 1 }
+        }
+      } else {
+        var seen = false
+        var j = 0
+        while (j < n && !seen) { seen = out(j) == fp; j += 1 }
+        if (!seen) { out(n) = fp; n += 1 }
+      }
       i += 1
     }
     UnsafeArrayData.fromPrimitiveArray(

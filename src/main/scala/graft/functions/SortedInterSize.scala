@@ -116,8 +116,21 @@ case class SortedInterSize(left: Expression, right: Expression)
 
 object SortedInterSize {
   val fnId: FunctionIdentifier = FunctionIdentifier("sorted_inter_size")
-  val info = new ExpressionInfo(classOf[SortedInterSize].getName,
-    "sorted_inter_size")
+  // The usage string is the first thing `DESCRIBE FUNCTION` / a future
+  // SQL caller sees (round-11 advice): the PRECONDITIONS are load-
+  // bearing — on unsorted or duplicate-bearing input the merge scan
+  // silently undercounts, and a null element terminates the scan
+  // (size(array_intersect) would keep counting past it). Every call
+  // site must feed array_sort'd, duplicate-free, containsNull=false
+  // arrays, like Dedup.sortedSets does; SortedInterSizeSpec pins the
+  // d19 call-site inputs against exactly these preconditions.
+  val info = new ExpressionInfo(classOfCompat, "sorted_inter_size",
+    "_FUNC_(a, b) - Intersection size of two SORTED-ascending, " +
+      "DUPLICATE-FREE arrays of int/bigint with no null elements. " +
+      "PRECONDITIONS ARE NOT CHECKED: unsorted or duplicate-bearing " +
+      "input silently undercounts; a null element terminates the scan. " +
+      "Callers must array_sort() distinct, null-free arrays first.")
+  private def classOfCompat: String = classOf[SortedInterSize].getName
 
   val builder: Seq[Expression] => Expression =
     es => SortedInterSize(es.head, es(1))

@@ -25,11 +25,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * and duplicates are KEPT in token order (d12 needs every window
   * position; distinctness would merge repeated spans).
   *
-  * The window strings overlap by k-1 tokens, so the kernel also
-  * avoids re-rendering each window from scratch the way
-  * `array_join(slice(...))` does — it reuses one StringBuilder and
-  * the tokens' byte lengths. NULL text → NULL (size(NULL) is NULL —
-  * the CASE propagates it, same as the HOF chain).
+  * Each k-token window string is rendered in full (the windows
+  * overlap by k-1 tokens, but the render loop re-appends them); the
+  * saving over the `array_join(slice(...))` HOF chain is fusing
+  * tokenize + render + hash into ONE codegen kernel with a single
+  * reused StringBuilder — no per-window array slices, join buffers,
+  * or HOF lambda-step overhead. NULL text → NULL (size(NULL) is NULL
+  * — the CASE propagates it, same as the HOF chain).
   */
 case class SpanFps(child: Expression, k: Int) extends UnaryExpression {
 

@@ -212,7 +212,10 @@ object Kpis {
   // result (round-1 verdict flagged the union-of-scans form as 3×
   // wasted I/O). The reference's approxQuantile (Greenwald-Khanna)
   // is exposed separately in Relational (r04) as a rows-only query.
-  private val quantileCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+  // private[graft]: the Probe q14 A/B harness references this list so
+  // a future column-set change cannot silently A/B the wrong workload
+  private[graft] val quantileCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount")
 
   def quantiles(spark: SparkSession, dir: String): DataFrame = {
     // Bounded-memory EXACT quantiles (round-4 verdict "What's wrong"

@@ -319,19 +319,34 @@ object Packing {
     when(b <= 7, "train").when(b === 8, "val").otherwise("test")
 
   def leakageSplits(spark: SparkSession, dir: String): DataFrame = {
+    // Consume the PUBLISHED cluster/pair artifacts (round-11 verdict
+    // "next" 6), not the in-memory pipelines: p06 was re-running d08's
+    // CC fixpoint + d03's posting pipeline after every `clearCache` —
+    // the #1 cost at sf0.1 AND sf10 for work those families already
+    // shipped. [[PlanMemo.publishedParquet]] is the release-pipeline
+    // shape c06 already uses (a prior Verify artifact when
+    // SPARK_GRAFT_ARTIFACTS points at one, else publish-once per JVM);
+    // the builders are hash-gated, so the artifact read cannot change
+    // any answer. d08's output carries ccLabels' (node, lbl) verbatim
+    // as (doc_id, cluster_id).
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
-    val labels = Dedup.ccLabels(spark, dir)
-      .select(col("node").as("doc_id"), col("lbl"))
+    val labels = PlanMemo.publishedParquet(spark, dir, "d08_neardup_clusters")(
+        Dedup.neardupClusters(spark, dir))
+      .select(col("doc_id"), col("cluster_id").as("lbl"))
     // shuffle_hash: cluster labels are docs-scale, like every frame
-    // in this query except the final 1-row leak counts
-    val sp = docs.join(labels.hint("shuffle_hash"), Seq("doc_id"), "left")
-      .withColumn("cluster", coalesce(col("lbl"), col("doc_id")))
-      .select(col("doc_id"),
-        splitName(pmod(Text.fp64(col("cluster").cast("string")),
-          lit(splitBuckets.toLong))).as("s_cluster"),
-        splitName(pmod(Text.fp64(col("doc_id").cast("string")),
-          lit(splitBuckets.toLong))).as("s_naive"))
-    val pairs = Dedup.jaccardPairs(spark, dir).select("d1", "d2")
+    // in this query except the final 1-row leak counts.
+    // Memoized: the split map feeds the per-scheme counts AND both
+    // leak audits (4 consumers) — one build instead of four.
+    val sp = PlanMemo.cached(spark, s"packing.splitMap:$dir")(
+      docs.join(labels.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("lbl"), col("doc_id")))
+        .select(col("doc_id"),
+          splitName(pmod(Text.fp64(col("cluster").cast("string")),
+            lit(splitBuckets.toLong))).as("s_cluster"),
+          splitName(pmod(Text.fp64(col("doc_id").cast("string")),
+            lit(splitBuckets.toLong))).as("s_naive")))
+    val pairs = PlanMemo.publishedParquet(spark, dir, "d03_ngram_jaccard")(
+      Dedup.ngramJaccard(spark, dir)).select("d1", "d2")
     def leaked(scheme: String) = pairs
       .join(sp.select(col("doc_id").as("d1"), col(scheme).as("sa"))
         .hint("shuffle_hash"), "d1")

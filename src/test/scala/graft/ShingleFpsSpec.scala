@@ -50,6 +50,31 @@ class ShingleFpsSpec extends AnyFunSuite {
     assert(nullRow.isNullAt(0))
   }
 
+  test("long docs (hash-set path) stay identical to the HOF spelling") {
+    // > 256 shingles flips compute() to the open-addressing set
+    // (round-11 advice: the linear scan was quadratic per row on
+    // many-thousand-token docs) — parity must hold across the flip,
+    // including repeated shingles scattered through a long body
+    ShingleFps.register(spark)
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val words = Array("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu")
+    def doc(n: Int) = (0 until n).map(_ => words(rnd.nextInt(words.length)))
+      .mkString(" ")
+    val docs = Seq(doc(255), doc(258), doc(300), doc(2000), doc(8000))
+      .toDF("text")
+      .withColumn("toks",
+        expr("filter(split(lower(text), ' '), t -> t != '')"))
+    val bad = docs
+      .withColumn("slow", expr(Dedup.shingleFpsExpr))
+      .withColumn("fast", expr("shingle_fps(text)"))
+      .filter(not(col("fast") <=> col("slow")))
+      .count()
+    assert(bad === 0)
+  }
+
   test("interpreted eval matches the dataframe (codegen) path") {
     ShingleFps.register(spark)
     val s = spark

@@ -24,6 +24,23 @@ class SortedInterSizeSpec extends AnyFunSuite {
     assert(diff === 0)
   }
 
+  test("d19 call-site inputs satisfy the unchecked preconditions") {
+    // sorted_inter_size silently undercounts on unsorted or
+    // duplicate-bearing input and stops at a null element (round-11
+    // advice) — so pin that the ONE production feeder actually
+    // delivers sorted, duplicate-free, null-element-free arrays. A
+    // future call site should copy this assertion, not just the call.
+    val sets = Dedup.sortedSets(spark, sfDir)
+    assert(!sets.schema("fps").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull,
+      "fps must be containsNull=false")
+    val violations = sets
+      .filter(not(col("fps") <=> array_sort(col("fps"))) ||
+        size(col("fps")) =!= size(array_distinct(col("fps"))))
+      .count()
+    assert(violations === 0, "unsorted or duplicate-bearing fps arrays")
+  }
+
   test("synthetic sorted-distinct pairs incl. empty and disjoint") {
     SortedInterSize.register(spark)
     val s = spark
