@@ -147,8 +147,20 @@ object Probe {
             explode_outer(expr("slice(docs, pos + 2, size(docs))")).as("d2"))
           .filter(col("d2").isNotNull)
         time("pairs_emit") { run(emitted) }
-        time("pairs_count") { run(emitted
+        // A/B: row-per-pair shuffle vs the packed-array shuffle +
+        // post-exchange explode that Dedup.pairCounts ships (r12)
+        time("pairs_count_rowper") { run(emitted
           .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))) }
+        val packed = posting
+          .select(array_sort(col("docs")).as("docs"))
+          .select(posexplode_outer(col("docs")), col("docs"))
+          .select(col("col").as("d1"),
+            expr("slice(docs, pos + 2, size(docs))").as("d2s"))
+          .repartition(spark.sessionState.conf.numShufflePartitions,
+            col("d1"))
+          .select(col("d1"), explode(col("d2s")).as("d2"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+        time("pairs_count_packed") { run(packed) }
         spark.catalog.clearCache()
         time("d03_full_cold") { run(Dedup.ngramJaccard(spark, dir)) }
       case "d19stages" =>

@@ -133,36 +133,67 @@ object Dedup {
     val posting = lshBands(spark, dir)
       .groupBy("band", "key")
       .agg(collect_list(col("doc_id")).as("docs"))
-    pairEmit(posting)
-      .groupBy("d1", "d2")
-      .agg(count(lit(1)).as("n_bands"))
+    // packed-array pair shuffle + post-exchange explode — see
+    // [[pairCounts]] (the d03 twin of this shape)
+    pairCounts(posting)
+      .withColumnRenamed("inter", "n_bands")
   }
 
-  /** Emit each unordered doc-id pair of a posting list exactly once,
-    * as (d1 < d2) rows. The previous spelling cross-exploded the list
-    * against itself (df² generated rows, half discarded by the d1<d2
-    * filter) with the full array copied into every first-level row.
-    * Sorting the list once and slicing the tail emits exactly
-    * df(df−1)/2 rows and deletes the filter: measured 96 s → 53 s on
-    * the d03 pair stage at GenData sf10 (min over reps; the sort is
-    * O(df log df) per list against df² emission, noise at any df).
-    * Order-insensitive: collect_list order is nondeterministic, but
-    * array_sort pins d1 < d2 positionally, the exact pair set the
-    * cross+filter spelling produced. Expects a `docs` array column;
-    * single-element lists emit nothing (empty slice), as before.
+  /** Co-occurrence counts over every unordered doc-id pair of every
+    * posting list — the shared pair stage of the d02 (band buckets)
+    * and d03 (shingle lists) inverted indexes.
+    *
+    * Emission is SORTED-SLICE (round-8): array_sort each list once,
+    * then pair position i with the slice past it — exactly
+    * df(df−1)/2 (d1 < d2) rows, no df² cross-explode, no half-
+    * discarding filter (measured 96 s → 53 s on the d03 pair stage
+    * at GenData sf10). collect_list order is nondeterministic, but
+    * the sort pins d1 < d2 positionally — the exact pair set the
+    * cross+filter spelling produced; single-element lists emit
+    * nothing (empty slice).
+    *
+    * The pair stream crosses its exchange PACKED (round-11 verdict
+    * "next" 5: this shuffle was d03's widest). The naive shape
+    * shuffles one row per emitted pair — Σ df² rows of (d1, d2,
+    * partial count) with ~3×8 B payload + UnsafeRow overhead each.
+    * This shape shuffles one row per (posting list, position):
+    * (d1, d2s-slice) where the slice is an UnsafeArrayData — arrays
+    * PACK (8 B per element, no per-element row overhead), so the
+    * same Σ df² pair ids cross the wire at roughly a third of the
+    * bytes, in Σ df rows.
+    *
+    * The explode happens AFTER the exchange: `repartition(d1)` gives
+    * HashPartitioning(d1), which satisfies the groupBy(d1, d2)
+    * ClusteredDistribution (d1 ⊆ {d1, d2} — every row of a (d1, d2)
+    * group shares d1), so Catalyst plans the count with NO second
+    * exchange. Skew is bounded by construction: a doc's pair fan-in
+    * is ≤ lists-per-doc × df-cap, independent of corpus size.
+    * PlanAuditSpec pins the exchange counts.
     */
-  private def pairEmit(posting: DataFrame): DataFrame = posting
+  private def pairCounts(posting: DataFrame): DataFrame = posting
     .select(array_sort(col("docs")).as("docs"))
-    // *_outer generates, not inner: an inner Generate's inferred
-    // non-empty/isnotnull predicates would inline the array_sort into
-    // a Filter and evaluate it twice per row (the d02/d03 pushdown
-    // trap — PlanAuditSpec flags exactly this). Outer rows from empty
-    // or single-element lists surface as NULL d2 and die in the O(1)
-    // post-Generate filter.
     .select(posexplode_outer(col("docs")), col("docs"))
     .select(col("col").as("d1"),
-      explode_outer(expr("slice(docs, pos + 2, size(docs))")).as("d2"))
-    .filter(col("d2").isNotNull)
+      expr("slice(docs, pos + 2, size(docs))").as("d2s"))
+    // no pre-shuffle empty-slice filter: a `size(d2s) > 0` here would
+    // collapse into the Project and evaluate the slice twice per row
+    // (the d02/d03 Filter trap) — the empty tail rows are one per
+    // (list, last position), a few bytes each, and die for free in
+    // the post-shuffle explode.
+    // EXPLICIT partition count: without it AQE coalesces this
+    // exchange by the PACKED byte size — but the explode multiplies
+    // rows ~df× right after it, so the coalesced plan ran the count
+    // on a handful of cores (measured 27 s vs 19 s at GenData sf10).
+    // Sizing by the pre-explode bytes is exactly wrong here; the
+    // session shuffle parallelism is the honest choice.
+    .repartition(posting.sparkSession.sessionState.conf.numShufflePartitions,
+      col("d1"))
+    // inner explode is safe here: its inferred non-empty predicate
+    // lands on the materialized post-shuffle d2s column (an O(1)
+    // size check), not on a recomputed expression
+    .select(col("d1"), explode(col("d2s")).as("d2"))
+    .groupBy("d1", "d2")
+    .agg(count(lit(1)).as("inter"))
 
   /** The persisted (doc_id, band, key) MinHash signature table — the
     * materialized index artifact shared by d02's self-join, d11's
@@ -416,9 +447,10 @@ object Dedup {
     val sizes = posting
       .select(explode(col("docs")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = pairEmit(posting)
-      .groupBy("d1", "d2")
-      .agg(count(lit(1)).as("inter"))
+    // packed-array pair shuffle + post-exchange explode — see
+    // [[pairCounts]]; the d1-partitioned output also feeds the first
+    // sizes join below exchange-free
+    val inter = pairCounts(posting)
     // shuffle_hash, NOT broadcast: `sizes` has one row per document —
     // it grows with the corpus, so auto-broadcasting it (what the
     // static planner picks from its post-aggregate size guess) builds
@@ -430,6 +462,15 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1")
         .hint("shuffle_hash"), "d1")
+      // EXACT pruning before the d2-side shuffle (round-12): n2 ≥
+      // inter always, so jaccard = inter/(n1+n2−inter) ≤ inter/n1 —
+      // any pair failing inter/n1 ≥ θ cannot pass the final filter.
+      // Most candidate pairs share only a few shingles, so this drops
+      // the bulk of the distinct-pair stream before it re-shuffles by
+      // d2 (the widest remaining exchange). The 1e-4 slack keeps every
+      // pair the final round4(j) ≥ θ comparison could accept.
+      .filter(col("inter").cast("double") >=
+        (lit(jaccardThreshold) - 0.0001) * col("n1"))
       .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2")
         .hint("shuffle_hash"), "d2")
       .withColumn("jaccard",
