@@ -63,8 +63,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "c06_corpus_card"    -> ((2, 1, 0, 4)),
     // round-10: the minhash_sigs codegen expression moved signature
     // computation map-side — the per-doc sig aggregation exchanges
-    // (8→4 hash) are deleted, not hidden
-    "d02_minhash_lsh"    -> ((4, 4, 1, 0)),
+    // (8→4 hash) are deleted, not hidden. round-12: the band index is
+    // disk-published, so the printed build plan is a parquet read —
+    // the corpus-scan rebalances (4 roundrobin) leave the fingerprint
+    "d02_minhash_lsh"    -> ((4, 0, 1, 0)),
     // round-12: pairCounts packed-array shuffle — the pair-count
     // exchange is satisfied by the repartition(d1) HashPartitioning
     // and the first sizes join reuses it (22 -> 20 hash)
