@@ -696,13 +696,23 @@ object Text {
           |END""".stripMargin)).as("bg"))
       .filter(col("bg").isNotNull) // explode_outer: see Dedup.minhashLsh
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      // Key fingerprinting (round-12, the q16 recipe): every exchange
+      // in this pipeline — the per-doc type counts, the c2/c1 model
+      // aggregates, and both scoring joins — needs the bigram only as
+      // an IDENTITY, never as text, so hash the words map-side and
+      // shuffle two longs instead of two strings (~2× narrower rows,
+      // fixed-width agg/join fast paths). LM semantics unchanged
+      // modulo a 2^-64 fingerprint collision merging two bigram
+      // types — far below the smoothing noise floor at any scale.
+      .select(col("doc_id"), xxhash64(col("w1")).as("w1h"),
+        xxhash64(col("w1"), col("w2")).as("bh"))
     // persisted: per_doc feeds the model counts (c2, c1) AND the
     // scoring join — three consumers of the bigram explode pipeline
     val perDoc = PlanMemo.cached(spark, s"text.bigramPerDoc:$dir")(
-      bigrams.groupBy("doc_id", "w1", "w2")
+      bigrams.groupBy("doc_id", "w1h", "bh")
         .agg(count(lit(1)).as("n")))
-    val c2 = perDoc.groupBy("w1", "w2").agg(sum("n").as("c2"))
-    val c1 = perDoc.groupBy("w1").agg(sum("n").as("c1"))
+    val c2 = perDoc.groupBy("bh").agg(sum("n").as("c2"))
+    val c1 = perDoc.groupBy("w1h").agg(sum("n").as("c1"))
     val vocab = docs
       .select(explode_outer(tokens(lower(col("text")))).as("w"))
       .filter(col("w").isNotNull)
@@ -711,8 +721,8 @@ object Text {
     // LM counts grow with the corpus vocabulary — shuffle, never
     // broadcast; only the 1-row `vocab` total is a broadcast side
     val scored = perDoc
-      .join(c2.hint("shuffle_hash"), Seq("w1", "w2"))
-      .join(c1.hint("shuffle_hash"), Seq("w1"))
+      .join(c2.hint("shuffle_hash"), Seq("bh"))
+      .join(c1.hint("shuffle_hash"), Seq("w1h"))
       .crossJoin(broadcast(vocab))
       .withColumn("lp4", expr(
         "n * CAST(FLOOR(ln((c2 + 1.0) / (c1 + v)) * 10000) AS BIGINT)"))
@@ -1073,15 +1083,22 @@ object Text {
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // lang rides along (functionally dependent on doc_id — free)
+    // Key fingerprinting (round-12, the q16/t15 recipe): the word is
+    // only ever an IDENTITY downstream — per-doc type counts, the
+    // per-word model aggregate, the scoring join, the vocab count —
+    // so hash it map-side and shuffle a long instead of a string.
+    // LM semantics unchanged modulo a 2^-64 collision merging two
+    // word types (and shifting V by the same count) — far below the
+    // add-one smoothing noise floor at any corpus size.
     val perDocWord = PlanMemo.cached(spark, s"text.dsirPerDocWord:$dir")(
       docs
         .select(col("doc_id"), col("lang"),
           explode_outer(tokens(lower(col("text")))).as("w"))
         .filter(col("w").isNotNull)
-        .groupBy("doc_id", "lang", "w")
+        .groupBy(col("doc_id"), col("lang"), xxhash64(col("w")).as("wh"))
         .agg(count(lit(1)).as("n")))
     val isT = col("lang") === dsirTargetLang
-    val wordStats = perDocWord.groupBy("w")
+    val wordStats = perDocWord.groupBy("wh")
       .agg(sum("n").as("cr"), sum(when(isT, col("n")).otherwise(0L)).as("ct"))
     val totals = perDocWord
       .agg(sum("n").as("nr"), sum(when(isT, col("n")).otherwise(0L)).as("nt"))
@@ -1089,7 +1106,7 @@ object Text {
     // shuffle_hash: per-word raw/target counts span the corpus
     // vocabulary — unbounded; the 1-row totals stay broadcasts
     val scored = perDocWord
-      .join(wordStats.hint("shuffle_hash"), "w")
+      .join(wordStats.hint("shuffle_hash"), "wh")
       .crossJoin(broadcast(totals))
       .crossJoin(broadcast(vocab))
       .withColumn("lw4", expr(
