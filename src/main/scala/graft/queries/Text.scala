@@ -1235,7 +1235,66 @@ object Text {
        |  max_chunk_tokens
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** t20 — APPROXIMATE HEAVY HITTERS: the corpus top-k vocabulary by
+    * `approx_top_k` (Spark 4's DataSketches frequent-items aggregate)
+    * — the bounded-memory one-pass spelling of t02's exact top-20.
+    * At 100 TB the exact twin shuffles the full distinct vocabulary
+    * to count it; the sketch tracks `maxTracked` items per partition
+    * in fixed memory, merges map-side, and guarantees every estimate
+    * within N·ε of truth (ε ≈ 3.5/maxTracked for the underlying
+    * LongsSketch) — the same one-pass/bounded-memory story as r05's
+    * HLL and r04's GK, and gated the same way (round-12): the sketch
+    * CONTRACT reduces to booleans against the exact twin, with a
+    * constant-TRUE DuckDB oracle:
+    *   - band_k_returned:  the sketch returned min(k, vocab) items;
+    *   - band_top1:        its max estimate equals the exact top
+    *     count (the sketch is count-exact for items it never evicts);
+    *   - band_recall:      every word whose exact count clears the
+    *     exact 20th count by the error bound appears in the sketch's
+    *     top-20 (the frequent-items recall guarantee);
+    *   - band_counts_within: every sketch estimate for a word in the
+    *     exact top-20 is within the N·ε bound of its exact count.
+    */
+  val heavyHitterK = 20
+  val heavyHitterMaxTracked = 10000
+
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ex = Tables.documents(spark, dir)
+      .select(explode(tokens(lower(col("text")))).as("w"))
+    val sk = ex.agg(expr(
+        s"approx_top_k(w, $heavyHitterK, $heavyHitterMaxTracked)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("w"), col("e.count").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact twin: t02's counts (one extra pass — gate scaffolding,
+    // the operator under test is the one-pass sketch)
+    val exact = ex.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("w")).limit(heavyHitterK)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val vocabAndN = ex.agg(
+      countDistinct("w").as("v"), count(lit(1)).as("n")).head()
+    val (vocab, n) = (vocabAndN.getLong(0), vocabAndN.getLong(1))
+    val bound = math.ceil(n * 3.5 / heavyHitterMaxTracked).toLong
+    val kReturned = sk.size == math.min(heavyHitterK.toLong, vocab)
+    val top1 = exact.headOption.forall { case (_, c) =>
+      sk.nonEmpty && sk.values.max == c }
+    val cut = exact.lastOption.map(_._2).getOrElse(0L) + bound
+    val recall = exact.filter(_._2 > cut).forall { case (w, _) => sk.contains(w) }
+    val countsWithin = exact.forall { case (w, c) =>
+      sk.get(w).forall(est => math.abs(est - c) <= bound) }
+    Seq((kReturned, top1, recall, countsWithin))
+      .toDF("band_k_returned", "band_top1", "band_recall",
+        "band_counts_within")
+  }
+
+  val heavyHittersSql: String =
+    """SELECT TRUE AS band_k_returned, TRUE AS band_top1,
+      |  TRUE AS band_recall, TRUE AS band_counts_within""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_heavy_hitters" -> heavyHitters _,
     "t19_cdc_chunks" -> cdcChunks _,
     "t18_dsir_weights" -> dsirWeights _,
     "t17_gopher_rules" -> gopherRules _,
@@ -1258,6 +1317,7 @@ object Text {
   )
 
   def oracles: Map[String, String] = Map(
+    "t20_heavy_hitters" -> heavyHittersSql,
     "t19_cdc_chunks" -> cdcChunksSql,
     "t18_dsir_weights" -> dsirWeightsSql,
     "t17_gopher_rules" -> gopherRulesSql,

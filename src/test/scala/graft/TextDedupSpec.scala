@@ -499,4 +499,28 @@ class TextDedupSpec extends AnyFunSuite {
       assert(!"\\d{3}-\\d{3}-\\d{4}".r.findFirstIn(red).isDefined)
     }
   }
+
+  test("t20 heavy hitters: bands all green; sketch exact below maxTracked") {
+    // at test scale vocab << maxTracked, so the frequent-items sketch
+    // never evicts and every estimate is EXACT — the bands must be
+    // all-true and the sketch's estimates must equal t02's counts
+    val r = Text.heavyHitters(spark, sfDir).head()
+    assert(r.getAs[Boolean]("band_k_returned"))
+    assert(r.getAs[Boolean]("band_top1"))
+    assert(r.getAs[Boolean]("band_recall"))
+    assert(r.getAs[Boolean]("band_counts_within"))
+    val ex = Tables.documents(spark, sfDir)
+      .select(explode(Text.tokens(lower(col("text")))).as("w"))
+    val sk = ex.agg(expr(
+        s"approx_top_k(w, ${Text.heavyHitterK}, ${Text.heavyHitterMaxTracked})")
+        .as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item"), col("e.count"))
+      .collect().map(r2 => r2.getString(0) -> r2.getLong(1)).toMap
+    val exact = ex.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("w")).limit(Text.heavyHitterK)
+      .collect().map(r2 => r2.getString(0) -> r2.getLong(1))
+    exact.foreach { case (w, c) =>
+      sk.get(w).foreach(est => assert(est === c, s"estimate drift for $w")) }
+  }
 }
