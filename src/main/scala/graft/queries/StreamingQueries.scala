@@ -426,6 +426,63 @@ object StreamingQueries {
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** w13 — STREAMING HEAVY HITTERS: t20's one-pass frequent-items
+    * sketch computed AT INGEST — the production vocabulary monitor
+    * (token-distribution drift is the first signal of a bad crawl
+    * batch). `approx_top_k` is a mergeable DataSketches aggregate,
+    * so it runs as a streaming aggregation with O(maxTracked) state
+    * per partition — no per-word state, no watermark needed;
+    * complete-mode drain emits the current sketch.
+    *
+    * Gate: identical band reduction to t20 (the sketch contract vs
+    * the exact batch twin — count-exactness below maxTracked, recall
+    * above the error cut, every estimate within N·ε), constant-TRUE
+    * oracle. Arrival order cannot change a merged sketch below
+    * maxTracked (every count is exact there), so the bands are
+    * deterministic at gate scale.
+    */
+  def streamingHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = s"$dir/documents.parquet"
+    val streamDir = TempArtifacts.scratchDir("graft_stream_hh")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("documents.parquet"), java.nio.file.Paths.get(path))
+    val schema = spark.read.parquet(path).schema
+    val sketch = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .select(explode(Text.tokens(lower(col("text")))).as("w"))
+      .agg(expr(s"approx_top_k(w, ${Text.heavyHitterK}, " +
+        s"${Text.heavyHitterMaxTracked})").as("tk"))
+    val drained = drainToMemory(spark, sketch, "complete", "w13", streamDir)
+    val sk = drained
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("w"), col("e.count").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact twin from the BATCH reader — the t20 scaffolding
+    val ex = Tables.documents(spark, dir)
+      .select(explode(Text.tokens(lower(col("text")))).as("w"))
+    val exact = ex.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("w")).limit(Text.heavyHitterK)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val vn = ex.agg(countDistinct("w").as("v"), count(lit(1)).as("n")).head()
+    val (vocab, n) = (vn.getLong(0), vn.getLong(1))
+    val bound = math.ceil(n * 3.5 / Text.heavyHitterMaxTracked).toLong
+    val kReturned = sk.size == math.min(Text.heavyHitterK.toLong, vocab)
+    val top1 = exact.headOption.forall { case (_, c) =>
+      sk.nonEmpty && sk.values.max == c }
+    val cut = exact.lastOption.map(_._2).getOrElse(0L) + bound
+    val recall = exact.filter(_._2 > cut).forall { case (w, _) => sk.contains(w) }
+    val countsWithin = exact.forall { case (w, c) =>
+      sk.get(w).forall(est => math.abs(est - c) <= bound) }
+    Seq((kReturned, top1, recall, countsWithin))
+      .toDF("band_k_returned", "band_top1", "band_recall",
+        "band_counts_within")
+  }
+
+  val streamingHeavyHittersSql: String =
+    """SELECT TRUE AS band_k_returned, TRUE AS band_top1,
+      |  TRUE AS band_recall, TRUE AS band_counts_within""".stripMargin
+
+  // ---------------------------------------------------------------
   /** w12 — STREAMING FUNNEL: r08's strictly-sequential windowed
     * funnel computed at ingest by the [[FunnelMachine]]
     * `flatMapGroupsWithState` state machine (two longs of state per
@@ -471,6 +528,7 @@ object StreamingQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w12_streaming_funnel" -> streamingFunnel _,
+    "w13_streaming_heavy_hitters" -> streamingHeavyHitters _,
     "w11_streaming_quality" -> streamingQualityGate _,
     "w08_streaming_contamination" -> streamingContamination _,
     "w01_tumbling_hourly" -> tumblingHourly _,
@@ -485,6 +543,7 @@ object StreamingQueries {
   def oracles: Map[String, String] = Map(
     // the ingest-time state machine computes exactly r08's semantics
     "w12_streaming_funnel" -> Temporal.funnelSql,
+    "w13_streaming_heavy_hitters" -> streamingHeavyHittersSql,
     "w11_streaming_quality" -> streamingQualityGateSql,
     "w08_streaming_contamination" -> streamingContaminationSql,
     "w07_streaming_dedup" -> streamingDedupSql,

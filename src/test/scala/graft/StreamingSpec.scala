@@ -124,6 +124,16 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("w13 streaming heavy hitters: all bands green, equal to batch t20") {
+    val sRow = StreamingQueries.streamingHeavyHitters(spark, sfDir).head()
+    val bRow = Text.heavyHitters(spark, sfDir).head()
+    for (c <- Seq("band_k_returned", "band_top1", "band_recall",
+        "band_counts_within")) {
+      assert(sRow.getAs[Boolean](c), s"stream $c")
+      assert(bRow.getAs[Boolean](c), s"batch $c")
+    }
+  }
+
   test("w12 streaming funnel equals the batch r08 summary row-for-row") {
     val s = StreamingQueries.streamingFunnel(spark, sfDir)
     val b = Temporal.funnel(spark, sfDir)
