@@ -457,25 +457,9 @@ object StreamingQueries {
       .select(explode(col("tk")).as("e"))
       .select(col("e.item").as("w"), col("e.count").as("est"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // exact twin from the BATCH reader — the t20 scaffolding
-    val ex = Tables.documents(spark, dir)
-      .select(explode(Text.tokens(lower(col("text")))).as("w"))
-    val exact = ex.groupBy("w").agg(count(lit(1)).as("c"))
-      .orderBy(desc("c"), col("w")).limit(Text.heavyHitterK)
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    val vn = ex.agg(countDistinct("w").as("v"), count(lit(1)).as("n")).head()
-    val (vocab, n) = (vn.getLong(0), vn.getLong(1))
-    val bound = math.ceil(n * 3.5 / Text.heavyHitterMaxTracked).toLong
-    val kReturned = sk.size == math.min(Text.heavyHitterK.toLong, vocab)
-    val top1 = exact.headOption.forall { case (_, c) =>
-      sk.nonEmpty && sk.values.max == c }
-    val cut = exact.lastOption.map(_._2).getOrElse(0L) + bound
-    val recall = exact.filter(_._2 > cut).forall { case (w, _) => sk.contains(w) }
-    val countsWithin = exact.forall { case (w, c) =>
-      sk.get(w).forall(est => math.abs(est - c) <= bound) }
-    Seq((kReturned, top1, recall, countsWithin))
-      .toDF("band_k_returned", "band_top1", "band_recall",
-        "band_counts_within")
+    // exact twin + band reduction shared with t20 (memoized batch
+    // scan — both gates compare against the SAME exact state)
+    Text.heavyHitterBands(spark, dir, sk)
   }
 
   val streamingHeavyHittersSql: String =

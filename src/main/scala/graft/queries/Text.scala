@@ -1259,23 +1259,30 @@ object Text {
   val heavyHitterK = 20
   val heavyHitterMaxTracked = 10000
 
-  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+  /** Exact-twin scaffolding shared by t20 and the streaming w13:
+    * (exact top-k with counts, vocab, total tokens). Memoized
+    * driver-side — both gates compare against the SAME exact state,
+    * and the extra scan runs once per (session, dir).
+    */
+  private[graft] def heavyHitterExact(spark: SparkSession, dir: String)
+      : (Seq[(String, Long)], Long, Long) =
+    PlanMemo.cachedValue(spark, s"text.hhExact:$dir") {
+      val ex = Tables.documents(spark, dir)
+        .select(explode(tokens(lower(col("text")))).as("w"))
+      val exact = ex.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), col("w")).limit(heavyHitterK)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      val vn = ex.agg(countDistinct("w").as("v"), count(lit(1)).as("n")).head()
+      (exact, vn.getLong(0), vn.getLong(1))
+    }
+
+  /** Band reduction shared by t20 and w13: the frequent-items sketch
+    * contract checked against the exact twin.
+    */
+  private[graft] def heavyHitterBands(spark: SparkSession, dir: String,
+      sk: Map[String, Long]): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val ex = Tables.documents(spark, dir)
-      .select(explode(tokens(lower(col("text")))).as("w"))
-    val sk = ex.agg(expr(
-        s"approx_top_k(w, $heavyHitterK, $heavyHitterMaxTracked)").as("tk"))
-      .select(explode(col("tk")).as("e"))
-      .select(col("e.item").as("w"), col("e.count").as("est"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // exact twin: t02's counts (one extra pass — gate scaffolding,
-    // the operator under test is the one-pass sketch)
-    val exact = ex.groupBy("w").agg(count(lit(1)).as("c"))
-      .orderBy(desc("c"), col("w")).limit(heavyHitterK)
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    val vocabAndN = ex.agg(
-      countDistinct("w").as("v"), count(lit(1)).as("n")).head()
-    val (vocab, n) = (vocabAndN.getLong(0), vocabAndN.getLong(1))
+    val (exact, vocab, n) = heavyHitterExact(spark, dir)
     val bound = math.ceil(n * 3.5 / heavyHitterMaxTracked).toLong
     val kReturned = sk.size == math.min(heavyHitterK.toLong, vocab)
     val top1 = exact.headOption.forall { case (_, c) =>
@@ -1287,6 +1294,17 @@ object Text {
     Seq((kReturned, top1, recall, countsWithin))
       .toDF("band_k_returned", "band_top1", "band_recall",
         "band_counts_within")
+  }
+
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.documents(spark, dir)
+      .select(explode(tokens(lower(col("text")))).as("w"))
+    val sk = ex.agg(expr(
+        s"approx_top_k(w, $heavyHitterK, $heavyHitterMaxTracked)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("w"), col("e.count").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    heavyHitterBands(spark, dir, sk)
   }
 
   val heavyHittersSql: String =
