@@ -90,7 +90,17 @@ class PlanAuditSpec extends AnyFunSuite {
     "q14_quantiles" -> ((8, 4, 5, 1)),
     "s10_pq_search" -> ((2, 2, 1, 1)),
     "t15_bigram_quality" -> ((13, 8, 1, 1)),
-    "t18_dsir_weights" -> ((13, 9, 1, 2)))
+    "t18_dsir_weights" -> ((13, 9, 1, 2)),
+    // round-12: the last two non-streaming top-10 sf0.1 entries
+    // (streaming drains return a memory-sink relation — their plans
+    // pin nothing, so w08/w09/w10 are covered by their batch twins)
+    // warm plans: both read memoized artifacts (PQ codes / rank
+    // fixpoint), so only the display sort's range exchange (+ s09's
+    // localCheckpoint rebalances) remains — which is the point: a
+    // regression that re-runs the build inline shows up as hash
+    // exchanges appearing from nowhere
+    "s09_pq_codes" -> ((0, 2, 1, 0)),
+    "d18_source_rank" -> ((0, 0, 1, 0)))
 
   exchangePins.foreach { case (name, (hash, rr, range, bcast)) =>
     test(s"$name: exchange counts stay pinned") {
