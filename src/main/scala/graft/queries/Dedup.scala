@@ -609,12 +609,42 @@ object Dedup {
       // *_outer + null filter, not inner generates: see pairEmit —
       // inference would inline the struct array_sort into a Filter
       .select(posexplode_outer(col("docs")).as(Seq("i", "a")), col("docs"))
-      .select(col("a"),
-        explode_outer(expr("slice(docs, i + 2, size(docs))")).as("b"))
-      .filter(col("b").isNotNull &&
-        col("b.n") * jaccardThreshold <= col("a.n") &&
-        col("a.n") * jaccardThreshold <= col("b.n"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      // packed-array candidate shuffle (the [[pairCounts]] shape,
+      // round-12): ship each position's candidate TAIL as one struct
+      // array instead of one row per candidate — the ~12M-element
+      // (a, b) stream at GenData sf10 crosses its exchange in Σ df
+      // rows of packed UnsafeArrayData, ~2.5–3× fewer bytes than the
+      // row-per-pair spelling (3-long structs pack at 24 B vs ~80 B
+      // UnsafeRow each). The symmetric PPJoin length bound is applied
+      // INSIDE the packed array (an elementwise codegen `filter` over
+      // a ≤ maxShingleDf-element array — a projection, not a Filter
+      // node, so no pushdown trap), so pruned candidates never reach
+      // the wire. Honest local[32] measurement: wall-clock NEUTRAL
+      // (stage 16.4 s vs 16.8 s, full-cold 20.1 s vs 19.8 s, same
+      // 12,125,639 candidates) — in-memory shuffles don't pay for
+      // bytes the way a networked cluster does; the byte narrowing
+      // (and the deleted aggregate exchange, 9→8 hash) is the
+      // cluster-scale win, unlike d03's pairCounts where primitive-
+      // long packing also cut local CPU.
+      .select(col("a"), col("a.doc_id").as("d1"),
+        expr(s"""filter(
+          |  slice(docs, i + 2, size(docs)),
+          |  b -> b.n * $jaccardThreshold <= a.n
+          |   AND a.n * $jaccardThreshold <= b.n)""".stripMargin).as("bs"))
+      // explicit partition count, not AQE's: the exchange is sized by
+      // the PACKED bytes but the explode right after multiplies rows
+      // (see pairCounts); HashPartitioning(d1) then satisfies the
+      // groupBy(d1, d2)'s ClusteredDistribution, so no second
+      // exchange — PlanAuditSpec pins it.
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("d1"))
+      // *_outer, not inner: an inner explode's inferred non-empty
+      // predicate collapses through the exchange onto the packed
+      // projection and re-evaluates the filter(...) HOF per row
+      // (caught by the PlanAuditSpec Filter trap); outer emits a NULL
+      // row per empty tail that dies in the O(1) post-explode filter
+      .select(col("d1"), col("a"), explode_outer(col("bs")).as("b"))
+      .filter(col("b").isNotNull)
+      .groupBy(col("d1"), col("b.doc_id").as("d2"))
       .agg(min(col("a.pos")).as("p1"), min(col("b.pos")).as("p2"),
         first(col("a.n")).as("n1"), first(col("b.n")).as("n2"))
       .filter(lit(1) +

@@ -76,7 +76,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // round-8 scale fixes: pin the PPJoin candidate pipeline (d19)
     // and the occupancy-scaled SemDeDup cells (d14) so a regression
     // re-introducing the quadratic spellings fails CI by name
-    "d19_prefix_jaccard" -> ((9, 8, 1, 0)),
+    // round-12: packed candidate emission folds the pair aggregate
+    // into the repartition(d1) exchange (9 -> 8 hash)
+    "d19_prefix_jaccard" -> ((8, 8, 1, 0)),
     "d14_semantic_dedup" -> ((2, 1, 1, 0)),
     // round-11: span_fps rework — pin the exact-substring-dedup plan
     "d12_dup_ngram_spans" -> ((4, 5, 1, 0)),
