@@ -97,9 +97,19 @@ object Clustering {
     */
   private[graft] def assignedOn(
       spark: SparkSession, key: String, qe: DataFrame,
-      k: Int = kClusters): DataFrame = {
+      k: Int = kClusters): DataFrame =
+    withAssignment(qe, centroidsOn(spark, key, qe, k))
+
+  /** Train (or recall) the memoized centroids WITHOUT assigning —
+    * split out of [[assignedOn]] for w14, which freezes a model on the
+    * static base corpus and applies it to a different frame (the
+    * incoming stream) via [[assignWith]].
+    */
+  private[graft] def centroidsOn(
+      spark: SparkSession, key: String, qe: DataFrame,
+      k: Int = kClusters): Array[Array[Long]] = {
     PqEncode.register(spark) // defensive: session may lack extensions
-    val cents = PlanMemo.cachedValue(spark, s"clustering.cents:$key:k$k") {
+    PlanMemo.cachedValue(spark, s"clustering.cents:$key:k$k") {
       var c: Array[Array[Long]] = qe.orderBy("vec_id").limit(k)
         .select("q").collect()
         .map(_.getSeq[Long](0).toArray)
@@ -119,8 +129,16 @@ object Clustering {
       }
       c
     }
-    withAssignment(qe, cents)
   }
+
+  /** Assign an arbitrary (…, q) frame against a FROZEN centroid set —
+    * a pure codegen expression over a literal codebook, so it is
+    * stateless and streaming-safe (w14 applies it per micro-batch
+    * record).
+    */
+  private[graft] def assignWith(
+      df: DataFrame, cents: Array[Array[Long]]): DataFrame =
+    withAssignment(df, cents)
 
   /** km01 — per-vector cluster assignment + exact squared distance. */
   def kmeansAssign(spark: SparkSession, dir: String): DataFrame =

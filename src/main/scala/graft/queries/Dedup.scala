@@ -1078,7 +1078,7 @@ object Dedup {
     * (node, label) pairs only.
     */
   val semTheta = 0.9
-  private val semDim = 64
+  private[graft] val semDim = 64
 
   /** Target expected vectors-per-cell for d14's clustering stage. */
   val semCellTarget = 1000

@@ -467,6 +467,153 @@ object StreamingQueries {
       |  TRUE AS band_recall, TRUE AS band_counts_within""".stripMargin
 
   // ---------------------------------------------------------------
+  /** w14 — STREAMING SEMANTIC DEDUP GATE: d14's embedding near-dup
+    * screen AT INGEST — incoming vectors are checked against the
+    * static base corpus before admission, the production shape where
+    * a re-crawled or lightly-edited document must not re-enter the
+    * training set just because its bytes changed.
+    *
+    * Model-at-ingest semantics (the streaming-native design):
+    *   - k-means cells are trained ONCE on the BASE corpus (the
+    *     [[Clustering.centroidsOn]] Lloyd loop, k·d driver metadata)
+    *     and FROZEN — the stream never retrains; it applies the model
+    *     per record via [[Clustering.assignWith]], a pure codegen
+    *     `pq_encode` against the literal codebook (stateless).
+    *   - the candidate screen is a stateless stream-static LEFT OUTER
+    *     join on the cell id (within-cell cosine only — the same
+    *     no-all-pairs bound d14 proves), then ONE streaming
+    *     max-verdict aggregation per incoming vector (complete mode
+    *     into the memory sink; update mode at scale).
+    *   - at 100 TB the base side is corpus-scale: the join shuffles
+    *     by cell id (never broadcasts the corpus), state is one row
+    *     per in-flight incoming vector, and cell occupancy is bounded
+    *     by the same k ≈ n/[[Dedup.semCellTarget]] scaling d14 uses.
+    *
+    * The staged feed plants near-dups DETERMINISTICALLY: incoming
+    * vec v with v % 10 ∈ {7, 9} arrives as a jittered copy of base
+    * vector v % split (the d14 jitter arithmetic, retargeted so
+    * matches straddle the base/stream split); other vectors arrive
+    * as themselves — random unit vectors, cosine-far from everything.
+    * Verdicts are per-record and arrival-order-free, so the DuckDB
+    * oracle replays the exact semantics batch-side.
+    */
+  def streamingSemanticGate(spark: SparkSession, dir: String): DataFrame = {
+    DotProduct.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val split = PlanMemo.cachedValue(spark, s"w14.split:$dir")(emb.count() / 2)
+    val toDouble = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    def quantize(c: String) =
+      s"transform($c, x -> CAST(FLOOR(x * ${Clustering.quantScale}) AS BIGINT))"
+    val base = emb.filter(col("vec_id") < split)
+      .select(col("vec_id"), expr(toDouble).as("emb"))
+    val baseQe = base.select(col("vec_id"), expr(quantize("emb")).as("q"))
+    val k = math.max(Clustering.kClusters,
+      (split / Dedup.semCellTarget).toInt)
+    val cents = Clustering.centroidsOn(spark, s"w14:$dir", baseQe, k)
+    val baseSide = Clustering.assignWith(
+        base.withColumn("q", expr(quantize("emb"))), cents)
+      .withColumn("nrm", sqrt(expr("dot_product(emb, emb)")))
+      .select(col("cluster").as("bcluster"), col("vec_id").as("b_id"),
+        col("emb").as("b_emb"), col("nrm").as("b_nrm"))
+    // stage the incoming feed AS DATA (not a live self-join): the
+    // gate's input is "vectors arriving", so the jittered revisions
+    // are materialized into the staging dir batch-side — scaffolding
+    // for the planted ground truth, not part of the operator
+    val staged = emb.filter(col("vec_id") >= split)
+      .withColumn("t_id", col("vec_id") % split)
+      .join(emb.select(col("vec_id").as("t_id"),
+        col("embedding").as("t_emb")), "t_id")
+      .select(col("vec_id"),
+        when(col("vec_id") % 10 === 7 || col("vec_id") % 10 === 9,
+          expr(s"""transform(t_emb, (x, i) ->
+                  |  CAST(x AS DOUBLE) +
+                  |  ((vec_id * ${Dedup.semDim} + i + 1) % 7 - 3) * 0.001D)"""
+            .stripMargin))
+          .otherwise(expr(toDouble)).as("emb"))
+    val streamDir = TempArtifacts.scratchDir("graft_stream_sg")
+    val feed = streamDir.resolve("incoming.parquet").toString
+    staged.coalesce(1).write.mode("overwrite").parquet(feed)
+    val schema = spark.read.parquet(feed).schema
+    // balancedStream: the per-record quantize + pq_encode assignment
+    // and the within-cell dot products are the CPU stage
+    val incoming = balancedStream(
+      spark.readStream.schema(schema).parquet(feed))
+    val assigned = Clustering.assignWith(
+        incoming.withColumn("q", expr(quantize("emb"))), cents)
+      .withColumn("nrm", sqrt(expr("dot_product(emb, emb)")))
+    val scored = assigned
+      .join(baseSide, col("cluster") === col("bcluster"), "left_outer")
+      .withColumn("cos", Exact.round4(expr("dot_product(emb, b_emb)") /
+        (col("nrm") * col("b_nrm"))))
+    val verdicts = scored.groupBy("vec_id").agg(
+      max(when(col("cos") >= Dedup.semTheta, 1).otherwise(0)).as("is_dup"),
+      min(when(col("cos") >= Dedup.semTheta, col("b_id"))).as("match_id"),
+      max(col("cos")).as("best_cos"))
+    drainToMemory(spark, verdicts, "complete", "w14", streamDir)
+      .select("vec_id", "is_dup", "match_id", "best_cos")
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB replay: train the cells on the base half (the shared
+    * [[Clustering.oracleCtes]] Lloyd mirror), assign the jittered
+    * incoming half against the FINAL centroids (`c<T>`), then score
+    * within-cell cosine exactly like the stream does.
+    */
+  val streamingSemanticGateSql: String = {
+    val half = "(SELECT COUNT(*) // 2 FROM embeddings)"
+    val T = Clustering.lloydIters
+    val dot = Similarity.duckDot("x.embedding", "y.embedding")
+    s"""WITH b AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+       |  FROM embeddings WHERE vec_id < $half
+       |), ${Clustering.oracleCtes("b")},
+       |s AS (
+       |  SELECT v.vec_id,
+       |    CASE WHEN v.vec_id % 10 IN (7, 9) THEN
+       |      list_transform(range(1, ${Dedup.semDim + 1}), i ->
+       |        CAST(t.embedding[i] AS DOUBLE) +
+       |        ((v.vec_id * ${Dedup.semDim} + i) % 7 - 3) * 0.001)
+       |    ELSE list_transform(v.embedding, x -> CAST(x AS DOUBLE))
+       |    END AS embedding
+       |  FROM embeddings v JOIN embeddings t ON t.vec_id = v.vec_id % $half
+       |  WHERE v.vec_id >= $half
+       |), sqe AS (
+       |  SELECT vec_id, CAST(i AS INT) AS i,
+       |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * ${Clustering.quantScale}) AS BIGINT) AS q
+       |  FROM (SELECT vec_id, embedding,
+       |          unnest(range(1, len(embedding) + 1)) AS i FROM s)
+       |), sa AS (
+       |  SELECT e.vec_id, c.cid, SUM((e.q - c.q) * (e.q - c.q)) AS d
+       |  FROM sqe e JOIN c$T c ON e.i = c.i
+       |  GROUP BY e.vec_id, c.cid
+       |), sfin AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM sa)
+       |  WHERE rn = 1
+       |), bn AS (
+       |  SELECT b.vec_id, b.embedding, f.cluster,
+       |    sqrt(${Similarity.duckDot("b.embedding", "b.embedding")}) AS nrm
+       |  FROM b JOIN fin f USING (vec_id)
+       |), sn AS (
+       |  SELECT s.vec_id, s.embedding, f.cluster,
+       |    sqrt(${Similarity.duckDot("s.embedding", "s.embedding")}) AS nrm
+       |  FROM s JOIN sfin f USING (vec_id)
+       |), sc AS (
+       |  SELECT x.vec_id, y.vec_id AS b_id,
+       |    ${Exact.round4Sql(s"($dot) / (x.nrm * y.nrm)")} AS cos
+       |  FROM sn x LEFT JOIN bn y ON x.cluster = y.cluster
+       |)
+       |SELECT vec_id,
+       |  MAX(CASE WHEN cos >= ${Dedup.semTheta} THEN 1 ELSE 0 END) AS is_dup,
+       |  MIN(CASE WHEN cos >= ${Dedup.semTheta} THEN b_id END) AS match_id,
+       |  MAX(cos) AS best_cos
+       |FROM sc GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   /** w12 — STREAMING FUNNEL: r08's strictly-sequential windowed
     * funnel computed at ingest by the [[FunnelMachine]]
     * `flatMapGroupsWithState` state machine (two longs of state per
@@ -513,6 +660,7 @@ object StreamingQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w12_streaming_funnel" -> streamingFunnel _,
     "w13_streaming_heavy_hitters" -> streamingHeavyHitters _,
+    "w14_streaming_semantic_gate" -> streamingSemanticGate _,
     "w11_streaming_quality" -> streamingQualityGate _,
     "w08_streaming_contamination" -> streamingContamination _,
     "w01_tumbling_hourly" -> tumblingHourly _,
@@ -528,6 +676,7 @@ object StreamingQueries {
     // the ingest-time state machine computes exactly r08's semantics
     "w12_streaming_funnel" -> Temporal.funnelSql,
     "w13_streaming_heavy_hitters" -> streamingHeavyHittersSql,
+    "w14_streaming_semantic_gate" -> streamingSemanticGateSql,
     "w11_streaming_quality" -> streamingQualityGateSql,
     "w08_streaming_contamination" -> streamingContaminationSql,
     "w07_streaming_dedup" -> streamingDedupSql,

@@ -134,6 +134,30 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("w14 semantic gate: planted near-dups caught, clean vectors pass") {
+    val n = Tables.embeddings(spark, sfDir).count()
+    val split = n / 2
+    val rows = StreamingQueries.streamingSemanticGate(spark, sfDir).collect()
+    assert(rows.length === (n - split),
+      "one verdict per incoming vector, none dropped by the cell join")
+    rows.foreach { r =>
+      val v = r.getAs[Long]("vec_id")
+      val planted = v % 10 == 7 || v % 10 == 9
+      if (planted) {
+        // a jittered revision of base vector (v % split): the gate
+        // must flag it and point at exactly that base vector
+        assert(r.getAs[Int]("is_dup") === 1, s"planted near-dup $v missed")
+        assert(r.getAs[Long]("match_id") === v % split,
+          s"planted near-dup $v matched the wrong base vector")
+        assert(r.getAs[Double]("best_cos") >= Dedup.semTheta)
+      } else {
+        // a fresh random unit vector: cosine-far from the base corpus
+        assert(r.getAs[Int]("is_dup") === 0,
+          s"clean vector $v falsely flagged (cos ${r.getAs[Double]("best_cos")})")
+      }
+    }
+  }
+
   test("w12 streaming funnel equals the batch r08 summary row-for-row") {
     val s = StreamingQueries.streamingFunnel(spark, sfDir)
     val b = Temporal.funnel(spark, sfDir)
