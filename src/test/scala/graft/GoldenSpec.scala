@@ -54,7 +54,10 @@ class GoldenSpec extends AnyFunSuite {
     "s11_ivfpq_search", "w10_streaming_increment",
     // round-11 kernel reworks: lock the exact-quantile histogram and
     // the inverted-index jaccard pipeline at the golden level too
-    "q14_quantiles", "d03_ngram_jaccard")
+    "q14_quantiles", "d03_ngram_jaccard",
+    // round-12: the streaming semantic gate (deterministic frozen-
+    // model verdicts, so golden-able like any batch query)
+    "w14_streaming_semantic_gate")
 
   private def render(df: DataFrame): Seq[String] = {
     val header = df.columns.mkString("\t")
