@@ -557,7 +557,12 @@ object StreamingQueries {
   /** DuckDB replay: train the cells on the base half (the shared
     * [[Clustering.oracleCtes]] Lloyd mirror), assign the jittered
     * incoming half against the FINAL centroids (`c<T>`), then score
-    * within-cell cosine exactly like the stream does.
+    * within-cell cosine exactly like the stream does. The oracle's
+    * fixed k = [[Clustering.kClusters]] equals the Spark side's
+    * occupancy-scaled k at every driver scale (base ≤ 8 ×
+    * [[Dedup.semCellTarget]] vectors — the d14 alignment argument,
+    * see [[Dedup.semanticDedup]]); above that the engine scales k
+    * and the SQL replay would need the same k plugged in.
     */
   val streamingSemanticGateSql: String = {
     val half = "(SELECT COUNT(*) // 2 FROM embeddings)"
