@@ -60,6 +60,26 @@ class SortedInterSizeSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized parity vs array_intersect on sorted-distinct pairs") {
+    // 500 seeded random pairs across sizes 0..60 and value ranges
+    // tight enough to force heavy overlap — exercises every merge-
+    // loop interleaving (runs of consecutive advances on one side,
+    // ties at array heads/tails) the fixed cases can't enumerate
+    SortedInterSize.register(spark)
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(1234)
+    def arr(): Seq[Long] =
+      Seq.fill(rnd.nextInt(61))(rnd.nextInt(80).toLong)
+        .distinct.sorted
+    val pairs = Seq.fill(500)((arr(), arr()))
+    val bad = pairs.toDF("a", "b")
+      .withColumn("fast", expr("sorted_inter_size(a, b)"))
+      .withColumn("slow", size(array_intersect(col("a"), col("b"))).cast("long"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(bad === 0)
+  }
+
   test("null array yields null, not a crash") {
     SortedInterSize.register(spark)
     val s = spark
