@@ -123,14 +123,18 @@ object SortedInterSize {
   // (size(array_intersect) would keep counting past it). Every call
   // site must feed array_sort'd, duplicate-free, containsNull=false
   // arrays, like Dedup.sortedSets does; SortedInterSizeSpec pins the
-  // d19 call-site inputs against exactly these preconditions.
-  val info = new ExpressionInfo(classOfCompat, "sorted_inter_size",
+  // d19 call-site inputs against exactly these preconditions AND that
+  // DESCRIBE FUNCTION actually surfaces this text. The 5-arg
+  // constructor is (className, db, name, usage, extended) — the 3-arg
+  // one is (className, db, NAME), which silently registered the usage
+  // text as the function name (round-12 advice).
+  val info = new ExpressionInfo(classOf[SortedInterSize].getName, null,
+    "sorted_inter_size",
     "_FUNC_(a, b) - Intersection size of two SORTED-ascending, " +
       "DUPLICATE-FREE arrays of int/bigint with no null elements. " +
       "PRECONDITIONS ARE NOT CHECKED: unsorted or duplicate-bearing " +
       "input silently undercounts; a null element terminates the scan. " +
-      "Callers must array_sort() distinct, null-free arrays first.")
-  private def classOfCompat: String = classOf[SortedInterSize].getName
+      "Callers must array_sort() distinct, null-free arrays first.", "")
 
   val builder: Seq[Expression] => Expression =
     es => SortedInterSize(es.head, es(1))

