@@ -57,7 +57,12 @@ class GoldenSpec extends AnyFunSuite {
     "q14_quantiles", "d03_ngram_jaccard",
     // round-12: the streaming semantic gate (deterministic frozen-
     // model verdicts, so golden-able like any batch query)
-    "w14_streaming_semantic_gate")
+    "w14_streaming_semantic_gate",
+    // round-13: the two round-12 sketch entries that launched without
+    // a golden (round-12 verdict "next" 4). Both reduce to exact
+    // boolean bands below maxTracked, so they are deterministic at
+    // sf0.001 like any batch query.
+    "t20_heavy_hitters", "w13_streaming_heavy_hitters")
 
   private def render(df: DataFrame): Seq[String] = {
     val header = df.columns.mkString("\t")
