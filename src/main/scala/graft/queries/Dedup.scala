@@ -118,9 +118,16 @@ object Dedup {
     */
   private[graft] def lshCandidates(spark: SparkSession, dir: String): DataFrame =
     // memoized like jaccardPairs: d02 sorts these pairs, d11 verifies
-    // them — one persisted candidate set serves both
+    // them — one persisted candidate set serves both. Disk-published
+    // like lshBands (round-12 verdict "next" 8): the candidate-pair
+    // table is the second index artifact a real near-dup pipeline
+    // materializes (band index → candidate pairs → verified pairs),
+    // and without the publish every post-clearCache consumer (d11's
+    // bench reps most of all — 2.8 s of its sf0.1 cost was this)
+    // re-ran the posting + packed-pair-shuffle stages per rep.
     PlanMemo.cached(spark, s"dedup.lshCandidates:$dir")(
-      buildLshCandidates(spark, dir))
+      PlanMemo.publishedParquet(spark, dir, "lsh_cand_pairs")(
+        buildLshCandidates(spark, dir)))
 
   private def buildLshCandidates(spark: SparkSession, dir: String): DataFrame = {
     // POSTING-LIST pair emission, not a self-join (same shape as
@@ -1069,8 +1076,10 @@ object Dedup {
     * knob SemDeDup itself turns (11 k clusters for 100 M docs). Below
     * 8 × [[semCellTarget]] vectors k is the km01 default, so every
     * driver-scale result (golden sf0.001, oracle sf0.01) is
-    * bit-identical to the fixed-k spelling; the fixed-k oracle SQL
-    * stays valid at exactly those scales. Measured (GenData, quiet
+    * bit-identical to the fixed-k spelling; the oracle SQL computes
+    * the SAME max(kClusters, n/semCellTarget) via a scalar-subquery
+    * LIMIT, so the hash gate holds at every scale, not just those
+    * (round-12 advice). Measured (GenData, quiet
     * machine): fixed k=8 went 18.0 s → 189.0 s from sf3 to sf10
     * (10.5× at 3.33× data — quadratic); scaled k runs linear. The
     * corpus count feeding k is one parquet-metadata count, memoized
@@ -1151,7 +1160,14 @@ object Dedup {
        |    END AS embedding
        |  FROM embeddings v
        |  JOIN embeddings b ON b.vec_id = v.vec_id - v.vec_id % 10
-       |), ${Clustering.oracleCtes("aug")},
+       |), ${Clustering.oracleCtes("aug",
+             // the oracle's k tracks the engine's occupancy scaling
+             // (k = max(kClusters, n/semCellTarget)) instead of
+             // hardcoding kClusters — identical below kClusters ×
+             // semCellTarget vectors (every driver scale), and no
+             // silent hash divergence above it (round-12 advice)
+             s"(SELECT GREATEST(${Clustering.kClusters}, " +
+               s"COUNT(*) // $semCellTarget) FROM embeddings)")},
        |n AS (
        |  SELECT a.vec_id, a.embedding, f.cluster,
        |    sqrt(${Similarity.duckDot("a.embedding", "a.embedding")}) AS nrm

@@ -65,8 +65,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // computation map-side — the per-doc sig aggregation exchanges
     // (8→4 hash) are deleted, not hidden. round-12: the band index is
     // disk-published, so the printed build plan is a parquet read —
-    // the corpus-scan rebalances (4 roundrobin) leave the fingerprint
-    "d02_minhash_lsh"    -> ((4, 0, 1, 0)),
+    // the corpus-scan rebalances (4 roundrobin) leave the fingerprint.
+    // round-13: the candidate-PAIR table is disk-published too (the
+    // second index artifact; d11's bench cost was re-deriving it), so
+    // the warm d02 plan is artifact-read + the presentation range
+    // sort — like s09/d18, hash exchanges appearing here again means
+    // the posting/pair pipeline regressed to running inline
+    "d02_minhash_lsh"    -> ((0, 0, 1, 0)),
     // round-12: pairCounts packed-array shuffle — the pair-count
     // exchange is satisfied by the repartition(d1) HashPartitioning
     // and the first sizes join reuses it (22 -> 20 hash)
