@@ -13,7 +13,7 @@ before a round ends:
   - sorts columns by name, sorts rows by all columns, compares the
     string rendering of every cell.
 """
-import sys, json, glob
+import os, sys, json, glob
 
 import duckdb
 
@@ -44,8 +44,13 @@ def main():
     prefixes = sys.argv[3].split(",") if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
+        # driver testdata tables are single parquet FILES; GenData
+        # ladder tables are multi-part DIRECTORIES — accept both
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle_sql = json.load(open(f"{out_dir}/oracle_sql.json"))
     bad = 0
     for name, sql in sorted(oracle_sql.items()):
