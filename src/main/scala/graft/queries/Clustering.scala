@@ -186,8 +186,16 @@ object Clustering {
   // relational spelling (joins + window argmin) of the same exact
   // integer algorithm.
 
+  /** `kSql` is spliced into the seed CTE's LIMIT — an int literal for
+    * the fixed-k queries, or a parenthesized scalar subquery (DuckDB
+    * allows expressions in LIMIT) for callers whose ENGINE k scales
+    * with corpus occupancy (d14/w14: k = max(kClusters,
+    * n/semCellTarget)). Keeping the oracle's k a hardcoded 8 was a
+    * latent hash divergence the moment the corpus outgrew
+    * kClusters × semCellTarget vectors (round-12 advice).
+    */
   private[graft] def oracleCtes(src: String = "embeddings",
-      k: Int = kClusters, prefix: String = "",
+      kSql: String = kClusters.toString, prefix: String = "",
       includeQe: Boolean = true): String = {
     val p = prefix
     val sb = new StringBuilder
@@ -205,7 +213,7 @@ object Clustering {
          |  SELECT CAST(ROW_NUMBER() OVER (PARTITION BY i ORDER BY vec_id) - 1 AS INT) AS cid,
          |    i, q
          |  FROM qe
-         |  WHERE vec_id IN (SELECT vec_id FROM $src ORDER BY vec_id LIMIT $k)
+         |  WHERE vec_id IN (SELECT vec_id FROM $src ORDER BY vec_id LIMIT $kSql)
          |)""".stripMargin)
     for (t <- 1 to lloydIters) {
       sb.append(s""",
@@ -291,7 +299,7 @@ object Clustering {
 
   val elbowCurveSql: String = {
     val blocks = elbowKs.zipWithIndex.map { case (k, i) =>
-      oracleCtes("embeddings", k, s"k${k}_", includeQe = i == 0)
+      oracleCtes("embeddings", k.toString, s"k${k}_", includeQe = i == 0)
     }.mkString(",\n")
     val selects = elbowKs.map { k =>
       s"""SELECT $k AS k, CAST(SUM(dist2) AS BIGINT) AS inertia,

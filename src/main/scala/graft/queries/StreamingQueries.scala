@@ -57,6 +57,13 @@ object StreamingQueries {
     // cluster via the session conf exactly as before. Results are
     // partitioning-invariant (hash-gated), and the conf is restored
     // after the drain completes.
+    // SINGLE-THREADED ASSUMPTION (round-12 advice): the override is
+    // session-global for the drain's duration — a concurrent batch
+    // query on the same session would silently run with ≤8 shuffle
+    // partitions. Safe under Verify/Bench/scalatest (all sequential
+    // per session); a concurrent caller must scope the conf per query
+    // (Spark has no per-query shuffle-partition knob today, so that
+    // means a dedicated session, spark.newSession(), per drain).
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
       math.min(8, prevShuffle.toInt).toString)
@@ -557,12 +564,12 @@ object StreamingQueries {
   /** DuckDB replay: train the cells on the base half (the shared
     * [[Clustering.oracleCtes]] Lloyd mirror), assign the jittered
     * incoming half against the FINAL centroids (`c<T>`), then score
-    * within-cell cosine exactly like the stream does. The oracle's
-    * fixed k = [[Clustering.kClusters]] equals the Spark side's
-    * occupancy-scaled k at every driver scale (base ≤ 8 ×
-    * [[Dedup.semCellTarget]] vectors — the d14 alignment argument,
-    * see [[Dedup.semanticDedup]]); above that the engine scales k
-    * and the SQL replay would need the same k plugged in.
+    * within-cell cosine exactly like the stream does. The oracle's k
+    * is the SAME max(kClusters, split/semCellTarget) the engine
+    * computes, as a scalar-subquery LIMIT over the base half — a
+    * hardcoded kClusters silently diverged once the base outgrew
+    * kClusters × [[Dedup.semCellTarget]] vectors (round-12 advice;
+    * GenData sf1's 10 000-vector base half already crossed it).
     */
   val streamingSemanticGateSql: String = {
     val half = "(SELECT COUNT(*) // 2 FROM embeddings)"
@@ -572,7 +579,9 @@ object StreamingQueries {
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
        |  FROM embeddings WHERE vec_id < $half
-       |), ${Clustering.oracleCtes("b")},
+       |), ${Clustering.oracleCtes("b",
+             s"(SELECT GREATEST(${Clustering.kClusters}, " +
+               s"(COUNT(*) // 2) // ${Dedup.semCellTarget}) FROM embeddings)")},
        |s AS (
        |  SELECT v.vec_id,
        |    CASE WHEN v.vec_id % 10 IN (7, 9) THEN
