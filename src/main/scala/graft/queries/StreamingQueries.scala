@@ -537,9 +537,21 @@ object StreamingQueries {
                   |  ((vec_id * ${Dedup.semDim} + i + 1) % 7 - 3) * 0.001D)"""
             .stripMargin))
           .otherwise(expr(toDouble)).as("emb"))
+    // The staged feed is deterministic per (session, dir) — write it
+    // ONCE into a session-lifetime scratch dir and reuse the file
+    // across invocations (round-12 verdict "next" 7: every bench rep
+    // re-paid the coalesce(1) write + join, ~0.5 s of pure fixture
+    // scaffolding; w14 was the only streaming entry staging data
+    // instead of symlinking). The per-drain streamDir below stays
+    // fresh so sink names never collide and drain cleanup semantics
+    // are unchanged; the feed dir is reclaimed at JVM exit.
+    val feed = PlanMemo.cachedValue(spark, s"w14.feed:$dir") {
+      val d = TempArtifacts.scratchDir("graft_stream_sg_feed")
+      val f = d.resolve("incoming.parquet").toString
+      staged.coalesce(1).write.mode("overwrite").parquet(f)
+      f
+    }
     val streamDir = TempArtifacts.scratchDir("graft_stream_sg")
-    val feed = streamDir.resolve("incoming.parquet").toString
-    staged.coalesce(1).write.mode("overwrite").parquet(feed)
     val schema = spark.read.parquet(feed).schema
     // balancedStream: the per-record quantize + pq_encode assignment
     // and the within-cell dot products are the CPU stage
