@@ -68,6 +68,20 @@ object Quantization {
       .drop("enc")
   }
 
+  /** Trained codebooks for `dir`'s candidate set, memoized per
+    * (session, dir) like [[Clustering.centroidsOn]]'s centroids: the
+    * training is deterministic (seeded by the first `codebookK`
+    * vec_ids), s09/s10/s11/w09 all need the SAME books, and each
+    * Lloyd round is an eager Spark job — without the memo the full
+    * `pqIters`-round training ran four times per session. The books
+    * are O(m·k·subDim) driver metadata, exactly what the broadcast
+    * codebook literal carries anyway.
+    */
+  private def codebooks(spark: SparkSession,
+                        dir: String): Array[Array[Array[Long]]] =
+    PlanMemo.cachedValue(spark, s"pq.codebooks:$dir")(
+      trainCodebooks(candidates(spark, dir)))
+
   /** Per-subspace codebooks trained with `pqIters` Lloyd rounds over
     * the candidate lattice — one Spark job per round covers all m
     * subspaces (codes map-side, then (s, code, j) partial sums).
@@ -107,7 +121,7 @@ object Quantization {
   def pqCodes(spark: SparkSession, dir: String): DataFrame = {
     PqEncode.register(spark)
     val cand = candidates(spark, dir)
-    val books = trainCodebooks(cand)
+    val books = codebooks(spark, dir)
     withCodes(cand, books)
       .select(col("vec_id") +:
         (0 until m).map(s => col(s"code$s")) :+ col("qerr"): _*)
@@ -121,7 +135,7 @@ object Quantization {
     PqEncode.register(spark)
     TopKScoreId.register(spark)
     val cand = candidates(spark, dir)
-    val books = trainCodebooks(cand)
+    val books = codebooks(spark, dir)
     val codes = withCodes(cand, books)
       .select(col("vec_id"), posexplode(expr(
         s"array(${(0 until m).map(s => s"code$s").mkString(", ")})"))
@@ -275,7 +289,7 @@ object Quantization {
   def streamingPqCodes(spark: SparkSession, dir: String): DataFrame = {
     PqEncode.register(spark)
     val cand = candidates(spark, dir)
-    val books = trainCodebooks(cand)
+    val books = codebooks(spark, dir)
     val path = s"$dir/embeddings.parquet"
     val streamDir = TempArtifacts.scratchDir("graft_stream_pq")
     java.nio.file.Files.createSymbolicLink(
@@ -317,7 +331,7 @@ object Quantization {
     PqEncode.register(spark)
     TopKScoreId.register(spark)
     val cand = candidates(spark, dir)
-    val books = trainCodebooks(cand)
+    val books = codebooks(spark, dir)
     val codes = withCodes(cand, books)
       .select(col("vec_id"), posexplode(expr(
         s"array(${(0 until m).map(s => s"code$s").mkString(", ")})"))
