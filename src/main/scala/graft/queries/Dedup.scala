@@ -1229,8 +1229,7 @@ object Dedup {
     // incoming stream (symlink-dir staging, as w05/w08)
     val path = s"$dir/documents.parquet"
     val streamDir = TempArtifacts.scratchDir("graft_stream_i")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("documents.parquet"), java.nio.file.Paths.get(path))
+    TempArtifacts.stageTable(streamDir, path)
     val schema = spark.read.parquet(path).schema
     // balancedStream: the per-record shingle_fps → minhash_sigs kernel
     // below is the CPU-heavy stage — single-row-group staging would

@@ -292,8 +292,7 @@ object Quantization {
     val books = codebooks(spark, dir)
     val path = s"$dir/embeddings.parquet"
     val streamDir = TempArtifacts.scratchDir("graft_stream_pq")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("embeddings.parquet"), java.nio.file.Paths.get(path))
+    TempArtifacts.stageTable(streamDir, path)
     val schema = spark.read.parquet(path).schema
     // balancedStream: pq_encode over every subvector is the CPU-heavy
     // stage — single-row-group staging would run it on one core

@@ -198,11 +198,10 @@ object StreamingQueries {
   def streamingHourly(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
-    // The file stream source requires a directory; the test table is a
-    // single parquet file — stage a symlink dir (testdata is read-only).
+    // The file stream source requires a directory of plain files —
+    // stage symlinks (file or per-part; tables are read-only).
     val streamDir = TempArtifacts.scratchDir("graft_stream")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    TempArtifacts.stageTable(streamDir, path)
     val schema = spark.read.parquet(path).schema
     val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
     // Same physical-encoding tolerance as Tables.events: nanos-as-long
@@ -272,8 +271,7 @@ object StreamingQueries {
   def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/documents.parquet"
     val streamDir = TempArtifacts.scratchDir("graft_stream_d")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("documents.parquet"), java.nio.file.Paths.get(path))
+    TempArtifacts.stageTable(streamDir, path)
     val schema = spark.read.parquet(path).schema
     val dedup = spark.readStream.schema(schema).parquet(streamDir.toString)
       .select(md5(col("text")).as("fingerprint"))
@@ -367,8 +365,7 @@ object StreamingQueries {
   def streamingContamination(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/documents.parquet"
     val streamDir = TempArtifacts.scratchDir("graft_stream_c")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("documents.parquet"), java.nio.file.Paths.get(path))
+    TempArtifacts.stageTable(streamDir, path)
     val schema = spark.read.parquet(path).schema
     // static side built from the batch reader — tiny, broadcast
     val bench = Dedup.benchShingles(spark, dir)
@@ -416,8 +413,7 @@ object StreamingQueries {
   def streamingQualityGate(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/documents.parquet"
     val streamDir = TempArtifacts.scratchDir("graft_stream_q")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("documents.parquet"), java.nio.file.Paths.get(path))
+    TempArtifacts.stageTable(streamDir, path)
     val schema = spark.read.parquet(path).schema
     val gated = Text.gopherMetrics(
       spark.readStream.schema(schema).parquet(streamDir.toString))
@@ -452,8 +448,7 @@ object StreamingQueries {
     import spark.implicits._
     val path = s"$dir/documents.parquet"
     val streamDir = TempArtifacts.scratchDir("graft_stream_hh")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("documents.parquet"), java.nio.file.Paths.get(path))
+    TempArtifacts.stageTable(streamDir, path)
     val schema = spark.read.parquet(path).schema
     val sketch = spark.readStream.schema(schema).parquet(streamDir.toString)
       .select(explode(Text.tokens(lower(col("text")))).as("w"))
@@ -652,8 +647,7 @@ object StreamingQueries {
     import spark.implicits._
     val path = s"$dir/events.parquet"
     val streamDir = TempArtifacts.scratchDir("graft_stream_f")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    TempArtifacts.stageTable(streamDir, path)
     val schema = spark.read.parquet(path).schema
     val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
     // same physical-encoding tolerance as Tables.events (nanos-as-long,

@@ -94,6 +94,33 @@ object TempArtifacts {
   def scratchDir(prefix: String): java.nio.file.Path =
     register(java.nio.file.Files.createTempDirectory(scratchRoot, prefix))
 
+  /** Stage a read-only parquet table into a file-stream staging dir
+    * WITHOUT copying bytes. A single-file table is symlinked under its
+    * own name; a multi-part DIRECTORY table (the layout every
+    * distributed writer produces at scale) has each part file
+    * symlinked FLAT into the dir — the file stream source lists plain
+    * files under its input path and does not recurse into a nested
+    * directory, so a directory symlink stages an EMPTY stream (gensf1
+    * incident: w05–w13 drained 0 rows while their batch twins read
+    * the same directory tables fine).
+    */
+  def stageTable(streamDir: java.nio.file.Path, tablePath: String): Unit = {
+    val src = java.nio.file.Paths.get(tablePath)
+    if (java.nio.file.Files.isDirectory(src)) {
+      val parts = java.nio.file.Files.list(src)
+      try parts
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .forEach { p =>
+          java.nio.file.Files.createSymbolicLink(
+            streamDir.resolve(p.getFileName.toString), p)
+        }
+      finally parts.close()
+    } else {
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve(src.getFileName.toString), src)
+    }
+  }
+
   /** Recursive delete now (symlinks are removed, never followed). */
   def deleteNow(p: java.nio.file.Path): Unit =
     try {

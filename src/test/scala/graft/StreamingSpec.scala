@@ -306,4 +306,34 @@ class StreamingSpec extends AnyFunSuite {
         .forEach(p => java.nio.file.Files.delete(p))
     }
   }
+
+  test("file-source staging drains multi-part DIRECTORY tables (gensf layout)") {
+    // The driver testdata tables are single parquet files; GenData
+    // ladder tables are multi-part directories — the at-scale layout.
+    // A directory symlink stages an EMPTY stream (the file stream
+    // source does not recurse), which is exactly how w05–w13 silently
+    // drained 0 rows at gensf1 while their batch twins passed. Pin
+    // the per-part staging end to end: stream-dedup a 4-part table
+    // and match the batch distinct count.
+    val s = spark
+    val root = TempArtifacts.scratchDir("graft_multipart_sf")
+    val table = root.resolve("documents.parquet").toString
+    Tables.documents(s, TestSpark.sfDir).repartition(4)
+      .write.parquet(table)
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(table)))
+    val batchDistinct = s.read.parquet(table)
+      .select(md5(col("text"))).distinct().count()
+    assert(batchDistinct > 0)
+    val streamed = StreamingQueries.streamingDedup(s, root.toString)
+    assert(streamed.count() === batchDistinct)
+  }
+
+  test("stageTable links a single-file table under its own name") {
+    val stage = TempArtifacts.scratchDir("graft_stage_file")
+    TempArtifacts.stageTable(stage, s"${TestSpark.sfDir}/documents.parquet")
+    val entries = java.nio.file.Files.list(stage).iterator()
+    val names = Iterator.continually(entries)
+      .takeWhile(_.hasNext).map(_.next().getFileName.toString).toSeq
+    assert(names === Seq("documents.parquet"))
+  }
 }
