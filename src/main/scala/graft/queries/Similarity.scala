@@ -45,8 +45,9 @@ object Similarity {
     * recall/cost knob: more planes = finer buckets = linear work at
     * constant occupancy. Below 64·2^8 vectors no extra plane is
     * added, so every driver-scale result (golden sf0.001, oracle
-    * sf0.01) is bit-identical to the fixed-8-plane spelling — where
-    * the fixed-plane oracle SQL remains valid.
+    * sf0.01) is bit-identical to the fixed-8-plane spelling. The
+    * oracle tracks the refinement at larger corpora via
+    * [[duckScaledBucketExpr]]'s count-gated planes.
     */
   val bucketTarget = 64L
 
@@ -108,6 +109,30 @@ object Similarity {
   private val duckBucketExpr: String = planes.zipWithIndex.map {
     case (h, p) => s"(CASE WHEN ${duckPlaneDot(h)} > 0 THEN ${1 << p} ELSE 0 END)"
   }.mkString(" + ")
+
+  /** Max refinement planes the scaled-bucket ORACLE unrolls: corpora
+    * up to bucketTarget·2^(nPlanes+16) ≈ 10⁹ vectors stay covered.
+    */
+  private val maxExtraPlanes = 16
+
+  /** DuckDB twin of [[sparkScaledBucketExpr]] with the plane count
+    * DATA-DRIVEN: refinement plane p contributes iff the corpus count
+    * exceeds bucketTarget·2^p — [[extraPlanes]]'s while-loop unrolled
+    * as count-gated CASEs, so ONE static SQL string tracks the
+    * engine's occupancy scaling at every scale factor (the w14
+    * oracle-k lesson: s03/s08 diverged at gensf1, where the engine
+    * added its 9th plane and a fixed-8-plane oracle could not).
+    * Below the first threshold every gate is false and this reduces
+    * to [[duckBucketExpr]] exactly, so driver-scale results are
+    * unchanged.
+    */
+  private[graft] val duckScaledBucketExpr: String = {
+    val extras = (nPlanes until nPlanes + maxExtraPlanes).map { p =>
+      s"""(CASE WHEN (SELECT COUNT(*) FROM embeddings) > ${bucketTarget << p}
+         |  AND ${duckPlaneDot(planeVec(p))} > 0 THEN ${1L << p} ELSE 0 END)""".stripMargin
+    }
+    (duckBucketExpr +: extras).mkString(" + ")
+  }
 
   /** Spark: dot of two embedding columns by name. */
   private[graft] def sparkDot(a: String, b: String): String =
@@ -301,8 +326,8 @@ object Similarity {
     */
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     // scaledBucket: the self-join is Σ bucket², so occupancy must not
-    // grow with the corpus — see [[bucketTarget]]; driver scales are
-    // bit-identical to the fixed-8-plane spelling the oracle uses
+    // grow with the corpus — see [[bucketTarget]]; the oracle's
+    // count-gated planes scale in lockstep (duckScaledBucketExpr)
     val emb = withNorm(spark, dir, bucket = true, scaledBucket = true)
       .select("vec_id", "embedding", "nrm", "bucket")
     val a = emb.select(col("bucket"), col("vec_id").as("id_a"),
@@ -325,7 +350,7 @@ object Similarity {
   val nearDupPairsSql: String =
     s"""WITH n AS (
        |  SELECT vec_id, embedding, $duckNorm AS nrm,
-       |    $duckBucketExpr AS bucket
+       |    $duckScaledBucketExpr AS bucket
        |  FROM embeddings)
        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket,
        |  ${Exact.round4Sql(duckDot("a.embedding", "b.embedding") + " / (a.nrm * b.nrm)")} AS cosine
@@ -561,7 +586,7 @@ object Similarity {
   val knnJoinSql: String =
     s"""WITH n AS (
        |  SELECT vec_id, embedding, $duckNorm AS nrm,
-       |    $duckBucketExpr AS bucket
+       |    $duckScaledBucketExpr AS bucket
        |  FROM embeddings
        |), s AS (
        |  SELECT a.vec_id, b.vec_id AS nn_id,

@@ -184,4 +184,22 @@ class SimilaritySpec extends AnyFunSuite {
       assert(n <= (bucketTarget << (nPlanes + x)))
     }
   }
+
+  test("scaled-bucket oracle gates mirror extraPlanes thresholds") {
+    import Similarity.{bucketTarget, nPlanes}
+    // the s03/s08 oracle unrolls extraPlanes' while-loop as count-
+    // gated CASEs: refinement plane p fires iff COUNT(*) exceeds
+    // bucketTarget·2^p — the exact condition under which extraPlanes
+    // admits it. Pin the first gates and that both consumers carry
+    // the scaled spelling (a fixed-plane oracle diverged at gensf1).
+    val sql = Similarity.duckScaledBucketExpr
+    for (p <- nPlanes until nPlanes + 4) {
+      assert(sql.contains(s"> ${bucketTarget << p}"),
+        s"missing count gate for plane $p")
+      assert(sql.contains(s"THEN ${1L << p} ELSE 0"),
+        s"missing weight for plane $p")
+    }
+    assert(Similarity.nearDupPairsSql.contains(sql))
+    assert(Similarity.knnJoinSql.contains(sql))
+  }
 }
