@@ -182,9 +182,15 @@ object Clustering {
 
   // ---------------------------------------------------------------
   // DuckDB oracle: the same 4 Lloyd rounds UNROLLED as generated CTEs
-  // over exploded (vec_id, i, q) element rows — an independent
-  // relational spelling (joins + window argmin) of the same exact
-  // integer algorithm.
+  // over (vec_id, qv) LIST rows — an independent spelling (cross join
+  // + list arithmetic + window argmin) of the same exact integer
+  // algorithm. The first spelling joined exploded (vec_id, i, q)
+  // ELEMENT rows per round — N·k·dim materialized rows per assignment
+  // CTE, which OOM'd DuckDB at gensf1 for the occupancy-scaled-k
+  // callers (d14: 50k vectors × k=50 × 64 dims × 5 assignments spilled
+  // >74 GB). The list form materializes N·k rows per assignment (the
+  // per-element work rides inside list_transform), identical integer
+  // results.
 
   /** `kSql` is spliced into the seed CTE's LIMIT — an int literal for
     * the fixed-k queries, or a parenthesized scalar subquery (DuckDB
@@ -201,51 +207,52 @@ object Clustering {
     val sb = new StringBuilder
     if (includeQe) sb.append(
       s"""qe AS (
-         |  SELECT vec_id, CAST(i AS INT) AS i,
-         |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $quantScale) AS BIGINT) AS q
-         |  FROM (
-         |    SELECT vec_id, embedding,
-         |      unnest(range(1, len(embedding) + 1)) AS i
-         |    FROM $src)
+         |  SELECT vec_id,
+         |    list_transform(range(1, len(embedding) + 1), i ->
+         |      CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $quantScale) AS BIGINT)) AS qv
+         |  FROM $src
          |), """.stripMargin)
     sb.append(
       s"""${p}c0 AS (
-         |  SELECT CAST(ROW_NUMBER() OVER (PARTITION BY i ORDER BY vec_id) - 1 AS INT) AS cid,
-         |    i, q
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         |    qv AS cv
          |  FROM qe
          |  WHERE vec_id IN (SELECT vec_id FROM $src ORDER BY vec_id LIMIT $kSql)
          |)""".stripMargin)
+    // one assignment CTE: N·k rows, the dim loop inside list_transform
+    def assign(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT e.vec_id, c.cid,
+         |    ${listDist2Sql("e.qv", "c.cv")} AS d
+         |  FROM qe e CROSS JOIN $cents c
+         |)""".stripMargin
     for (t <- 1 to lloydIters) {
       sb.append(s""",
-         |${p}a$t AS (
-         |  SELECT e.vec_id, c.cid,
-         |    SUM((e.q - c.q) * (e.q - c.q)) AS d
-         |  FROM qe e JOIN ${p}c${t - 1} c ON e.i = c.i
-         |  GROUP BY e.vec_id, c.cid
-         |), ${p}b$t AS (
+         |${assign(s"${p}a$t", s"${p}c${t - 1}")}, ${p}b$t AS (
          |  SELECT vec_id, cid, d FROM (
          |    SELECT vec_id, cid, d,
          |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
          |    FROM ${p}a$t)
          |  WHERE rn = 1
          |), ${p}u$t AS (
-         |  SELECT b.cid, e.i,
-         |    CAST(FLOOR(CAST(SUM(e.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS q
-         |  FROM qe e JOIN ${p}b$t b ON e.vec_id = b.vec_id
-         |  GROUP BY b.cid, e.i
+         |  SELECT cid, list(q ORDER BY i) AS cv FROM (
+         |    SELECT cid, i,
+         |      CAST(FLOOR(CAST(SUM(qel) AS DOUBLE) / COUNT(*)) AS BIGINT) AS q
+         |    FROM (
+         |      SELECT b.cid,
+         |        unnest(range(1, len(e.qv) + 1)) AS i,
+         |        unnest(e.qv) AS qel
+         |      FROM qe e JOIN ${p}b$t b USING (vec_id))
+         |    GROUP BY cid, i)
+         |  GROUP BY cid
          |), ${p}c$t AS (
-         |  SELECT p.cid, p.i, COALESCE(u.q, p.q) AS q
-         |  FROM ${p}c${t - 1} p LEFT JOIN ${p}u$t u ON u.cid = p.cid AND u.i = p.i
+         |  SELECT p.cid, COALESCE(u.cv, p.cv) AS cv
+         |  FROM ${p}c${t - 1} p LEFT JOIN ${p}u$t u USING (cid)
          |)""".stripMargin)
     }
     val T = lloydIters
     sb.append(s""",
-       |${p}afin AS (
-       |  SELECT e.vec_id, c.cid,
-       |    SUM((e.q - c.q) * (e.q - c.q)) AS d
-       |  FROM qe e JOIN ${p}c$T c ON e.i = c.i
-       |  GROUP BY e.vec_id, c.cid
-       | ), ${p}fin AS (
+       |${assign(s"${p}afin", s"${p}c$T")}, ${p}fin AS (
        |  SELECT vec_id, cid AS cluster, CAST(d AS BIGINT) AS dist2 FROM (
        |    SELECT vec_id, cid, d,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
@@ -254,6 +261,15 @@ object Clustering {
        |)""".stripMargin)
     sb.toString
   }
+
+  /** Exact integer squared distance between two BIGINT-list columns —
+    * the list-arithmetic twin of the a-CTE's old per-element SUM.
+    * Shared with w14's incoming-half assignment, which joins against
+    * the final `c<T>` centroid LISTS this generator now emits.
+    */
+  private[graft] def listDist2Sql(a: String, b: String): String =
+    s"""list_aggregate(list_transform(range(1, len($a) + 1), i ->
+       |      ($a[i] - $b[i]) * ($a[i] - $b[i])), 'sum')""".stripMargin
 
   val kmeansAssignSql: String =
     s"""WITH ${oracleCtes()}

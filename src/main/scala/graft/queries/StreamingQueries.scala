@@ -599,15 +599,14 @@ object StreamingQueries {
        |    END AS embedding
        |  FROM embeddings v JOIN embeddings t ON t.vec_id = v.vec_id % $half
        |  WHERE v.vec_id >= $half
-       |), sqe AS (
-       |  SELECT vec_id, CAST(i AS INT) AS i,
-       |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * ${Clustering.quantScale}) AS BIGINT) AS q
-       |  FROM (SELECT vec_id, embedding,
-       |          unnest(range(1, len(embedding) + 1)) AS i FROM s)
+       |), sqv AS (
+       |  SELECT vec_id,
+       |    list_transform(range(1, len(embedding) + 1), i ->
+       |      CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * ${Clustering.quantScale}) AS BIGINT)) AS qv
+       |  FROM s
        |), sa AS (
-       |  SELECT e.vec_id, c.cid, SUM((e.q - c.q) * (e.q - c.q)) AS d
-       |  FROM sqe e JOIN c$T c ON e.i = c.i
-       |  GROUP BY e.vec_id, c.cid
+       |  SELECT e.vec_id, c.cid, ${Clustering.listDist2Sql("e.qv", "c.cv")} AS d
+       |  FROM sqv e CROSS JOIN c$T c
        |), sfin AS (
        |  SELECT vec_id, cid AS cluster FROM (
        |    SELECT vec_id, cid,
