@@ -1311,7 +1311,154 @@ object Text {
     """SELECT TRUE AS band_k_returned, TRUE AS band_top1,
       |  TRUE AS band_recall, TRUE AS band_counts_within""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Merge rounds learned by t21 — fixed so the unrolled oracle and
+    * the engine agree on the training horizon.
+    */
+  val bpeRounds: Int = 8
+
+  /** t21's training table: the corpus word-frequency dictionary with
+    * each word pre-split into its character-symbol string ("table" →
+    * "t a b l e"). This is classic Sennrich BPE's input shape — and
+    * the whole reason the operator scales: the ONLY corpus-sized pass
+    * is this one explode → groupBy(word) count (partial aggregation
+    * makes the shuffle O(distinct words), not O(tokens)); every merge
+    * round afterwards runs on this dictionary, whose cardinality is
+    * the corpus VOCABULARY (~1e8 rows at 100 TB, not 1e12 tokens).
+    * Memoized eager: all `bpeRounds` pair-count jobs re-scan it.
+    * Words are restricted to ^[a-z]+$ so the char split is one byte =
+    * one symbol in both engines (a production tokenizer trains on
+    * bytes anyway); the filter drops nothing on the synthetic corpus.
+    */
+  private[graft] def bpeVocab(spark: SparkSession, dir: String): DataFrame =
+    PlanMemo.cachedEager(spark, s"text.bpeVocab:$dir")(
+      Tables.documents(spark, dir)
+        .select(explode(tokens(lower(col("text")))).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .withColumn("sym", expr(
+          "array_join(transform(sequence(1, length(word)), " +
+            "i -> substring(word, i, 1)), ' ')"))
+        .select("freq", "sym"))
+
+  /** The eager Lloyd-style training loop (see Clustering.centroidsOn
+    * for the pattern): each round is one pair-count aggregation over
+    * the dictionary — explode adjacent symbol pairs weighted by word
+    * freq, groupBy(pair) sum, TakeOrdered(1) by (cnt DESC, pair ASC)
+    * — followed by a driver-side record of the winning merge. The
+    * collect is ONE row per round (O(k) driver metadata, like the
+    * k-means centroids), and the merge is re-applied lazily as a
+    * growing `replace` chain over the memoized base dictionary, so
+    * no per-round re-materialization is needed (k×replace per row ≈
+    * trivial next to the pair explode).
+    *
+    * Merge application contract (pinned by TextBpeSpec and mirrored
+    * verbatim by the DuckDB oracle): a merge (l, r) rewrites the
+    * symbol string via `trim(replace(' '||sym||' ', ' l r ', ' lr '))`
+    * — leftmost-first, non-overlapping, separator-consuming. On a run
+    * like "a a a a" this merges ONE pair per round ("aa a a"), where
+    * canonical BPE would take two; both engines implement `replace`
+    * identically, so the gate is exact, and the deviation only
+    * matters for same-symbol runs (rare outside degenerate corpora).
+    *
+    * Invariant (TextBpeSpec): winning counts are non-increasing
+    * across rounds — any pair CREATED by a merge (x, lr) occurs only
+    * where (x, l) occurred, so its count is bounded by a candidate
+    * the previous round already considered.
+    */
+  private[graft] def bpeMergesOn(
+      spark: SparkSession, key: String, vocab: DataFrame,
+      rounds: Int = bpeRounds)
+      : Seq[(Int, String, String, Long)] =
+    PlanMemo.cachedValue(spark, s"text.bpeMerges:$key:$rounds") {
+      val merges = scala.collection.mutable.ListBuffer
+        .empty[(Int, String, String, Long)]
+      var symExpr = "sym"
+      for (round <- 1 to rounds) {
+        val best = vocab
+          .select(col("freq"), split(expr(symExpr), " ").as("ss"))
+          .filter(size(col("ss")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, size(ss) - 1), " +
+              "i -> concat(element_at(ss, i), ' ', element_at(ss, i + 1)))"))
+            .as("pair"))
+          .groupBy("pair").agg(sum("freq").as("cnt"))
+          .orderBy(desc("cnt"), col("pair"))
+          .limit(1).collect()
+        require(best.nonEmpty,
+          s"bpe training ran out of mergeable pairs at round $round")
+        val pair = best(0).getString(0)
+        val cnt = best(0).getLong(1)
+        val Array(l, r) = pair.split(" ", 2)
+        merges += ((round, l, r, cnt))
+        symExpr = s"trim(replace(concat(' ', $symExpr, ' '), " +
+          s"' $l $r ', ' $l$r '))"
+      }
+      merges.toList
+    }
+
+  /** t21 — BPE tokenizer training: learn the top [[bpeRounds]] merge
+    * rules from the corpus (the operation behind every real tokenizer
+    * shipped with a trained model). Output is the learned merge table
+    * (round, lhs, rhs, merged, cnt) — small, deterministic, and
+    * hash-gated against a fully unrolled DuckDB twin.
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val m = bpeMergesOn(spark, s"text:$dir", bpeVocab(spark, dir))
+    import spark.implicits._
+    m.map { case (round, l, r, cnt) => (round, l, r, l + r, cnt) }
+      .toDF("round", "lhs", "rhs", "merged", "cnt")
+      .orderBy("round")
+  }
+
+  /** Unrolled DuckDB twin of the training loop. Every CTE is
+    * `AS MATERIALIZED`: each `w{r-1}` is referenced twice (by `p_r`
+    * and `w_r`), so default CTE inlining re-executes the whole
+    * prefix chain per reference — 2^rounds base scans (minutes at
+    * sf0.01, unbounded above). Materialization restores the linear
+    * one-pass-per-round shape the engine executes.
+    */
+  val bpeTrainSql: String = {
+    def pairCte(r: Int): String =
+      s"""p$r AS MATERIALIZED (
+         |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(list_transform(range(1, len(ss)),
+         |             i -> ss[i] || ' ' || ss[i+1])) AS pair, freq
+         |    FROM (SELECT string_split(sym, ' ') AS ss, freq FROM w${r - 1}) s) p
+         |  GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1
+         |)""".stripMargin
+    def wordCte(r: Int): String =
+      s"""w$r AS MATERIALIZED (
+         |  SELECT freq, trim(replace(' ' || sym || ' ',
+         |    (SELECT ' ' || pair || ' ' FROM p$r),
+         |    (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM p$r))) AS sym
+         |  FROM w${r - 1}
+         |)""".stripMargin
+    val ctes = (1 to bpeRounds).map { r =>
+      if (r == bpeRounds) pairCte(r) else pairCte(r) + ", " + wordCte(r)
+    }.mkString(", ")
+    val selects = (1 to bpeRounds).map { r =>
+      s"""SELECT CAST($r AS INT) AS round, split_part(pair, ' ', 1) AS lhs,
+         |  split_part(pair, ' ', 2) AS rhs, replace(pair, ' ', '') AS merged,
+         |  cnt FROM p$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT word, COUNT(*) AS freq FROM (
+       |    SELECT unnest(${tokensSql("lower(text)")}) AS word FROM documents) t
+       |  WHERE regexp_matches(word, '^[a-z]+${"$"}')
+       |  GROUP BY word
+       |), w0 AS MATERIALIZED (
+       |  SELECT freq,
+       |    array_to_string(list_transform(range(1, length(word) + 1),
+       |      i -> substring(word, i, 1)), ' ') AS sym
+       |  FROM words
+       |), $ctes
+       |$selects
+       |ORDER BY round""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t21_bpe_train" -> bpeTrain _,
     "t20_heavy_hitters" -> heavyHitters _,
     "t19_cdc_chunks" -> cdcChunks _,
     "t18_dsir_weights" -> dsirWeights _,
@@ -1335,6 +1482,7 @@ object Text {
   )
 
   def oracles: Map[String, String] = Map(
+    "t21_bpe_train" -> bpeTrainSql,
     "t20_heavy_hitters" -> heavyHittersSql,
     "t19_cdc_chunks" -> cdcChunksSql,
     "t18_dsir_weights" -> dsirWeightsSql,

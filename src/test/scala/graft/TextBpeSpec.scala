@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins t21's BPE-training contract: the merge-learning loop on
+  * hand-built dictionaries with hand-derived expected merges, the
+  * separator-consuming `replace` semantics on same-symbol runs, and
+  * the non-increasing-counts invariant that justifies gating the
+  * learned table against the unrolled DuckDB oracle.
+  */
+class TextBpeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def vocab(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("freq", "sym")
+  }
+
+  test("learns the hand-derived merge sequence on the classic corpus") {
+    // Sennrich-style toy dictionary (no end-of-word marker in our
+    // variant): low×5, lower×2, newest×6, widest×3. Worked by hand:
+    // pair counts round 1 peak at 9 for {e s, s t}; ties break by
+    // pair string ascending.
+    val v = vocab(
+      (5L, "l o w"), (2L, "l o w e r"),
+      (6L, "n e w e s t"), (3L, "w i d e s t"))
+    val m = Text.bpeMergesOn(spark, "spec:classic", v)
+    assert(m === Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L),
+      (3, "l", "o", 7L), (4, "lo", "w", 7L),
+      (5, "e", "w", 6L), (6, "ew", "est", 6L),
+      (7, "n", "ewest", 6L), (8, "d", "est", 3L)))
+  }
+
+  test("same-symbol runs merge leftmost-first, non-overlapping") {
+    // "a a a a": round 1 counts 3 occurrences of (a, a) but the
+    // separator-consuming replace applies only ONE merge → "aa a a",
+    // so round 2 still finds (a, a) once (tie vs (aa, a) broken by
+    // pair ascending). A two-merge application ("aa aa") would leave
+    // no (a, a) for round 2 — this pins the documented deviation
+    // from canonical BPE, mirrored exactly by the DuckDB oracle.
+    val m = Text.bpeMergesOn(spark, "spec:run", vocab((1L, "a a a a")),
+      rounds = 2)
+    assert(m === Seq((1, "a", "a", 3L), (2, "a", "a", 1L)))
+  }
+
+  test("winning counts are non-increasing and merges well-formed on sf0.001") {
+    val rows = Text.bpeTrain(spark, sfDir).collect()
+    assert(rows.length === Text.bpeRounds)
+    val counts = rows.map(_.getLong(4))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"counts not non-increasing: ${counts.mkString(",")}")
+    rows.foreach { r =>
+      assert(r.getString(3) === r.getString(1) + r.getString(2))
+      assert(r.getLong(4) > 0L)
+    }
+    // rounds are 1..k in order
+    assert(rows.map(_.getInt(0)).toSeq === (1 to Text.bpeRounds))
+  }
+
+  test("vocabulary pass aggregates to distinct lowercase words") {
+    val v = Text.bpeVocab(spark, sfDir)
+    assert(v.columns.toSeq === Seq("freq", "sym"))
+    val dup = v.groupBy("sym").count().filter("count > 1").count()
+    assert(dup === 0L)
+    // symbol strings are single-char symbols joined by single spaces
+    val bad = v.filter(
+      "sym rlike ' {2,}' or sym rlike '^ ' or sym rlike ' $' " +
+        "or replace(sym, ' ', '') not rlike '^[a-z]+$'").count()
+    assert(bad === 0L)
+  }
+}
