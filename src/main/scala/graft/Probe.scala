@@ -198,6 +198,24 @@ object Probe {
         println("PROBE distinct_rows " + ordHist.count())
         spark.catalog.clearCache()
         time("q14_full_cold") { run(Kpis.quantiles(spark, dir)) }
+      case "shingle" =>
+        import org.apache.spark.sql.functions._
+        // isolate the shingle kernel from scan / sort / persist cost
+        ShingleFps.register(spark)
+        val docs = Tables.documents(spark, dir)
+        time("scan_only") { run(docs.select(col("doc_id"),
+          length(col("text")).as("n"))) }
+        time("kernel") { run(docs.select(col("doc_id"),
+          expr("shingle_fps(text)").as("fps"))) }
+        time("kernel_sorted") { run(docs.select(col("doc_id"),
+          array_sort(expr("shingle_fps(text)")).as("fps"))) }
+        time("kernel_again") { run(docs.select(col("doc_id"),
+          expr("shingle_fps(text)").as("fps"))) }
+        println("PROBE total_shingles " + docs
+          .select(expr("shingle_fps(text)").as("fps"))
+          .selectExpr("sum(size(fps))").first().getLong(0))
+        println("PROBE total_chars " + docs
+          .selectExpr("sum(length(text))").first().getLong(0))
       case "cand" =>
         // candidates-per-doc growth: the d11 scale invariant's raw data
         val n = Tables.documents(spark, dir).count()
