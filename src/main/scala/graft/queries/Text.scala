@@ -1339,7 +1339,9 @@ object Text {
         .withColumn("sym", expr(
           "array_join(transform(sequence(1, length(word)), " +
             "i -> substring(word, i, 1)), ' ')"))
-        .select("freq", "sym"))
+        // `word` rides along for t22's encode join; t21's pair
+        // counting reads only (freq, sym)
+        .select("word", "freq", "sym"))
 
   /** The eager Lloyd-style training loop (see Clustering.centroidsOn
     * for the pattern): each round is one pair-count aggregation over
@@ -1411,14 +1413,17 @@ object Text {
       .orderBy("round")
   }
 
-  /** Unrolled DuckDB twin of the training loop. Every CTE is
-    * `AS MATERIALIZED`: each `w{r-1}` is referenced twice (by `p_r`
-    * and `w_r`), so default CTE inlining re-executes the whole
+  /** Shared DuckDB spelling of the unrolled training chain. Every CTE
+    * is `AS MATERIALIZED`: each `w{r-1}` is referenced twice (by
+    * `p_r` and `w_r`), so default CTE inlining re-executes the whole
     * prefix chain per reference — 2^rounds base scans (minutes at
     * sf0.01, unbounded above). Materialization restores the linear
-    * one-pass-per-round shape the engine executes.
+    * one-pass-per-round shape the engine executes. `word` rides the
+    * w-chain untouched so t22 can join the fully-merged dictionary
+    * back to documents; `lastWord` controls whether the final round
+    * also rewrites the dictionary (t22) or only elects a pair (t21).
     */
-  val bpeTrainSql: String = {
+  private def bpeChainCtes(lastWord: Boolean): String = {
     def pairCte(r: Int): String =
       s"""p$r AS MATERIALIZED (
          |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
@@ -1429,35 +1434,113 @@ object Text {
          |)""".stripMargin
     def wordCte(r: Int): String =
       s"""w$r AS MATERIALIZED (
-         |  SELECT freq, trim(replace(' ' || sym || ' ',
+         |  SELECT word, freq, trim(replace(' ' || sym || ' ',
          |    (SELECT ' ' || pair || ' ' FROM p$r),
          |    (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM p$r))) AS sym
          |  FROM w${r - 1}
          |)""".stripMargin
     val ctes = (1 to bpeRounds).map { r =>
-      if (r == bpeRounds) pairCte(r) else pairCte(r) + ", " + wordCte(r)
+      if (r == bpeRounds && !lastWord) pairCte(r)
+      else pairCte(r) + ", " + wordCte(r)
     }.mkString(", ")
-    val selects = (1 to bpeRounds).map { r =>
-      s"""SELECT CAST($r AS INT) AS round, split_part(pair, ' ', 1) AS lhs,
-         |  split_part(pair, ' ', 2) AS rhs, replace(pair, ' ', '') AS merged,
-         |  cnt FROM p$r""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH words AS MATERIALIZED (
+    s"""words AS MATERIALIZED (
        |  SELECT word, COUNT(*) AS freq FROM (
        |    SELECT unnest(${tokensSql("lower(text)")}) AS word FROM documents) t
        |  WHERE regexp_matches(word, '^[a-z]+${"$"}')
        |  GROUP BY word
        |), w0 AS MATERIALIZED (
-       |  SELECT freq,
+       |  SELECT word, freq,
        |    array_to_string(list_transform(range(1, length(word) + 1),
        |      i -> substring(word, i, 1)), ' ') AS sym
        |  FROM words
-       |), $ctes
+       |), $ctes""".stripMargin
+  }
+
+  val bpeTrainSql: String = {
+    val selects = (1 to bpeRounds).map { r =>
+      s"""SELECT CAST($r AS INT) AS round, split_part(pair, ' ', 1) AS lhs,
+         |  split_part(pair, ' ', 2) AS rhs, replace(pair, ' ', '') AS merged,
+         |  cnt FROM p$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${bpeChainCtes(lastWord = false)}
        |$selects
        |ORDER BY round""".stripMargin
   }
 
+  /** The encode dictionary (word → token count under the learned
+    * merges): the full merge chain re-spelled as one nested-replace
+    * expression over the memoized vocabulary — vocabulary-sized work,
+    * never a corpus pass. Factored on (key, vocab, rounds) so
+    * TextBpeSpec can encode fixture dictionaries.
+    */
+  private[graft] def bpeEncodeDict(
+      spark: SparkSession, key: String, vocab: DataFrame,
+      rounds: Int = bpeRounds): DataFrame = {
+    val symFinal = bpeMergesOn(spark, key, vocab, rounds)
+      .foldLeft("sym") { case (e, (_, l, r, _)) =>
+        s"trim(replace(concat(' ', $e, ' '), ' $l $r ', ' $l$r '))"
+      }
+    vocab.select(col("word"),
+      expr(s"size(split($symFinal, ' '))").as("ntok"))
+  }
+
+  /** t22 — BPE ENCODE / token accounting: apply t21's learned merge
+    * table to the corpus and report each document's word and token
+    * counts under the trained tokenizer — the token-budget accounting
+    * pass every training pipeline runs before mixing data. Reuses
+    * t21's memoized vocabulary AND merge list (training happens once
+    * per session/dir across both queries); the encode itself touches
+    * the corpus exactly once, as a (doc_id, word)-distinct count
+    * stream joined to the vocabulary-sized dictionary.
+    *
+    * Scale shape: per-doc word counts partial-aggregate before the
+    * join (bounded by distinct words per doc, not tokens); the
+    * dictionary is corpus-vocabulary-sized and unbounded at 100 TB,
+    * so both joins are shuffle_hash, never broadcast. All-integer
+    * output — no rounding discipline needed.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val dict = bpeEncodeDict(spark, s"text:$dir", bpeVocab(spark, dir))
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode_outer(tokens(lower(col("text")))).as("word"))
+      .filter(col("word").isNotNull && col("word").rlike("^[a-z]+$"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      .join(dict.hint("shuffle_hash"), "word")
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_words"),
+        sum(col("cnt") * col("ntok")).as("n_tokens"))
+    Tables.documents(spark, dir).select("doc_id")
+      .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val bpeEncodeSql: String =
+    s"""WITH ${bpeChainCtes(lastWord = true)},
+       |dict AS (
+       |  SELECT word, len(string_split(sym, ' ')) AS ntok FROM w$bpeRounds
+       |), docw AS (
+       |  SELECT doc_id, word, COUNT(*) AS cnt FROM (
+       |    SELECT doc_id, unnest(${tokensSql("lower(text)")}) AS word
+       |    FROM documents) t
+       |  WHERE regexp_matches(word, '^[a-z]+${"$"}')
+       |  GROUP BY doc_id, word
+       |), enc AS (
+       |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+       |    CAST(SUM(cnt * ntok) AS BIGINT) AS n_tokens
+       |  FROM docw JOIN dict USING (word) GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |  COALESCE(n_words, 0) AS n_words,
+       |  COALESCE(n_tokens, 0) AS n_tokens
+       |FROM documents d LEFT JOIN enc USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t22_bpe_encode" -> bpeEncode _,
     "t21_bpe_train" -> bpeTrain _,
     "t20_heavy_hitters" -> heavyHitters _,
     "t19_cdc_chunks" -> cdcChunks _,
@@ -1482,6 +1565,7 @@ object Text {
   )
 
   def oracles: Map[String, String] = Map(
+    "t22_bpe_encode" -> bpeEncodeSql,
     "t21_bpe_train" -> bpeTrainSql,
     "t20_heavy_hitters" -> heavyHittersSql,
     "t19_cdc_chunks" -> cdcChunksSql,

@@ -107,7 +107,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // regression that re-runs the build inline shows up as hash
     // exchanges appearing from nowhere
     "s09_pq_codes" -> ((0, 2, 1, 0)),
-    "d18_source_rank" -> ((0, 0, 1, 0)))
+    "d18_source_rank" -> ((0, 0, 1, 0)),
+    // round-13: t22's encode — both the dictionary join and the
+    // doc-coverage left join must stay shuffle_hash (dict and perDoc
+    // are corpus-vocabulary / docs-sized; broadcast appearing here
+    // means an unbounded side got a driver hash relation)
+    "t22_bpe_encode" -> ((6, 4, 1, 0)))
 
   exchangePins.foreach { case (name, (hash, rr, range, bcast)) =>
     test(s"$name: exchange counts stay pinned") {

@@ -14,7 +14,8 @@ class TextBpeSpec extends AnyFunSuite {
   private def vocab(rows: (Long, String)*) = {
     val s = spark
     import s.implicits._
-    rows.toDF("freq", "sym")
+    rows.map { case (f, sym) => (sym.replace(" ", ""), f, sym) }
+      .toDF("word", "freq", "sym")
   }
 
   test("learns the hand-derived merge sequence on the classic corpus") {
@@ -59,9 +60,41 @@ class TextBpeSpec extends AnyFunSuite {
     assert(rows.map(_.getInt(0)).toSeq === (1 to Text.bpeRounds))
   }
 
+  test("encode dictionary tokenizes the classic corpus as hand-derived") {
+    // after the 8 learned merges: low→[low], lower→[low,e,r],
+    // newest→[newest], widest→[w,i,dest] (chain applied in round
+    // order, separator-consuming replace — worked by hand)
+    val v = vocab(
+      (5L, "l o w"), (2L, "l o w e r"),
+      (6L, "n e w e s t"), (3L, "w i d e s t"))
+    val d = Text.bpeEncodeDict(spark, "spec:classic", v)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(d === Map("low" -> 1, "lower" -> 3, "newest" -> 1,
+      "widest" -> 3))
+  }
+
+  test("t22 encode: token counts bounded by chars and words on sf0.001") {
+    val out = Text.bpeEncode(spark, sfDir)
+    assert(out.columns.toSeq === Seq("doc_id", "n_words", "n_tokens"))
+    // every qualifying word is >=1 token and merges only shrink the
+    // symbol count, so n_words <= n_tokens <= total word chars
+    val chars = Text.bpeVocab(spark, sfDir)
+      .selectExpr("sum(freq * length(word))").first().getLong(0)
+    val agg = out.selectExpr(
+      "sum(n_words)", "sum(n_tokens)",
+      "sum(case when n_tokens < n_words then 1 else 0 end)").first()
+    assert(agg.getLong(2) === 0L)
+    assert(agg.getLong(1) >= agg.getLong(0))
+    assert(agg.getLong(1) <= chars)
+    // the 8 merges actually fired: strictly fewer tokens than chars
+    assert(agg.getLong(1) < chars)
+    // doc coverage: one row per document, including wordless ones
+    assert(out.count() === Tables.documents(spark, sfDir).count())
+  }
+
   test("vocabulary pass aggregates to distinct lowercase words") {
     val v = Text.bpeVocab(spark, sfDir)
-    assert(v.columns.toSeq === Seq("freq", "sym"))
+    assert(v.columns.toSeq === Seq("word", "freq", "sym"))
     val dup = v.groupBy("sym").count().filter("count > 1").count()
     assert(dup === 0L)
     // symbol strings are single-char symbols joined by single spaces
