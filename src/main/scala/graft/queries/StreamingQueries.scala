@@ -676,7 +676,65 @@ object StreamingQueries {
       .orderBy("step")
   }
 
+  // ---------------------------------------------------------------
+  /** w15 — STREAMING TOKEN ACCOUNTING: per-source word/token
+    * throughput at ingest under the FROZEN batch-trained tokenizer
+    * (t21's merge table) — the token-budget monitor every pipeline
+    * runs while crawl batches arrive. The frozen model is applied
+    * exactly as production does it: as a FUNCTION, map-side —
+    * [[Text.bpeNtokExpr]] spells the whole merge chain as one codegen
+    * string expression per word occurrence (char-split via
+    * regexp_replace + 8 replaces; no dictionary join, no interpreted
+    * HOF), so the only stateful op is the `groupBy(source)` whose
+    * state is O(sources) — bounded regardless of corpus size, unlike
+    * a per-doc aggregation. Contrast with batch t22, where joining
+    * the vocabulary-sized dictionary beats re-deriving per
+    * occurrence; at ingest there is no "distinct words of the batch"
+    * worth indexing, and stateless-map + tiny-state-agg is the
+    * posture that survives an unbounded stream.
+    *
+    * Every streamed word was seen in training (same corpus), so the
+    * oracle's dictionary join drops nothing and the map-side chain
+    * equals the dictionary's ntok (TextBpeSpec pins the equality over
+    * the whole vocabulary).
+    */
+  def streamingTokenAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val merges = Text.bpeMergesOn(
+      spark, s"text:$dir", Text.bpeVocab(spark, dir))
+    val path = s"$dir/documents.parquet"
+    val streamDir = TempArtifacts.scratchDir("graft_stream_tok")
+    TempArtifacts.stageTable(streamDir, path)
+    val schema = spark.read.parquet(path).schema
+    // balancedStream: the per-occurrence regexp + replace chain is
+    // the CPU stage
+    val occ = balancedStream(
+        spark.readStream.schema(schema).parquet(streamDir.toString))
+      .select(col("source"),
+        explode_outer(Text.tokens(lower(col("text")))).as("w"))
+      .filter(col("w").isNotNull && col("w").rlike("^[a-z]+$"))
+      .select(col("source"), expr(Text.bpeNtokExpr(merges, "w")).as("ntok"))
+    val agg = occ.groupBy("source")
+      .agg(count(lit(1)).as("n_words"), sum("ntok").as("n_tokens"))
+    drainToMemory(spark, agg, "complete", "w15", streamDir)
+      .orderBy("source")
+  }
+
+  /** Oracle: the t22 dictionary chain aggregated per source. */
+  val streamingTokenAccountingSql: String =
+    s"""WITH ${Text.bpeDictCteSql}, occ AS (
+       |  SELECT source, word FROM (
+       |    SELECT source, unnest(${Text.tokensSql("lower(text)")}) AS word
+       |    FROM documents) t
+       |  WHERE regexp_matches(word, '^[a-z]+${"$"}')
+       |)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(ntok) AS BIGINT) AS n_tokens
+       |FROM occ JOIN dict USING (word)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w15_streaming_tokens" -> streamingTokenAccounting _,
     "w12_streaming_funnel" -> streamingFunnel _,
     "w13_streaming_heavy_hitters" -> streamingHeavyHitters _,
     "w14_streaming_semantic_gate" -> streamingSemanticGate _,
@@ -692,6 +750,7 @@ object StreamingQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "w15_streaming_tokens" -> streamingTokenAccountingSql,
     // the ingest-time state machine computes exactly r08's semantics
     "w12_streaming_funnel" -> Temporal.funnelSql,
     "w13_streaming_heavy_hitters" -> streamingHeavyHittersSql,

@@ -1484,6 +1484,32 @@ object Text {
       expr(s"size(split($symFinal, ' '))").as("ntok"))
   }
 
+  /** The frozen tokenizer as ONE map-side expression over a word
+    * column: char-split via regexp_replace (codegen string ops — no
+    * interpreted array HOF in the per-occurrence path) then the merge
+    * chain, returning the word's token count. The per-OCCURRENCE
+    * spelling w15 needs at ingest, where t22's per-DISTINCT-WORD
+    * dictionary join is the batch-side optimum; TextBpeSpec pins the
+    * two spellings equal over the whole corpus vocabulary.
+    */
+  private[graft] def bpeNtokExpr(
+      merges: Seq[(Int, String, String, Long)], wordCol: String): String = {
+    val base = s"trim(regexp_replace($wordCol, '(.)', '$$1 '))"
+    val chain = merges.foldLeft(base) { case (e, (_, l, r, _)) =>
+      s"trim(replace(concat(' ', $e, ' '), ' $l $r ', ' $l$r '))"
+    }
+    s"size(split($chain, ' '))"
+  }
+
+  /** The chain plus the final encode dictionary (word → ntok), shared
+    * by the t22 and w15 oracles.
+    */
+  private[graft] def bpeDictCteSql: String =
+    s"""${bpeChainCtes(lastWord = true)},
+       |dict AS (
+       |  SELECT word, len(string_split(sym, ' ')) AS ntok FROM w$bpeRounds
+       |)""".stripMargin
+
   /** t22 — BPE ENCODE / token accounting: apply t21's learned merge
     * table to the corpus and report each document's word and token
     * counts under the trained tokenizer — the token-budget accounting
@@ -1519,10 +1545,7 @@ object Text {
   }
 
   val bpeEncodeSql: String =
-    s"""WITH ${bpeChainCtes(lastWord = true)},
-       |dict AS (
-       |  SELECT word, len(string_split(sym, ' ')) AS ntok FROM w$bpeRounds
-       |), docw AS (
+    s"""WITH $bpeDictCteSql, docw AS (
        |  SELECT doc_id, word, COUNT(*) AS cnt FROM (
        |    SELECT doc_id, unnest(${tokensSql("lower(text)")}) AS word
        |    FROM documents) t

@@ -213,6 +213,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(b.exceptAll(s).count() === 0)
   }
 
+  test("w15 streaming token accounting equals the batch t22 totals per source") {
+    val s = StreamingQueries.streamingTokenAccounting(spark, sfDir)
+    // batch twin: t22's per-doc counts rolled up by source
+    val b = Tables.documents(spark, sfDir).select("doc_id", "source")
+      .join(Text.bpeEncode(spark, sfDir), "doc_id")
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.sum("n_words").as("n_words"),
+        org.apache.spark.sql.functions.sum("n_tokens").as("n_tokens"))
+    assert(s.exceptAll(b).count() === 0)
+    assert(b.exceptAll(s).count() === 0)
+    assert(s.count() > 0)
+  }
+
   test("checkpointed windowed agg: kill/restart emits finalized windows once, equal to batch") {
     val root = java.nio.file.Files.createTempDirectory("graft_ckpt_w").toString
     try {

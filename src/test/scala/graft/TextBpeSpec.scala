@@ -92,6 +92,21 @@ class TextBpeSpec extends AnyFunSuite {
     assert(out.count() === Tables.documents(spark, sfDir).count())
   }
 
+  test("map-side ntok expression equals the dictionary over the full vocabulary") {
+    // w15 applies the frozen tokenizer per occurrence via
+    // bpeNtokExpr; t22 joins the dictionary built by bpeEncodeDict.
+    // The two spellings must agree on EVERY trained word or the
+    // stream and batch accountings drift.
+    import org.apache.spark.sql.functions.{col, expr}
+    val v = Text.bpeVocab(spark, sfDir)
+    val merges = Text.bpeMergesOn(spark, s"text:$sfDir", v)
+    val dict = Text.bpeEncodeDict(spark, s"text:$sfDir", v)
+    val diff = dict
+      .withColumn("m", expr(Text.bpeNtokExpr(merges, "word")))
+      .filter(col("m") =!= col("ntok")).count()
+    assert(diff === 0L)
+  }
+
   test("vocabulary pass aggregates to distinct lowercase words") {
     val v = Text.bpeVocab(spark, sfDir)
     assert(v.columns.toSeq === Seq("word", "freq", "sym"))
