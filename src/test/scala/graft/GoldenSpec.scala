@@ -62,7 +62,10 @@ class GoldenSpec extends AnyFunSuite {
     // a golden (round-12 verdict "next" 4). Both reduce to exact
     // boolean bands below maxTracked, so they are deterministic at
     // sf0.001 like any batch query.
-    "t20_heavy_hitters", "w13_streaming_heavy_hitters")
+    "t20_heavy_hitters", "w13_streaming_heavy_hitters",
+    // round-13: the BPE family — the merge table IS the trained
+    // tokenizer, so pin it (and its application) at the golden level
+    "t21_bpe_train", "t22_bpe_encode", "w15_streaming_tokens")
 
   private def render(df: DataFrame): Seq[String] = {
     val header = df.columns.mkString("\t")
