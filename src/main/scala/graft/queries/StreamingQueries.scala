@@ -696,7 +696,12 @@ object StreamingQueries {
     * Every streamed word was seen in training (same corpus), so the
     * oracle's dictionary join drops nothing and the map-side chain
     * equals the dictionary's ntok (TextBpeSpec pins the equality over
-    * the whole vocabulary).
+    * the whole vocabulary). Arrival semantics: a source whose
+    * documents carry zero qualifying words emits NO row (nothing
+    * arrived to account), and the oracle's filtered join drops it
+    * identically — unlike t22's per-doc coverage left-join, which
+    * reports (0, 0) for wordless documents; StreamingSpec's batch
+    * twin applies the same drop.
     */
   def streamingTokenAccounting(spark: SparkSession, dir: String): DataFrame = {
     val merges = Text.bpeMergesOn(

@@ -1369,15 +1369,19 @@ object Text {
     * the previous round already considered.
     */
   private[graft] def bpeMergesOn(
-      spark: SparkSession, key: String, vocab: DataFrame,
+      spark: SparkSession, key: String, vocab: => DataFrame,
       rounds: Int = bpeRounds)
       : Seq[(Int, String, String, Long)] =
     PlanMemo.cachedValue(spark, s"text.bpeMerges:$key:$rounds") {
+      // vocab is by-name: a memo HIT never touches the dictionary, so
+      // w15 (which only needs the merge list) doesn't rebuild the
+      // eager vocab frame after a cache eviction
+      val dict = vocab
       val merges = scala.collection.mutable.ListBuffer
         .empty[(Int, String, String, Long)]
       var symExpr = "sym"
       for (round <- 1 to rounds) {
-        val best = vocab
+        val best = dict
           .select(col("freq"), split(expr(symExpr), " ").as("ss"))
           .filter(size(col("ss")) >= 2)
           .select(col("freq"), explode(expr(

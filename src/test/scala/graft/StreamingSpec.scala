@@ -215,12 +215,17 @@ class StreamingSpec extends AnyFunSuite {
 
   test("w15 streaming token accounting equals the batch t22 totals per source") {
     val s = StreamingQueries.streamingTokenAccounting(spark, sfDir)
-    // batch twin: t22's per-doc counts rolled up by source
+    // batch twin: t22's per-doc counts rolled up by source. w15 (and
+    // its oracle) count what ARRIVES: a source whose docs have zero
+    // qualifying words emits no row, while t22's coverage left-join
+    // gives such docs (0, 0) rows — drop the all-zero groups so the
+    // twins share the arrival semantics on sparse corpora too
     val b = Tables.documents(spark, sfDir).select("doc_id", "source")
       .join(Text.bpeEncode(spark, sfDir), "doc_id")
       .groupBy("source")
       .agg(org.apache.spark.sql.functions.sum("n_words").as("n_words"),
         org.apache.spark.sql.functions.sum("n_tokens").as("n_tokens"))
+      .filter(org.apache.spark.sql.functions.col("n_words") > 0)
     assert(s.exceptAll(b).count() === 0)
     assert(b.exceptAll(s).count() === 0)
     assert(s.count() > 0)
