@@ -336,19 +336,28 @@ object Kpis {
   // (l_orderkey, l_partkey, l_suppkey) is NEAR-UNIQUE, so map-side
   // partial aggregation reduces almost nothing and the shuffle
   // carries ~N rows no matter what — the one thing that CAN shrink
-  // is bytes-per-row. Group by a single xxhash64 of the composite
-  // key instead of the three bigint columns: the exchange carries
-  // one long (+ partial count) instead of three, ~1/3 the shuffle
-  // bytes, and the dup-group count is unchanged modulo a 2^-64
-  // birthday collision (≈1e-7 even at 10^13 rows — below any real
-  // pipeline's error floor; the exact-key q-family twins q01–q15
-  // keep full-key semantics where the key itself is the output).
+  // is bytes-per-row. Group by a 96-bit hashed key — xxhash64 plus
+  // an independent 32-bit murmur3 — instead of the three bigint
+  // columns: the exchange carries a long + int (+ partial count)
+  // instead of three longs, ~half the key bytes, and a fabricated
+  // dup group now needs the same pair of distinct keys to collide
+  // under BOTH hash families (~N²/2⁹⁶: ≈4e-11 even at 10^13 rows).
+  // This widens the round-12 single-hash spelling, whose ~N²/2⁶⁵
+  // birthday term the round-12 advice flagged as quadratic-growing
+  // (≈1e-4 at sf10 lineitem — a real gate-flake class at SFs the
+  // ladder visits; a two-xxhash64 spelling also works but re-hashes
+  // the full key through the slower function, measured +23% solo at
+  // gensf10 vs murmur3's +8%). The exact-key q-family twins q01–q15
+  // keep full-key semantics where the key itself is the output.
   // The ladder measured 14.5× time for 10× data on the 3-col
-  // spelling; the hashed key restores ~linear growth.
+  // spelling; hashed keys restore ~linear growth.
   def dupCheck(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .groupBy(xxhash64(col("l_orderkey"), col("l_partkey"),
-        col("l_suppkey")).as("k"))
+      .groupBy(
+        xxhash64(col("l_orderkey"), col("l_partkey"),
+          col("l_suppkey")).as("k"),
+        hash(col("l_orderkey"), col("l_partkey"),
+          col("l_suppkey")).as("k2"))
       .count()
       .filter(col("count") > 1)
       .agg(count(lit(1)).as("dup_groups"))
