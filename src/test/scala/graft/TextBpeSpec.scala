@@ -92,6 +92,64 @@ class TextBpeSpec extends AnyFunSuite {
     assert(out.count() === Tables.documents(spark, sfDir).count())
   }
 
+  /** Independent pure-Scala trainer implementing the documented
+    * contract (pair counts weighted by freq over adjacent symbols,
+    * winner by (cnt DESC, pair ASC), merge applied as one
+    * leftmost-first non-overlapping separator-consuming replace per
+    * word) — no Spark expressions, so an engine/oracle spelling bug
+    * cannot hide in a shared implementation.
+    */
+  private def refBpe(vocab: Seq[(Long, String)], rounds: Int)
+      : Seq[(Int, String, String, Long)] = {
+    var words = vocab
+    val out = scala.collection.mutable.ListBuffer
+      .empty[(Int, String, String, Long)]
+    for (round <- 1 to rounds) {
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      for ((f, sym) <- words) {
+        val ss = sym.split(" ")
+        for (i <- 0 until ss.length - 1)
+          counts((ss(i), ss(i + 1))) += f
+      }
+      if (counts.isEmpty) return out.toList
+      val ((l, r), c) = counts.toSeq
+        .sortBy { case ((l, r), c) => (-c, l + " " + r) }.head
+      out += ((round, l, r, c))
+      words = words.map { case (f, sym) =>
+        (f, (" " + sym + " ").replace(s" $l $r ", s" $l$r ").trim)
+      }
+    }
+    out.toList
+  }
+
+  test("random vocabularies: engine merges equal the pure-Scala reference") {
+    // deterministic seeded fuzz: words over {a,b,c} keep pair
+    // collisions (and ties) frequent, so the tie-break and the
+    // same-symbol-run replace semantics are both exercised hard
+    val rnd = new scala.util.Random(13)
+    val rounds = 3
+    var checked = 0
+    var attempts = 0
+    while (checked < 10 && attempts < 60) {
+      attempts += 1
+      val words = Seq.fill(3 + rnd.nextInt(6)) {
+        (1 to (1 + rnd.nextInt(6)))
+          .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }.distinct
+      val fixed = words.map(w => (1L + rnd.nextInt(9), w.toSeq.mkString(" ")))
+      val ref = refBpe(fixed, rounds)
+      if (ref.length == rounds) { // enough mergeable pairs to train
+        val got = Text.bpeMergesOn(spark, s"spec:fuzz:$attempts",
+          vocab(fixed: _*), rounds)
+        assert(got === ref,
+          s"divergence on vocab ${fixed.mkString("[", ", ", "]")}")
+        checked += 1
+      }
+    }
+    assert(checked === 10, s"only $checked/10 usable cases in $attempts")
+  }
+
   test("map-side ntok expression equals the dictionary over the full vocabulary") {
     // w15 applies the frozen tokenizer per occurrence via
     // bpeNtokExpr; t22 joins the dictionary built by bpeEncodeDict.
