@@ -213,9 +213,9 @@ object Probe {
           expr("shingle_fps(text)").as("fps"))) }
         println("PROBE total_shingles " + docs
           .select(expr("shingle_fps(text)").as("fps"))
-          .selectExpr("sum(size(fps))").first().getLong(0))
+          .selectExpr("coalesce(sum(size(fps)), 0)").first().getLong(0))
         println("PROBE total_chars " + docs
-          .selectExpr("sum(length(text))").first().getLong(0))
+          .selectExpr("coalesce(sum(length(text)), 0)").first().getLong(0))
       case "cand" =>
         // candidates-per-doc growth: the d11 scale invariant's raw data
         val n = Tables.documents(spark, dir).count()

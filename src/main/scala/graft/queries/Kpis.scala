@@ -341,7 +341,9 @@ object Kpis {
   // columns: the exchange carries a long + int (+ partial count)
   // instead of three longs, ~half the key bytes, and a fabricated
   // dup group now needs the same pair of distinct keys to collide
-  // under BOTH hash families (~N²/2⁹⁶: ≈4e-11 even at 10^13 rows).
+  // under BOTH hash families (~N²/2⁹⁶: ≈5e-14 at sf10's 6e7 rows,
+  // and still only ~1e-3 at a 10^13-row extreme — a single table
+  // that size should use the exact-key spelling or a third hash).
   // This widens the round-12 single-hash spelling, whose ~N²/2⁶⁵
   // birthday term the round-12 advice flagged as quadratic-growing
   // (≈1e-4 at sf10 lineitem — a real gate-flake class at SFs the

@@ -1367,7 +1367,24 @@ object Text {
     * across rounds — any pair CREATED by a merge (x, lr) occurs only
     * where (x, l) occurred, so its count is bounded by a candidate
     * the previous round already considered.
+    *
+    * Degenerate corpora (no adjacent pair anywhere before `rounds`
+    * merges complete — e.g. single-letter words only): the engine
+    * fails LOUDLY here (the require below), surfacing as a Verify
+    * `err`, while the unrolled oracle would degrade to fewer rows /
+    * NULL-sym CTEs. The failure modes differ but neither can pass a
+    * gate silently; unreachable on any realistic text corpus.
     */
+  /** The ONE spelling of merge application — (l, r) rewritten over a
+    * symbol-string expression as a leftmost-first, non-overlapping,
+    * separator-consuming replace. Train (bpeMergesOn), batch encode
+    * (bpeEncodeDict) and stream encode (bpeNtokExpr) all go through
+    * here, so their spellings cannot drift (the divergence class
+    * TextBpeSpec's equality tests gate).
+    */
+  private def mergeReplaceExpr(e: String, l: String, r: String): String =
+    s"trim(replace(concat(' ', $e, ' '), ' $l $r ', ' $l$r '))"
+
   private[graft] def bpeMergesOn(
       spark: SparkSession, key: String, vocab: => DataFrame,
       rounds: Int = bpeRounds)
@@ -1397,8 +1414,7 @@ object Text {
         val cnt = best(0).getLong(1)
         val Array(l, r) = pair.split(" ", 2)
         merges += ((round, l, r, cnt))
-        symExpr = s"trim(replace(concat(' ', $symExpr, ' '), " +
-          s"' $l $r ', ' $l$r '))"
+        symExpr = mergeReplaceExpr(symExpr, l, r)
       }
       merges.toList
     }
@@ -1481,9 +1497,7 @@ object Text {
       spark: SparkSession, key: String, vocab: DataFrame,
       rounds: Int = bpeRounds): DataFrame = {
     val symFinal = bpeMergesOn(spark, key, vocab, rounds)
-      .foldLeft("sym") { case (e, (_, l, r, _)) =>
-        s"trim(replace(concat(' ', $e, ' '), ' $l $r ', ' $l$r '))"
-      }
+      .foldLeft("sym") { case (e, (_, l, r, _)) => mergeReplaceExpr(e, l, r) }
     vocab.select(col("word"),
       expr(s"size(split($symFinal, ' '))").as("ntok"))
   }
@@ -1500,7 +1514,7 @@ object Text {
       merges: Seq[(Int, String, String, Long)], wordCol: String): String = {
     val base = s"trim(regexp_replace($wordCol, '(.)', '$$1 '))"
     val chain = merges.foldLeft(base) { case (e, (_, l, r, _)) =>
-      s"trim(replace(concat(' ', $e, ' '), ' $l $r ', ' $l$r '))"
+      mergeReplaceExpr(e, l, r)
     }
     s"size(split($chain, ' '))"
   }
