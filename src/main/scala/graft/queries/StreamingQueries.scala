@@ -539,9 +539,15 @@ object StreamingQueries {
     // scaffolding; w14 was the only streaming entry staging data
     // instead of symlinking). The per-drain streamDir below stays
     // fresh so sink names never collide and drain cleanup semantics
-    // are unchanged; the feed dir is reclaimed at JVM exit.
+    // are unchanged; the feed dir is reclaimed at JVM exit. The dir
+    // NAME is derived from the same (session, dir) key as the memo
+    // (round-13 advice): an LRU eviction + rebuild overwrites the one
+    // staging dir in place instead of leaking a copy per rebuild.
     val feed = PlanMemo.cachedValue(spark, s"w14.feed:$dir") {
-      val d = TempArtifacts.scratchDir("graft_stream_sg_feed")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest((System.identityHashCode(spark) + ":" + dir)
+          .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+      val d = TempArtifacts.stableScratchDir(s"graft_stream_sg_feed_$key")
       val f = d.resolve("incoming.parquet").toString
       staged.coalesce(1).write.mode("overwrite").parquet(f)
       f

@@ -94,6 +94,19 @@ object TempArtifacts {
   def scratchDir(prefix: String): java.nio.file.Path =
     register(java.nio.file.Files.createTempDirectory(scratchRoot, prefix))
 
+  /** A DETERMINISTICALLY-NAMED scratch dir: same name → same path,
+    * created if absent, registered once. Memoized feed stagers derive
+    * the name from their (session, corpus) key so a memo eviction +
+    * rebuild OVERWRITES the one staging dir in place instead of
+    * leaking a fresh copy of the staged data per rebuild (round-13
+    * advice: each w14 eviction orphaned a full incoming-half copy).
+    */
+  def stableScratchDir(name: String): java.nio.file.Path = {
+    val p = scratchRoot.resolve(name)
+    java.nio.file.Files.createDirectories(p)
+    register(p)
+  }
+
   /** Stage a read-only parquet table into a file-stream staging dir
     * WITHOUT copying bytes. A single-file table is symlinked under its
     * own name; a multi-part DIRECTORY table (the layout every
@@ -103,22 +116,48 @@ object TempArtifacts {
     * directory, so a directory symlink stages an EMPTY stream (gensf1
     * incident: w05–w13 drained 0 rows while their batch twins read
     * the same directory tables fine).
+    *
+    * Hive-partitioned layouts (`key=value/` subdirectories) are
+    * staged by recursing ONE level, prefixing each link with its
+    * subdirectory name so part files cannot collide. Any OTHER layout
+    * that yields zero staged files fails loudly (round-13 advice):
+    * silently staging nothing reproduces the exact 0-row-drain
+    * incident this helper exists to prevent.
     */
   def stageTable(streamDir: java.nio.file.Path, tablePath: String): Unit = {
     val src = java.nio.file.Paths.get(tablePath)
-    if (java.nio.file.Files.isDirectory(src)) {
-      val parts = java.nio.file.Files.list(src)
-      try parts
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .forEach { p =>
+    var staged = 0L
+    def linkParts(dir: java.nio.file.Path, prefix: String): Unit = {
+      val parts = java.nio.file.Files.list(dir)
+      try parts.forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet")) {
           java.nio.file.Files.createSymbolicLink(
-            streamDir.resolve(p.getFileName.toString), p)
+            streamDir.resolve(prefix + p.getFileName.toString), p)
+          staged += 1
         }
+      }
       finally parts.close()
+    }
+    if (java.nio.file.Files.isDirectory(src)) {
+      linkParts(src, "")
+      if (staged == 0L) {
+        val subs = java.nio.file.Files.list(src)
+        try subs.forEach { d =>
+          if (java.nio.file.Files.isDirectory(d))
+            linkParts(d, d.getFileName.toString
+              .replaceAll("[^A-Za-z0-9=._-]", "_") + "_")
+        }
+        finally subs.close()
+      }
     } else {
       java.nio.file.Files.createSymbolicLink(
         streamDir.resolve(src.getFileName.toString), src)
+      staged += 1
     }
+    require(staged > 0L,
+      s"no parquet parts staged from $tablePath — unexpected table " +
+        "layout would silently drain a 0-row stream")
   }
 
   /** Recursive delete now (symlinks are removed, never followed). */

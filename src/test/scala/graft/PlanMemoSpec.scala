@@ -45,4 +45,39 @@ class PlanMemoSpec extends AnyFunSuite {
     assert(get() === Seq(1.0, 2.0))
     assert(builds === 1)
   }
+
+  test("published artifacts: unchanged corpus reuses, mutated corpus rebuilds") {
+    import org.apache.spark.sql.functions.lit
+    val corpus = java.nio.file.Files.createTempDirectory("memospec_corpus")
+    TempArtifacts.register(corpus)
+    spark.range(10).toDF("v")
+      .write.mode("overwrite").parquet(s"$corpus/t.parquet")
+    var builds = 0
+    def read() = PlanMemo.publishedParquet(spark, corpus.toString,
+        "memospec_artifact") {
+      builds += 1
+      spark.range(3).toDF("v").withColumn("b", lit(builds))
+    }
+    assert(read().count() === 3)
+    assert(read().count() === 3)
+    assert(builds === 1, "unchanged corpus must reuse the published artifact")
+    // mutate the corpus in place: same dir, different content
+    spark.range(20).toDF("v")
+      .write.mode("overwrite").parquet(s"$corpus/t.parquet")
+    assert(read().select("b").first().getInt(0) === 2)
+    assert(builds === 2,
+      "a mutated corpus must re-publish, never serve the stale artifact")
+  }
+
+  test("corpusFingerprint is stable and content-sensitive") {
+    val d = java.nio.file.Files.createTempDirectory("memospec_fp")
+    TempArtifacts.register(d)
+    java.nio.file.Files.writeString(d.resolve("a.parquet"), "aaaa")
+    val f1 = PlanMemo.corpusFingerprint(d.toString)
+    assert(f1 === PlanMemo.corpusFingerprint(d.toString))
+    java.nio.file.Files.writeString(d.resolve("b.parquet"), "bb")
+    assert(f1 !== PlanMemo.corpusFingerprint(d.toString))
+    // a non-directory path degrades to a path-keyed fingerprint
+    assert(PlanMemo.corpusFingerprint("/no/such/graft/path").nonEmpty)
+  }
 }

@@ -354,4 +354,31 @@ class StreamingSpec extends AnyFunSuite {
       .takeWhile(_.hasNext).map(_.next().getFileName.toString).toSeq
     assert(names === Seq("documents.parquet"))
   }
+
+  test("stageTable recurses one level into hive-partitioned layouts") {
+    val s = TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    val root = TempArtifacts.scratchDir("graft_stage_hive")
+    val table = root.resolve("t.parquet").toString
+    s.range(10).toDF("v").withColumn("k", col("v") % 2)
+      .write.partitionBy("k").parquet(table)
+    val stage = TempArtifacts.scratchDir("graft_stage_hive_out")
+    TempArtifacts.stageTable(stage, table)
+    val entries = java.nio.file.Files.list(stage).iterator()
+    val names = Iterator.continually(entries)
+      .takeWhile(_.hasNext).map(_.next().getFileName.toString).toSeq
+    assert(names.nonEmpty)
+    assert(names.forall(_.endsWith(".parquet")))
+    assert(names.exists(_.startsWith("k=0_")))
+    assert(names.exists(_.startsWith("k=1_")))
+  }
+
+  test("stageTable fails loudly when a layout stages zero files") {
+    val empty = TempArtifacts.scratchDir("graft_stage_empty_src")
+    val stage = TempArtifacts.scratchDir("graft_stage_empty_out")
+    val e = intercept[IllegalArgumentException] {
+      TempArtifacts.stageTable(stage, empty.toString)
+    }
+    assert(e.getMessage.contains("no parquet parts staged"))
+  }
 }
