@@ -73,22 +73,57 @@ object GenData {
 
   private val langs = Array("en", "en", "en", "en", "zh", "es", "fr", "de")
 
+  /** UTF-8 words for the `rich` corpus: 2-byte Latin accents and
+    * 3-byte CJK, exercising the byte-level tokenizer's multi-byte
+    * path (written as escapes so the source stays ASCII).
+    */
+  private val utf8Words = Array(
+    "caf\u00e9", "na\u00efve", "\u00fcber", "r\u00e9sum\u00e9",
+    "se\u00f1or", "Z\u00fcrich", "\u4e2d\u6587",
+    "\u65e5\u672c\u8a9e")
+
+  private val punctMarks = Array(".", ",", "!", "?", ";", ":")
+
+  /** `rich` decoration of one drawn word (deterministic per (id, word
+    * index)): a mix of capitalization, ALLCAPS, digit tokens, UTF-8
+    * words and attached trailing punctuation — the shape real crawled
+    * text has and the driver's lowercase-ascii tables lack. This is
+    * the byte-level BPE family's honest test surface (punctuation and
+    * digits pre-tokenize to their own tokens; case and multi-byte
+    * scripts hit distinct byte symbols).
+    */
+  private def decorate(id: Long, i: Int, w: String): String = {
+    val r = u(id, 9000 + i)
+    val w1 =
+      if (r < 0.03) utf8Words(nextInt(id, 9100 + i, utf8Words.length))
+      else if (r < 0.08) (1 + nextInt(id, 9200 + i, 9999)).toString
+      else if (r < 0.10) w.toUpperCase
+      else if (r < 0.35) w.capitalize
+      else w
+    if (u(id, 9300 + i) < 0.12)
+      w1 + punctMarks(nextInt(id, 9400 + i, punctMarks.length))
+    else w1
+  }
+
   /** Base (non-duplicate) text for a doc id: 10–100 vocab words.
     * `zipf=false` draws words uniformly (the driver tables' shape);
     * `zipf=true` draws log-uniformly over the rank (≈ Zipf-1) — the
     * shape REAL text has, where a few words dominate and shingle
     * document frequency is heavily skewed. The Zipf corpus is the
     * honest stress case for posting-list dedup (hot shingles) and the
-    * value case for prefix filtering (d19).
+    * value case for prefix filtering (d19). `rich=true` additionally
+    * decorates words ([[decorate]]); it composes with either draw.
     */
   private def rawWords(id: Long, vocab: Array[String],
-      zipf: Boolean): Array[String] = {
+      zipf: Boolean, rich: Boolean): Array[String] = {
     val n = 10 + nextInt(id, 2, 91)
     Array.tabulate(n) { i =>
-      if (zipf)
-        vocab((math.pow(vocab.length.toDouble, u(id, 100 + i)) - 1).toInt
-          .min(vocab.length - 1))
-      else vocab(nextInt(id, 100 + i, vocab.length))
+      val w =
+        if (zipf)
+          vocab((math.pow(vocab.length.toDouble, u(id, 100 + i)) - 1).toInt
+            .min(vocab.length - 1))
+        else vocab(nextInt(id, 100 + i, vocab.length))
+      if (rich) decorate(id, i, w) else w
     }
   }
 
@@ -98,16 +133,16 @@ object GenData {
     * pairs per 5k docs.
     */
   private def textFor(id: Long, vocab: Array[String],
-      zipf: Boolean): String = {
+      zipf: Boolean, rich: Boolean): String = {
     val r = u(id, 1)
     if (id >= 10 && r < 0.002) {
-      rawWords(id - 1 - (nextInt(id, 4, 8)), vocab, zipf).mkString(" ")
+      rawWords(id - 1 - (nextInt(id, 4, 8)), vocab, zipf, rich).mkString(" ")
     } else if (id >= 10 && r < 0.008) {
-      val w = rawWords(id - 1 - nextInt(id, 5, 8), vocab, zipf)
+      val w = rawWords(id - 1 - nextInt(id, 5, 8), vocab, zipf, rich)
       Array.tabulate(w.length) { i =>
         if (i % 7 == 3) vocab(nextInt(id, 5000 + i, vocab.length)) else w(i)
       }.mkString(" ")
-    } else rawWords(id, vocab, zipf).mkString(" ")
+    } else rawWords(id, vocab, zipf, rich).mkString(" ")
   }
 
   final case class Doc(doc_id: Long, text: String, lang: String,
@@ -162,8 +197,12 @@ object GenData {
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
     val sf = args(1).toDouble
-    // optional 3rd arg "zipf": log-uniform word ranks (real-text df skew)
-    val zipf = args.lift(2).contains("zipf")
+    // optional flags after <sf>: "zipf" (log-uniform word ranks —
+    // real-text df skew) and/or "rich" (mixed-case/punctuation/digit/
+    // UTF-8 decoration — the byte-level tokenizer's test surface)
+    val flags = args.drop(2).toSet
+    val zipf = flags.contains("zipf")
+    val rich = flags.contains("rich")
     val parts = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Tables.configure(
       SparkSession.builder()
@@ -180,7 +219,7 @@ object GenData {
 
     val vocab = vocabFor(nDocs)
     spark.range(0, nDocs, 1, parts).as[Long].map { id =>
-      val text = textFor(id, vocab, zipf)
+      val text = textFor(id, vocab, zipf, rich)
       Doc(id, text, langs(nextInt(id, 6, langs.length)),
         s"src${nextInt(id, 7, 20)}", text.length.toLong)
     }.write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")

@@ -703,15 +703,15 @@ object StreamingQueries {
     * oracle's dictionary join drops nothing and the map-side chain
     * equals the dictionary's ntok (TextBpeSpec pins the equality over
     * the whole vocabulary). Arrival semantics: a source whose
-    * documents carry zero qualifying words emits NO row (nothing
-    * arrived to account), and the oracle's filtered join drops it
-    * identically — unlike t22's per-doc coverage left-join, which
-    * reports (0, 0) for wordless documents; StreamingSpec's batch
-    * twin applies the same drop.
+    * documents carry zero words emits NO row (nothing arrived to
+    * account), and the oracle's join drops it identically — unlike
+    * t22's per-doc coverage left-join, which reports (0, 0) for
+    * wordless documents; StreamingSpec's batch twin applies the same
+    * drop. The tokenizer is the FROZEN artifact ([[Text.bpeMerges]])
+    * — ingest consumes the shipped model, it never trains.
     */
   def streamingTokenAccounting(spark: SparkSession, dir: String): DataFrame = {
-    val merges = Text.bpeMergesOn(
-      spark, s"text:$dir", Text.bpeVocab(spark, dir))
+    val merges = Text.bpeMerges(spark, dir)
     val path = s"$dir/documents.parquet"
     val streamDir = TempArtifacts.scratchDir("graft_stream_tok")
     TempArtifacts.stageTable(streamDir, path)
@@ -721,8 +721,8 @@ object StreamingQueries {
     val occ = balancedStream(
         spark.readStream.schema(schema).parquet(streamDir.toString))
       .select(col("source"),
-        explode_outer(Text.tokens(lower(col("text")))).as("w"))
-      .filter(col("w").isNotNull && col("w").rlike("^[a-z]+$"))
+        explode_outer(Text.bpeWords(col("text"))).as("w"))
+      .filter(col("w").isNotNull)
       .select(col("source"), expr(Text.bpeNtokExpr(merges, "w")).as("ntok"))
     val agg = occ.groupBy("source")
       .agg(count(lit(1)).as("n_words"), sum("ntok").as("n_tokens"))
@@ -734,9 +734,8 @@ object StreamingQueries {
   val streamingTokenAccountingSql: String =
     s"""WITH ${Text.bpeDictCteSql}, occ AS (
        |  SELECT source, word FROM (
-       |    SELECT source, unnest(${Text.tokensSql("lower(text)")}) AS word
+       |    SELECT source, unnest(${Text.bpeWordsSql("text")}) AS word
        |    FROM documents) t
-       |  WHERE regexp_matches(word, '^[a-z]+${"$"}')
        |)
        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
        |  CAST(SUM(ntok) AS BIGINT) AS n_tokens

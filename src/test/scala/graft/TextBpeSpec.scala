@@ -22,11 +22,13 @@ class TextBpeSpec extends AnyFunSuite {
     // Sennrich-style toy dictionary (no end-of-word marker in our
     // variant): low×5, lower×2, newest×6, widest×3. Worked by hand:
     // pair counts round 1 peak at 9 for {e s, s t}; ties break by
-    // pair string ascending.
+    // pair string ascending. The merge loop is alphabet-agnostic
+    // (corpus paths feed it hex byte symbols), so letter symbols
+    // keep the hand derivation readable.
     val v = vocab(
       (5L, "l o w"), (2L, "l o w e r"),
       (6L, "n e w e s t"), (3L, "w i d e s t"))
-    val m = Text.bpeMergesOn(spark, "spec:classic", v)
+    val m = Text.bpeMergesOn(spark, "spec:classic", v, rounds = 8)
     assert(m === Seq(
       (1, "e", "s", 9L), (2, "es", "t", 9L),
       (3, "l", "o", 7L), (4, "lo", "w", 7L),
@@ -67,27 +69,28 @@ class TextBpeSpec extends AnyFunSuite {
     val v = vocab(
       (5L, "l o w"), (2L, "l o w e r"),
       (6L, "n e w e s t"), (3L, "w i d e s t"))
-    val d = Text.bpeEncodeDict(spark, "spec:classic", v)
+    val m = Text.bpeMergesOn(spark, "spec:classic", v, rounds = 8)
+    val d = Text.bpeEncodeDict(m, v)
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(d === Map("low" -> 1, "lower" -> 3, "newest" -> 1,
       "widest" -> 3))
   }
 
-  test("t22 encode: token counts bounded by chars and words on sf0.001") {
+  test("t22 encode: token counts bounded by bytes and words on sf0.001") {
     val out = Text.bpeEncode(spark, sfDir)
     assert(out.columns.toSeq === Seq("doc_id", "n_words", "n_tokens"))
-    // every qualifying word is >=1 token and merges only shrink the
-    // symbol count, so n_words <= n_tokens <= total word chars
-    val chars = Text.bpeVocab(spark, sfDir)
-      .selectExpr("sum(freq * length(word))").first().getLong(0)
+    // every word is >=1 token and merges only shrink the symbol
+    // count, so n_words <= n_tokens <= total word UTF-8 bytes
+    val bytes = Text.bpeVocab(spark, sfDir)
+      .selectExpr("sum(freq * octet_length(word))").first().getLong(0)
     val agg = out.selectExpr(
       "sum(n_words)", "sum(n_tokens)",
       "sum(case when n_tokens < n_words then 1 else 0 end)").first()
     assert(agg.getLong(2) === 0L)
     assert(agg.getLong(1) >= agg.getLong(0))
-    assert(agg.getLong(1) <= chars)
-    // the 8 merges actually fired: strictly fewer tokens than chars
-    assert(agg.getLong(1) < chars)
+    assert(agg.getLong(1) <= bytes)
+    // the learned merges actually fired: strictly fewer tokens than bytes
+    assert(agg.getLong(1) < bytes)
     // doc coverage: one row per document, including wordless ones
     assert(out.count() === Tables.documents(spark, sfDir).count())
   }
@@ -157,23 +160,71 @@ class TextBpeSpec extends AnyFunSuite {
     // stream and batch accountings drift.
     import org.apache.spark.sql.functions.{col, expr}
     val v = Text.bpeVocab(spark, sfDir)
-    val merges = Text.bpeMergesOn(spark, s"text:$sfDir", v)
-    val dict = Text.bpeEncodeDict(spark, s"text:$sfDir", v)
+    val merges = Text.bpeMerges(spark, sfDir)
+    val dict = Text.bpeEncodeDict(merges, v)
     val diff = dict
       .withColumn("m", expr(Text.bpeNtokExpr(merges, "word")))
       .filter(col("m") =!= col("ntok")).count()
     assert(diff === 0L)
   }
 
-  test("vocabulary pass aggregates to distinct lowercase words") {
+  test("the published merge artifact equals a direct training run") {
+    // bpeMerges persists the trained tokenizer via publishedParquet
+    // and re-reads it; the frozen artifact must be byte-identical to
+    // what bpeMergesOn derives directly on the same corpus
+    val direct = Text.bpeMergesOn(
+      spark, s"spec:direct:$sfDir", Text.bpeVocab(spark, sfDir))
+    assert(Text.bpeMerges(spark, sfDir) === direct)
+  }
+
+  test("vocabulary pass aggregates distinct words as hex byte symbols") {
     val v = Text.bpeVocab(spark, sfDir)
     assert(v.columns.toSeq === Seq("word", "freq", "sym"))
     val dup = v.groupBy("sym").count().filter("count > 1").count()
     assert(dup === 0L)
-    // symbol strings are single-char symbols joined by single spaces
+    // symbol strings are hex byte pairs joined by single spaces, and
+    // unhexing the joined string recovers the word's exact UTF-8 bytes
     val bad = v.filter(
       "sym rlike ' {2,}' or sym rlike '^ ' or sym rlike ' $' " +
-        "or replace(sym, ' ', '') not rlike '^[a-z]+$'").count()
+        "or replace(sym, ' ', '') not rlike '^([0-9A-F]{2})+$' " +
+        "or decode(unhex(replace(sym, ' ', '')), 'UTF-8') != word").count()
     assert(bad === 0L)
+  }
+
+  test("byte-level fuzz: multi-byte UTF-8 vocabularies match the reference") {
+    // words mixing 1-byte (ascii), 2-byte (é/ü) and 3-byte (中) chars;
+    // sym built by an independent pure-Scala hex-pair byte split, so
+    // this also pins bpeVocab's hex spelling against the merge loop
+    def hexSym(w: String): String =
+      w.getBytes("UTF-8").map("%02X".format(_)).mkString(" ")
+    val alphabet = Array("a", "b", "é", "ü", "中", "!", "9")
+    val rnd = new scala.util.Random(29)
+    val rounds = 3
+    var checked = 0
+    var attempts = 0
+    while (checked < 10 && attempts < 60) {
+      attempts += 1
+      val words = Seq.fill(3 + rnd.nextInt(6)) {
+        (1 to (1 + rnd.nextInt(5)))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }.distinct
+      val fixed = words.map(w => (1L + rnd.nextInt(9), hexSym(w)))
+      val ref = refBpe(fixed, rounds)
+      if (ref.length == rounds) {
+        val s = spark
+        import s.implicits._
+        val v = fixed.zip(words).map { case ((f, sym), w) => (w, f, sym) }
+          .toDF("word", "freq", "sym")
+        val got = Text.bpeMergesOn(spark, s"spec:bytefuzz:$attempts", v,
+          rounds)
+        assert(got === ref,
+          s"divergence on vocab ${fixed.mkString("[", ", ", "]")}")
+        // merged symbols stay even-length hex (byte concatenations)
+        got.foreach { case (_, l, r, _) =>
+          assert((l + r).matches("^([0-9A-F]{2})+$")) }
+        checked += 1
+      }
+    }
+    assert(checked === 10, s"only $checked/10 usable cases in $attempts")
   }
 }
