@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.ml.{Pipeline, PipelineModel, PipelineStage}
 import org.apache.spark.ml.classification.{LogisticRegression, RandomForestClassifier}
 import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, MulticlassClassificationEvaluator, RegressionEvaluator}
-import org.apache.spark.ml.feature.{Imputer, OneHotEncoder, StandardScaler, StringIndexer, VectorAssembler}
+import org.apache.spark.ml.feature.{HashingTF, Imputer, OneHotEncoder, StandardScaler, StringIndexer, VectorAssembler}
 import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.ml.regression.{LinearRegression, RandomForestRegressor}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -422,7 +422,57 @@ object MlQueries {
   }
 
   // ---------------------------------------------------------------
+  // ---------------------------------------------------------------
+  /** Raw held-out metrics of the ml09 learned-quality-classifier
+    * twin: spark.ml LogisticRegression over HashingTF([[Text.qcDim]])
+    * hashed bag-of-words features — the fastText-style spelling with
+    * a real iterative optimizer — trained on t23's deterministic
+    * split with t23's median-split teacher ([[Text.qcLabels]]).
+    * Memoized so the driver row and MlSpec's tighter empirical bands
+    * share one training run.
+    */
+  private[graft] def qcLrMetrics(spark: SparkSession, dir: String)
+      : (Double, Double, Long) =
+    PlanMemo.cachedValue(spark, s"ml.qcLr:$dir") {
+      val base = Tables.documents(spark, dir)
+        .select(col("doc_id"), Text.tokens(lower(col("text"))).as("words"))
+        .join(Text.qcLabels(spark, dir), "doc_id")
+        .withColumn("label", col("y").cast("double"))
+      val tf = new HashingTF()
+        .setInputCol("words").setOutputCol("features")
+        .setNumFeatures(Text.qcDim)
+      val train = tf.transform(
+        base.filter(col("doc_id") % Text.qcFolds =!= 0))
+      val eval = tf.transform(
+        base.filter(col("doc_id") % Text.qcFolds === 0))
+      val lr = new LogisticRegression()
+        .setMaxIter(20).setRegParam(0.01)
+        .setFeaturesCol("features").setLabelCol("label")
+      val pred = lr.fit(train).transform(eval)
+      val Seq((_, auc), (_, acc)) = clsMetrics(pred)
+      (auc, acc, eval.count())
+    }
+
+  /** ml09 — learned quality classifier, spark.ml twin of t23 (the
+    * round-13 verdict's "fastText-style hashed-ngram linear
+    * classifier scoring every document"): LogisticRegression on the
+    * SAME hashed feature space and teacher labels as t23's
+    * closed-form scorer, band-gated on held-out AUC/accuracy (an
+    * iterative optimizer is not SQL-replayable — t23 carries the
+    * hash gate for this family). Band floors sit under the measured
+    * minima across sf0.001 → GenData sf1 (AUC ≥ 0.92 measured; 0.85
+    * floor) so the gate fails on a real regression, not on noise.
+    */
+  def qualityClassifierLr(spark: SparkSession, dir: String): DataFrame = {
+    val (auc, acc, n) = qcLrMetrics(spark, dir)
+    import spark.implicits._
+    Seq((auc >= 0.85, acc >= 0.55, auc <= 1.0 && acc <= 1.0, n > 0L))
+      .toDF("band_auc", "band_accuracy", "band_bounded",
+        "band_eval_nonempty")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml09_quality_lr" -> qualityClassifierLr _,
     "ml01_vectorize_scale" -> vectorizeScale _,
     "ml02_lr_regression" -> lrRegression _,
     "ml03_lr_classification" -> lrClassification _,
@@ -445,6 +495,8 @@ object MlQueries {
     cols.map(c => s"TRUE AS $c").mkString("SELECT ", ", ", "")
 
   def oracles: Map[String, String] = Map(
+    "ml09_quality_lr" -> trueOracle(
+      "band_auc", "band_accuracy", "band_bounded", "band_eval_nonempty"),
     "ml01_vectorize_scale" -> trueOracle(
       "band_nonempty", "band_dim_constant", "band_dim_min_width"),
     "ml02_lr_regression" -> trueOracle(

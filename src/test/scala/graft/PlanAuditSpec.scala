@@ -40,7 +40,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "d17_bloom_increment", "t19_cdc_chunks", "d18_source_rank",
     "p06_leakage_splits", "c06_corpus_card",
     // round-8 HOF-heavy addition
-    "d19_prefix_jaccard")
+    "d19_prefix_jaccard",
+    // round-14: md5-per-token feature hashing (the t04 class)
+    "t23_quality_classifier")
 
   /** Exchange-count pins for the most expensive plans (round-7 verdict
     * "next" 8): a future edit that doubles a shuffle must fail CI with
@@ -112,7 +114,23 @@ class PlanAuditSpec extends AnyFunSuite {
     // doc-coverage left join must stay shuffle_hash (dict and perDoc
     // are corpus-vocabulary / docs-sized; broadcast appearing here
     // means an unbounded side got a driver hash relation)
-    "t22_bpe_encode" -> ((6, 4, 1, 0)))
+    "t22_bpe_encode" -> ((6, 4, 1, 0)),
+    // round-14 (round-13 verdict "next" 4): the remaining bench
+    // movers and the new entries. t21's warm plan is the published
+    // merge ARTIFACT rendered driver-side + the presentation sort —
+    // hash exchanges appearing here means training regressed to
+    // running inline per call. q11/q20/t16 are the clean-pipeline
+    // family (one dedup hash exchange + the reader rebalance).
+    "t21_bpe_train" -> ((0, 0, 1, 0)),
+    "q11_clean_pipeline" -> ((1, 1, 1, 0)),
+    "q20_clean_light" -> ((1, 1, 1, 0)),
+    "t16_c4_clean" -> ((2, 2, 1, 0)),
+    // t23: the counts include every printed copy of the cached
+    // labels/features build plans (the p06 overstatement note above);
+    // the 11 broadcasts are all BOUNDED sides — 1-row med/totals
+    // scalars and the ≤qcDim-row weight table. A docs-scale frame
+    // joining as a broadcast would move these numbers and fail here.
+    "t23_quality_classifier" -> ((19, 24, 1, 11)))
 
   exchangePins.foreach { case (name, (hash, rr, range, bcast)) =>
     test(s"$name: exchange counts stay pinned") {
