@@ -1234,8 +1234,9 @@ object Dedup {
     // balancedStream: the per-record shingle_fps → minhash_sigs kernel
     // below is the CPU-heavy stage — single-row-group staging would
     // run it on one core (see StreamingQueries.balancedStream)
+    val ds = StreamingQueries.drainSession(spark)
     val incoming = StreamingQueries.balancedStream(
-      spark.readStream.schema(schema).parquet(streamDir.toString)
+      ds.readStream.schema(schema).parquet(streamDir.toString)
         .filter(col("doc_id") >= splitId))
     // per-record MinHash band keys through the SAME native kernels
     // the batch index uses (shingle_fps → minhash_sigs) — per-record
@@ -1243,8 +1244,12 @@ object Dedup {
     // aggregation; a shingle-less doc yields NULL sigs → four
     // null-key band rows, exactly like the old per-sig HOF spelling
     // (array_min over an empty transform was NULL per signature).
+    // Registered on BOTH sessions: the stream chain analyzes on the
+    // drain session, the batch index frames on the parent.
     ShingleFps.register(spark)
     MinHashSigs.register(spark)
+    ShingleFps.register(ds)
+    MinHashSigs.register(ds)
     val keyExprs = (0 until 4).map { j =>
       val Seq(s0, s1, s2, s3) = (0 until 4).map(k => s"sigs[${4 * j + k}]")
       s"((($s0 * 31 + $s1) * 31 + $s2) * 31 + $s3)"

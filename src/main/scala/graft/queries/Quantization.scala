@@ -295,9 +295,13 @@ object Quantization {
     TempArtifacts.stageTable(streamDir, path)
     val schema = spark.read.parquet(path).schema
     // balancedStream: pq_encode over every subvector is the CPU-heavy
-    // stage — single-row-group staging would run it on one core
+    // stage — single-row-group staging would run it on one core.
+    // pq_encode registers on the drain session too — the stream chain
+    // is analyzed there (function registries are per-session).
+    val ds = StreamingQueries.drainSession(spark)
+    PqEncode.register(ds)
     val stream = StreamingQueries.balancedStream(
-      spark.readStream.schema(schema).parquet(streamDir.toString)
+      ds.readStream.schema(schema).parquet(streamDir.toString)
         .filter(col("vec_id") >= Similarity.nQueries))
       .select(col("vec_id"), expr(
         s"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * ${Clustering.quantScale}) AS BIGINT))")
