@@ -158,7 +158,13 @@ object PlanMemo {
     *      var is set and the path exists — a prior Verify run's output
     *      laid out per corpus, so two scale factors can never consume
     *      each other's artifacts (round-13 advice: the flat `<name>`
-    *      resolution was corpus-blind);
+    *      resolution was corpus-blind). When the per-corpus subdir
+    *      carries its own `GRAFT_DIR.txt` marker it must name this
+    *      exact `dir` — two DIFFERENT corpora sharing a basename
+    *      (e.g. runA/sf1 vs runB/sf1) are disambiguated by staging the
+    *      marker; without one, same-basename trust is the documented
+    *      residual (env-var artifact consumption is an explicit
+    *      opt-in);
     *   2. `$SPARK_GRAFT_ARTIFACTS/<name>` ONLY when a `GRAFT_DIR.txt`
     *      marker beside it names this exact `dir` — the explicit
     *      single-corpus binding for hand-staged artifact dirs;
@@ -177,14 +183,21 @@ object PlanMemo {
   def publishedParquet(spark: SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame = {
     val pre = sys.env.get("SPARK_GRAFT_ARTIFACTS").flatMap { a =>
-      val perCorpus = java.nio.file.Paths.get(a,
-        java.nio.file.Paths.get(dir).getFileName.toString, name)
+      def markerOk(d: java.nio.file.Path): Boolean = {
+        val m = d.resolve("GRAFT_DIR.txt")
+        !java.nio.file.Files.exists(m) ||
+          java.nio.file.Files.readString(m).trim == dir
+      }
+      val corpusDir = java.nio.file.Paths.get(a,
+        java.nio.file.Paths.get(dir).getFileName.toString)
+      val perCorpus = corpusDir.resolve(name)
       val flat = java.nio.file.Paths.get(a, name)
-      val marker = java.nio.file.Paths.get(a, "GRAFT_DIR.txt")
-      if (java.nio.file.Files.exists(perCorpus)) Some(perCorpus)
+      val flatMarker = java.nio.file.Paths.get(a, "GRAFT_DIR.txt")
+      if (java.nio.file.Files.exists(perCorpus) && markerOk(corpusDir))
+        Some(perCorpus)
       else if (java.nio.file.Files.exists(flat) &&
-          java.nio.file.Files.exists(marker) &&
-          java.nio.file.Files.readString(marker).trim == dir) Some(flat)
+          java.nio.file.Files.exists(flatMarker) &&
+          java.nio.file.Files.readString(flatMarker).trim == dir) Some(flat)
       else None
     }
     val path = pre.getOrElse {

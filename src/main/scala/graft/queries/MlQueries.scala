@@ -434,9 +434,15 @@ object MlQueries {
   private[graft] def qcLrMetrics(spark: SparkSession, dir: String)
       : (Double, Double, Long) =
     PlanMemo.cachedValue(spark, s"ml.qcLr:$dir") {
+      // the SAME memo key t23 uses, so one session computes the
+      // corpus-wide teacher pass once across both entries (and the
+      // persisted frame survives the LR fit/transform/evaluate chain
+      // instead of re-deriving per action)
+      val labels = PlanMemo.cached(spark, s"text.qcLabels:$dir")(
+        Text.qcLabels(spark, dir))
       val base = Tables.documents(spark, dir)
         .select(col("doc_id"), Text.tokens(lower(col("text"))).as("words"))
-        .join(Text.qcLabels(spark, dir), "doc_id")
+        .join(labels, "doc_id")
         .withColumn("label", col("y").cast("double"))
       val tf = new HashingTF()
         .setInputCol("words").setOutputCol("features")

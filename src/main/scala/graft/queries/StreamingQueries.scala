@@ -47,17 +47,24 @@ object StreamingQueries {
     * used IN THE STREAM CHAIN must be registered on this session
     * (function registries are per-session) — call sites do.
     */
-  private[graft] def drainSession(spark: SparkSession): SparkSession =
-    PlanMemo.cachedValue(spark, "stream.drainSession") {
-      val s = spark.newSession()
-      spark.conf.getAll.foreach { case (k, v) =>
-        try s.conf.set(k, v)
-        catch { case _: org.apache.spark.sql.AnalysisException => () }
-      }
-      s.conf.set("spark.sql.shuffle.partitions",
-        math.min(8, spark.sessionState.conf.numShufflePartitions).toString)
-      s
+  private[graft] def drainSession(spark: SparkSession): SparkSession = {
+    val s = PlanMemo.cachedValue(spark, "stream.drainSession")(
+      spark.newSession())
+    // re-sync the parent's runtime conf on EVERY retrieval, not just
+    // at creation: a conf toggled after the memoized child was built
+    // (Tables.events setting nanos-as-long on the parent, say) must
+    // reach the child's stream reader too, or the batch and stream
+    // halves of one query read the same parquet differently. The
+    // drain-sized parallelism is re-applied after the sync so it
+    // stays the one deliberate divergence.
+    spark.conf.getAll.foreach { case (k, v) =>
+      try s.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
     }
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.min(8, spark.sessionState.conf.numShufflePartitions).toString)
+    s
+  }
 
   /** Start `df` into a uniquely-named memory sink, drain it fully, then
     * reclaim the staging dir, materialize the result and drop the sink's
@@ -212,11 +219,11 @@ object StreamingQueries {
     * Same semantics as w01 (the oracle is w01's, counts only).
     */
   def streamingHourly(spark: SparkSession, dir: String): DataFrame = {
-    val ds = drainSession(spark)
-    // set on BOTH sessions: the memoized drain session may predate
-    // this runtime toggle, and the child's parquet reader needs it
+    // set BEFORE drainSession(): every retrieval re-syncs the
+    // parent's runtime conf into the child, so the stream reader
+    // sees the toggle too
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ds.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ds = drainSession(spark)
     val path = s"$dir/events.parquet"
     // The file stream source requires a directory of plain files —
     // stage symlinks (file or per-part; tables are read-only).
@@ -574,8 +581,13 @@ object StreamingQueries {
     // (round-13 advice): an LRU eviction + rebuild overwrites the one
     // staging dir in place instead of leaking a copy per rebuild.
     val feed = PlanMemo.cachedValue(spark, s"w14.feed:$dir") {
+      // pid in the name: identityHashCode is only unique within one
+      // JVM, and the scratch root (/dev/shm) is host-shared — two
+      // concurrent graft JVMs must never resolve the same feed dir
+      // (one's exit hook would delete it out from under the other)
       val key = java.security.MessageDigest.getInstance("MD5")
-        .digest((System.identityHashCode(spark) + ":" + dir)
+        .digest((ProcessHandle.current().pid() + ":" +
+          System.identityHashCode(spark) + ":" + dir)
           .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
       val d = TempArtifacts.stableScratchDir(s"graft_stream_sg_feed_$key")
       val f = d.resolve("incoming.parquet").toString

@@ -1474,7 +1474,13 @@ object Text {
     */
   private[graft] def bpeMerges(
       spark: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
-    PlanMemo.cachedValue(spark, s"text.bpeMergeArtifact:$dir") {
+    // the memo key carries the corpus CONTENT fingerprint, not just
+    // the dir: an in-session corpus mutation must fall through to
+    // publishedParquet (whose own fingerprint keying re-trains) —
+    // a dir-only key would serve the stale merge table from memory
+    // and make the artifact invalidation unreachable
+    PlanMemo.cachedValue(spark,
+      s"text.bpeMergeArtifact:$dir:${PlanMemo.corpusFingerprint(dir)}") {
       val df = PlanMemo.publishedParquet(spark, dir, "bpe_merges") {
         val m = bpeMergesOn(spark, s"text:$dir", bpeVocab(spark, dir))
         import spark.implicits._

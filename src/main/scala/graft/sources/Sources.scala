@@ -118,35 +118,43 @@ object TempArtifacts {
     * the same directory tables fine).
     *
     * Hive-partitioned layouts (`key=value/` subdirectories) are
-    * staged by recursing ONE level, prefixing each link with its
-    * subdirectory name so part files cannot collide. Any OTHER layout
-    * that yields zero staged files fails loudly (round-13 advice):
-    * silently staging nothing reproduces the exact 0-row-drain
-    * incident this helper exists to prevent.
+    * staged by recursing ONE level and MIRRORING the subdirectory
+    * structure (a real `key=value/` dir under streamDir with the part
+    * files symlinked inside) — the file stream source's partition
+    * discovery reads the column values from the directory names, so a
+    * flattened staging would silently fill the partition column with
+    * NULLs (the wrong-data cousin of the 0-row drain). Verified by a
+    * StreamingSpec drain asserting the partition VALUES, not just the
+    * staged names. Any OTHER layout that yields zero staged files
+    * fails loudly (round-13 advice): silently staging nothing
+    * reproduces the exact 0-row-drain incident this helper exists to
+    * prevent.
     */
   def stageTable(streamDir: java.nio.file.Path, tablePath: String): Unit = {
     val src = java.nio.file.Paths.get(tablePath)
     var staged = 0L
-    def linkParts(dir: java.nio.file.Path, prefix: String): Unit = {
+    def linkParts(dir: java.nio.file.Path, into: java.nio.file.Path): Unit = {
       val parts = java.nio.file.Files.list(dir)
       try parts.forEach { p =>
         if (java.nio.file.Files.isRegularFile(p) &&
             p.getFileName.toString.endsWith(".parquet")) {
           java.nio.file.Files.createSymbolicLink(
-            streamDir.resolve(prefix + p.getFileName.toString), p)
+            into.resolve(p.getFileName.toString), p)
           staged += 1
         }
       }
       finally parts.close()
     }
     if (java.nio.file.Files.isDirectory(src)) {
-      linkParts(src, "")
+      linkParts(src, streamDir)
       if (staged == 0L) {
         val subs = java.nio.file.Files.list(src)
         try subs.forEach { d =>
-          if (java.nio.file.Files.isDirectory(d))
-            linkParts(d, d.getFileName.toString
-              .replaceAll("[^A-Za-z0-9=._-]", "_") + "_")
+          if (java.nio.file.Files.isDirectory(d)) {
+            val sub = streamDir.resolve(d.getFileName.toString)
+            java.nio.file.Files.createDirectories(sub)
+            linkParts(d, sub)
+          }
         }
         finally subs.close()
       }

@@ -45,7 +45,9 @@ class QualityClassifierSpec extends AnyFunSuite {
   test("t23: one row per doc, held-out fifth, preds are score signs") {
     assert(out.length ===
       Tables.documents(spark, sfDir).count().toInt)
-    assert(out.count(_._5 == 1) === out.length / Text.qcFolds)
+    // ids 0..n-1 with id % folds == 0 number ceil(n / folds)
+    assert(out.count(_._5 == 1) ===
+      (out.length + Text.qcFolds - 1) / Text.qcFolds)
     out.foreach { case (did, y, s8, pred, held) =>
       assert(pred === (if (s8 > 0) 1 else 0))
       assert(held === (if (did % Text.qcFolds == 0) 1 else 0))

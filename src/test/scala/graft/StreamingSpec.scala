@@ -355,22 +355,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(names === Seq("documents.parquet"))
   }
 
-  test("stageTable recurses one level into hive-partitioned layouts") {
+  test("stageTable stages hive-partitioned layouts with partition VALUES intact") {
     val s = TestSpark.spark
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, count, lit}
     val root = TempArtifacts.scratchDir("graft_stage_hive")
     val table = root.resolve("t.parquet").toString
     s.range(10).toDF("v").withColumn("k", col("v") % 2)
       .write.partitionBy("k").parquet(table)
     val stage = TempArtifacts.scratchDir("graft_stage_hive_out")
     TempArtifacts.stageTable(stage, table)
-    val entries = java.nio.file.Files.list(stage).iterator()
-    val names = Iterator.continually(entries)
-      .takeWhile(_.hasNext).map(_.next().getFileName.toString).toSeq
-    assert(names.nonEmpty)
-    assert(names.forall(_.endsWith(".parquet")))
-    assert(names.exists(_.startsWith("k=0_")))
-    assert(names.exists(_.startsWith("k=1_")))
+    // the gate is the DATA, not the staged file names: a flattened
+    // staging reads schema-complete rows whose partition column is
+    // NULL — this drain must see the real k values
+    val schema = s.read.parquet(table).schema
+    val agg = s.readStream.schema(schema).parquet(stage.toString)
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("stage_hive")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    // partition discovery infers k as INT from the directory names
+    val rows = s.table("stage_hive").collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    s.catalog.dropTempView("stage_hive")
+    assert(rows === Map(0L -> 5L, 1L -> 5L),
+      s"partition values lost in staging: $rows")
   }
 
   test("stageTable fails loudly when a layout stages zero files") {
