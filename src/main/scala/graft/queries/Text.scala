@@ -1653,6 +1653,99 @@ object Text {
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** t24 — BPE TOKEN-ID SEQUENCES: the tokenizer's actual production
+    * output — each document's ordered token-ID sequence under the
+    * frozen trained tokenizer, reported as (n_tokens, md5 digest of
+    * the comma-joined ids) so the gate stays row-per-doc while
+    * pinning the ENTIRE sequence byte-for-byte. IDs follow the
+    * production convention: base byte b → id b (0–255), merge rule r
+    * → id 255+r (GPT-2's 256-bytes-then-merge-ranks layout). Two
+    * merge rules CAN concatenate to the same symbol string (("AB","C")
+    * and ("A","BC") both yield "ABC"); the symbol→id map takes the
+    * EARLIEST rule, mirrored by the oracle's MIN(id) GROUP BY sym.
+    *
+    * Scale shape: the id derivation is vocabulary-sized (the t22
+    * dictionary with an id-array column — the merge chain plus one
+    * literal ≤[[bpeRounds]]-entry map lookup per symbol); documents
+    * re-assemble order via posexplode → dictionary join →
+    * collect_list(struct(pos, ids)) → array_sort → flatten — one
+    * doc_id-keyed shuffle whose per-group size is one document's
+    * tokens (bounded by definition). The dictionary join is
+    * shuffle_hash: corpus vocabulary is unbounded at 100 TB.
+    */
+  def bpeTokenIds(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMerges(spark, dir)
+    val symFinal = merges
+      .foldLeft("sym") { case (e, (_, l, r, _)) => mergeReplaceExpr(e, l, r) }
+    val idPairs = merges
+      .groupBy { case (_, l, r, _) => l + r }
+      .view.mapValues(_.map(m => 255 + m._1).min)
+      .toSeq.sortBy(_._2)
+    val mapExpr = idPairs
+      .map { case (s, id) => s"'$s', $id" }.mkString("map(", ", ", ")")
+    val dict = bpeVocab(spark, dir).select(col("word"), expr(
+      s"""transform(split($symFinal, ' '),
+         |  s -> coalesce(element_at($mapExpr, s),
+         |                CAST(conv(s, 16, 10) AS INT)))""".stripMargin)
+      .as("ids"))
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode_outer(bpeWords(col("text"))).as(Seq("pos", "word")))
+      .filter(col("word").isNotNull)
+      .join(dict.hint("shuffle_hash"), "word")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("ids"))))
+        .as("ent"))
+      .select(col("doc_id"),
+        expr("flatten(transform(ent, e -> e.ids))").as("ids"))
+      .select(col("doc_id"), size(col("ids")).as("n_tokens"),
+        md5(expr(
+          "array_join(transform(ids, i -> CAST(i AS STRING)), ',')"))
+          .as("ids_md5"))
+    Tables.documents(spark, dir).select("doc_id")
+      .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0)).as("n_tokens"),
+        coalesce(col("ids_md5"), md5(lit(""))).as("ids_md5"))
+      .orderBy("doc_id")
+  }
+
+  val bpeTokenIdsSql: String = {
+    val rows = (1 to bpeRounds).map(r =>
+      s"SELECT replace(pair, ' ', '') AS sym, 255 + $r AS id FROM p$r")
+      .mkString("\n    UNION ALL ")
+    s"""WITH ${bpeChainCtes(lastWord = true)}, mergeids AS (
+       |  SELECT sym, MIN(id) AS id FROM (
+       |    $rows) m
+       |  GROUP BY sym
+       |), wsym AS (
+       |  SELECT word, unnest(string_split(sym, ' ')) AS s,
+       |    generate_subscripts(string_split(sym, ' '), 1) AS i
+       |  FROM w$bpeRounds
+       |), wids AS (
+       |  SELECT word, list(COALESCE(m.id, CAST(('0x' || s) AS INT))
+       |    ORDER BY i) AS ids
+       |  FROM wsym LEFT JOIN mergeids m ON m.sym = wsym.s
+       |  GROUP BY word
+       |), docw AS (
+       |  SELECT doc_id, unnest(${bpeWordsSql("text")}) AS word,
+       |    generate_subscripts(${bpeWordsSql("text")}, 1) AS pos
+       |  FROM documents
+       |), docids AS (
+       |  SELECT doc_id, flatten(list(ids ORDER BY pos)) AS ids
+       |  FROM docw JOIN wids USING (word)
+       |  GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(len(ids), 0) AS INT) AS n_tokens,
+       |  COALESCE(md5(array_to_string(
+       |    list_transform(ids, x -> CAST(x AS VARCHAR)), ',')),
+       |    md5('')) AS ids_md5
+       |FROM documents d LEFT JOIN docids USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   /** Hashed-feature dimensionality for the learned quality classifier
     * (t23 + ml09) — the hashing-trick bucket count, shared by the
     * closed-form scorer and the spark.ml LogisticRegression twin.
@@ -1823,6 +1916,7 @@ object Text {
        |ORDER BY doc_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t24_bpe_token_ids" -> bpeTokenIds _,
     "t23_quality_classifier" -> qualityClassifier _,
     "t22_bpe_encode" -> bpeEncode _,
     "t21_bpe_train" -> bpeTrain _,
@@ -1849,6 +1943,7 @@ object Text {
   )
 
   def oracles: Map[String, String] = Map(
+    "t24_bpe_token_ids" -> bpeTokenIdsSql,
     "t23_quality_classifier" -> qualityClassifierSql,
     "t22_bpe_encode" -> bpeEncodeSql,
     "t21_bpe_train" -> bpeTrainSql,

@@ -68,7 +68,9 @@ class GoldenSpec extends AnyFunSuite {
     "t21_bpe_train", "t22_bpe_encode", "w15_streaming_tokens",
     // round-14: the learned quality classifier — exact integer
     // scoring, so golden-able per doc; ml09's bands lock shape only
-    "t23_quality_classifier", "ml09_quality_lr")
+    "t23_quality_classifier", "ml09_quality_lr",
+    // round-14: per-doc token-id sequence digests
+    "t24_bpe_token_ids")
 
   private def render(df: DataFrame): Seq[String] = {
     val header = df.columns.mkString("\t")

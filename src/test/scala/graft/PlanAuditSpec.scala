@@ -130,7 +130,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // the 11 broadcasts are all BOUNDED sides — 1-row med/totals
     // scalars and the ≤qcDim-row weight table. A docs-scale frame
     // joining as a broadcast would move these numbers and fail here.
-    "t23_quality_classifier" -> ((19, 24, 1, 11)))
+    "t23_quality_classifier" -> ((19, 24, 1, 11)),
+    // t24: dictionary join (shuffle_hash) + per-doc order reassembly
+    // + coverage left join; 0 broadcasts — the vocabulary-sized id
+    // dictionary must never become a driver hash relation
+    "t24_bpe_token_ids" -> ((5, 4, 1, 0)))
 
   exchangePins.foreach { case (name, (hash, rr, range, bcast)) =>
     test(s"$name: exchange counts stay pinned") {

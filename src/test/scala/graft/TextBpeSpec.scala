@@ -191,6 +191,23 @@ class TextBpeSpec extends AnyFunSuite {
     assert(bad === 0L)
   }
 
+  test("t24 token-id sequences agree with t22's counts and the id layout") {
+    import org.apache.spark.sql.functions.col
+    val ids = Text.bpeTokenIds(spark, sfDir)
+    assert(ids.columns.toSeq === Seq("doc_id", "n_tokens", "ids_md5"))
+    // internal consistency: the sequence length per doc IS t22's
+    // token count — two independent spellings of the same tokenizer
+    val enc = Text.bpeEncode(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens").cast("int").as("n22"))
+    val diff = ids.join(enc, "doc_id")
+      .filter(col("n_tokens") =!= col("n22")).count()
+    assert(diff === 0L)
+    // one row per doc; digests are md5-shaped; empty docs digest ""
+    assert(ids.count() === Tables.documents(spark, sfDir).count())
+    val bad = ids.filter("ids_md5 not rlike '^[0-9a-f]{32}$'").count()
+    assert(bad === 0L)
+  }
+
   test("byte-level fuzz: multi-byte UTF-8 vocabularies match the reference") {
     // words mixing 1-byte (ascii), 2-byte (é/ü) and 3-byte (中) chars;
     // sym built by an independent pure-Scala hex-pair byte split, so
