@@ -1071,7 +1071,17 @@ object Text {
     * Determinism: the t14/t15 discipline — each DISTINCT word's log
     * ratio is floor-rounded to 4 dp once, multiplied by integer
     * per-doc counts, and summed as integers, so document scores are
-    * aggregation-order independent and bit-identical cross-engine.
+    * aggregation-order independent and bit-identical cross-engine
+    * WITHIN the engines' shared ln values. Known latent class
+    * (round 14, observed in t23's first spelling): Java Math.log and
+    * DuckDB's libm log can differ by 1 ulp, and a floor boundary
+    * turns that into ±1e-4 drift for the affected word. DSIR is
+    * DEFINED on log-likelihood ratios so the ln stays; if a gate
+    * ever flakes here with ±1 lw4 drift on one word, that is this
+    * class — the escalation is a higher-precision shared log table,
+    * not a corpus bug hunt (t23 escaped it entirely by moving to
+    * pure-integer probability-difference weights, an option DSIR's
+    * definition does not allow).
     *
     * Scale shape: the token stream is reduced to (doc, word, n)
     * BEFORE any join (bounded by distinct per-doc words); model
