@@ -308,11 +308,32 @@ object Dedup {
     * document text never shuffles, and the quadratic-cost exact metric
     * runs on candidate pairs only, never all pairs.
     *
-    * Engine caveat, documented: Spark's `levenshtein` counts CHARS,
-    * DuckDB's counts BYTES; they agree on this ASCII corpus (pinned by
-    * DedupSpec) and diverge on multi-byte code points.
+    * Unit portability (round 14): Spark's `levenshtein` counts
+    * CODEPOINTS, DuckDB's counts BYTES — on multi-byte text the raw
+    * distances genuinely differ (measured on the rich corpus: lev 54
+    * vs 57 on a café/中文-bearing pair; the round-13 "agrees on ASCII"
+    * caveat stopped being hypothetical). Both engines therefore
+    * measure the distance over the ASCII PROJECTION of the text
+    * ([[asciiProj]]: every non-ASCII codepoint → '?'), where
+    * codepoint == byte and the two implementations are exactly equal.
+    * Tradeoff, documented: substituting one non-ASCII codepoint for
+    * another counts 0 instead of 1 — acceptable for a near-dup
+    * VERIFICATION refinement (candidates already share shingles) and
+    * far better than a gate that silently depends on which engine's
+    * unit you ask. Residual: astral-plane codepoints project to '??'
+    * under Java's UTF-16 chars vs '?' under RE2 runes — none exist in
+    * any test corpus; revisit with a codepoint-class regex if one
+    * ever does.
     */
   val editSimThreshold = 0.8
+
+  /** ASCII projection for the edit metric — engine side. */
+  private def asciiProj(c: Column): Column =
+    regexp_replace(c, "[^\\x00-\\x7F]", "?")
+
+  /** The identical projection, DuckDB side. */
+  private def asciiProjSql(e: String): String =
+    s"""regexp_replace($e, '[^\\x00-\\x7F]', '?', 'g')"""
 
   /** Candidate-pair cardinality above which d11 stops broadcasting the
     * candidate side and falls back to shuffle_hash joins. 64k pairs ×
@@ -348,8 +369,13 @@ object Dedup {
       cands: DataFrame, broadcastCands: Boolean): DataFrame = {
     OptimizerBarrier.register(spark)
     val docs = Tables.documents(spark, dir)
-    val t1 = docs.select(col("doc_id").as("d1"), col("text").as("t1"))
-    val t2 = docs.select(col("doc_id").as("d2"), col("text").as("t2"))
+    // asciiProj: the edit metric runs on the ASCII projection so the
+    // codepoint-vs-byte levenshtein unit mismatch can't bite (see
+    // the editSimThreshold doc)
+    val t1 = docs.select(col("doc_id").as("d1"),
+      asciiProj(col("text")).as("t1"))
+    val t2 = docs.select(col("doc_id").as("d2"),
+      asciiProj(col("text")).as("t2"))
     val paired =
       if (broadcastCands) {
         // both joins broadcast the (bounded, measured) candidate side;
@@ -389,13 +415,16 @@ object Dedup {
 
   val neardupVerifiedSql: String =
     s"""WITH $lshCandidatesCteSql,
+       |prj AS (
+       |  SELECT doc_id, ${asciiProjSql("text")} AS text FROM documents
+       |),
        |v AS (
        |  SELECT d1, d2, levenshtein(ta.text, tb.text) AS lev,
        |    ${Exact.round4Sql(
             "1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE) " +
               "/ GREATEST(length(ta.text), length(tb.text), 1)")} AS edit_sim
-       |  FROM cand JOIN documents ta ON ta.doc_id = d1
-       |            JOIN documents tb ON tb.doc_id = d2)
+       |  FROM cand JOIN prj ta ON ta.doc_id = d1
+       |            JOIN prj tb ON tb.doc_id = d2)
        |SELECT d1, d2, CAST(lev AS BIGINT) AS lev, edit_sim FROM v
        |WHERE edit_sim >= $editSimThreshold
        |ORDER BY d1, d2""".stripMargin
