@@ -1742,33 +1742,43 @@ object Text {
     val rows = (1 to bpeRounds).map(r =>
       s"SELECT replace(pair, ' ', '') AS sym, 255 + $r AS id FROM p$r")
       .mkString("\n    UNION ALL ")
-    s"""WITH ${bpeChainCtes(lastWord = true)}, mergeids AS (
+    s"""WITH ${bpeChainCtes(lastWord = true)}, mergeids AS MATERIALIZED (
        |  SELECT sym, MIN(id) AS id FROM (
        |    $rows) m
        |  GROUP BY sym
-       |), wsym AS (
+       |), wsym AS MATERIALIZED (
        |  SELECT word, unnest(string_split(sym, ' ')) AS s,
        |    generate_subscripts(string_split(sym, ' '), 1) AS i
        |  FROM w$bpeRounds
-       |), wids AS (
-       |  SELECT word, list(COALESCE(m.id, CAST(('0x' || s) AS INT))
-       |    ORDER BY i) AS ids
+       |), wids AS MATERIALIZED (
+       |  SELECT word,
+       |    string_agg(CAST(COALESCE(m.id, CAST(('0x' || s) AS INT))
+       |      AS VARCHAR), ',' ORDER BY i) AS idstr,
+       |    COUNT(*) AS nids
        |  FROM wsym LEFT JOIN mergeids m ON m.sym = wsym.s
        |  GROUP BY word
-       |), docw AS (
+       |), docw AS MATERIALIZED (
+       |  -- MATERIALIZED throughout (the bpeChainCtes discipline):
+       |  -- inlined, the optimizer fused the 50M-row occurrence
+       |  -- stream, the dictionary join and the ordered string_agg
+       |  -- into one pipeline that exceeded DuckDB's memory at the
+       |  -- rich sf10 gate; staged, each step fits comfortably
        |  SELECT doc_id, unnest(${bpeWordsSql("text")}) AS word,
        |    generate_subscripts(${bpeWordsSql("text")}, 1) AS pos
        |  FROM documents
-       |), docids AS (
-       |  SELECT doc_id, flatten(list(ids ORDER BY pos)) AS ids
+       |), docids AS MATERIALIZED (
+       |  -- ordered string_agg, NOT flatten(list(ids ORDER BY pos)):
+       |  -- nested per-doc id LISTS blew DuckDB's memory at the rich
+       |  -- sf10 gate (500k docs / 27M ids); the comma-joined digest
+       |  -- input is the same sequence built as flat strings
+       |  SELECT doc_id, CAST(SUM(nids) AS INT) AS n_tokens,
+       |    md5(string_agg(idstr, ',' ORDER BY pos)) AS ids_md5
        |  FROM docw JOIN wids USING (word)
        |  GROUP BY doc_id
        |)
        |SELECT d.doc_id,
-       |  CAST(COALESCE(len(ids), 0) AS INT) AS n_tokens,
-       |  COALESCE(md5(array_to_string(
-       |    list_transform(ids, x -> CAST(x AS VARCHAR)), ',')),
-       |    md5('')) AS ids_md5
+       |  COALESCE(n_tokens, 0) AS n_tokens,
+       |  COALESCE(ids_md5, md5('')) AS ids_md5
        |FROM documents d LEFT JOIN docids USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
   }
