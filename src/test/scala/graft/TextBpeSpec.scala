@@ -153,6 +153,98 @@ class TextBpeSpec extends AnyFunSuite {
     assert(checked === 10, s"only $checked/10 usable cases in $attempts")
   }
 
+  test("driver trainer: random vocabularies equal the pure-Scala reference") {
+    // the t25 in-memory trainer must implement EXACTLY the refBpe
+    // contract (pair weighting, (cnt DESC, pair ASC) tie-break,
+    // separator-consuming replace) — fuzzed over the same
+    // collision-heavy {a,b,c} space as the Spark loop
+    val rnd = new scala.util.Random(47)
+    var checked = 0
+    var attempts = 0
+    while (checked < 15 && attempts < 90) {
+      attempts += 1
+      val words = Seq.fill(3 + rnd.nextInt(8)) {
+        (1 to (1 + rnd.nextInt(7)))
+          .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }.distinct
+      val fixed = words.map(w => (1L + rnd.nextInt(9), w.toSeq.mkString(" ")))
+      val rounds = 1 + rnd.nextInt(10)
+      val ref = refBpe(fixed, rounds)
+      if (ref.length == rounds) {
+        val got = Text.bpeTrainDriver(fixed, rounds)
+        assert(got.merges === ref,
+          s"divergence on vocab ${fixed.mkString("[", ", ", "]")}")
+        assert(!got.exhausted)
+        checked += 1
+      }
+    }
+    assert(checked === 15, s"only $checked/15 usable cases in $attempts")
+  }
+
+  test("driver trainer: 1000-merge run equals the reference merge-for-merge") {
+    // the verdict's production-vocab bar: exact merge-table equality
+    // at vocab 1256 on a dictionary rich enough to sustain 1000
+    // rounds (the naive reference recounts every pair every round —
+    // quadratic but fine at spec scale)
+    val rnd = new scala.util.Random(83)
+    val alphabet = "abcdefgh"
+    val words = Seq.fill(900) {
+      (1 to (4 + rnd.nextInt(9)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }.distinct
+    val fixed = words.map(w => (1L + rnd.nextInt(50), w.toSeq.mkString(" ")))
+    val rounds = 1000
+    val ref = refBpe(fixed, rounds)
+    assert(ref.length === rounds, s"dictionary exhausted at ${ref.length}")
+    val got = Text.bpeTrainDriver(fixed, rounds, checkpointRound = 12)
+    assert(got.merges === ref)
+    assert(!got.exhausted)
+    // compression accounting: totals strictly fall 0 → 12 → 1000
+    assert(got.tokensFinal < got.tokensAtCheckpoint)
+    assert(got.tokensAtCheckpoint < got.tokensInitial)
+  }
+
+  test("driver trainer prefix equals the oracle-gated t21 artifact on sf0.001") {
+    val dict = Text.bpeVocab(spark, sfDir)
+      .select("freq", "sym").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val fast = Text.bpeTrainDriver(dict, Text.bpeRounds)
+    assert(fast.merges === Text.bpeMerges(spark, sfDir).toList)
+  }
+
+  test("t25 bands are all TRUE on sf0.001") {
+    val row = Text.bpeTrainLarge(spark, sfDir).collect()
+    assert(row.length === 1)
+    val r = row(0)
+    (0 until r.length).foreach { i =>
+      assert(r.getBoolean(i), s"band ${Text.bpeTrainLarge(spark, sfDir)
+        .columns(i)} is false")
+    }
+  }
+
+  test("a config-mismatched artifact is refused (decode None → retrain)") {
+    val s = spark
+    import s.implicits._
+    // v2-shaped table but trained to a DIFFERENT vocab target: a
+    // consumer must refuse it — encoding under it would silently
+    // apply the wrong tokenizer
+    val stale = Seq((1, "61", "62", 5L, Text.bpeFormatVersion,
+      Text.bpeWordPattern, 9999, Text.bpeAlphabet))
+      .toDF("round", "lhs", "rhs", "cnt", "fmt_version", "word_pattern",
+        "vocab_target", "alphabet")
+    assert(Text.bpeArtifactDecode(stale).isEmpty)
+    // pre-v2 table (no config payload at all): refused on schema
+    val prev2 = Seq((1, "61", "62", 5L)).toDF("round", "lhs", "rhs", "cnt")
+    assert(Text.bpeArtifactDecode(prev2).isEmpty)
+    // the published artifact itself decodes (ensure it exists first)
+    val published = Text.bpeMerges(spark, sfDir)
+    assert(published.nonEmpty)
+    val good = PlanMemo.publishedParquet(spark, sfDir, "bpe_merges")(
+      sys.error("artifact must already be published"))
+    assert(Text.bpeArtifactDecode(good).nonEmpty)
+    assert(Text.bpeArtifactDecode(good).get === Text.bpeMerges(spark, sfDir))
+  }
+
   test("map-side ntok expression equals the dictionary over the full vocabulary") {
     // w15 applies the frozen tokenizer per occurrence via
     // bpeNtokExpr; t22 joins the dictionary built by bpeEncodeDict.
