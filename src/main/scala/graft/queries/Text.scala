@@ -2031,6 +2031,64 @@ object Text {
   }
 
   // ---------------------------------------------------------------
+  /** t26 — TOKENIZER FERTILITY under the FROZEN t21 artifact
+    * (round-15 verdict "next" 5, the t12 re-spelling): per-language
+    * word/token/byte totals with bytes-per-token and tokens-per-word
+    * (fertility) — the numbers tokenizer teams actually watch.
+    * Byte-level BPE has no true OOV (t12's induced-vocab OOV rate is
+    * the pre-BPE spelling), so coverage under the SHIPPED tokenizer
+    * is compression: how many bytes each learned token carries per
+    * language, and how many subword tokens a word fragments into.
+    *
+    * Scale shape: exactly t22's — per-(lang, word) counts
+    * partial-aggregate before the vocabulary-sized dictionary join
+    * (shuffle_hash: corpus vocabulary is unbounded at 100 TB), then a
+    * lang-keyed aggregate of pure integer sums; the two ratios are
+    * round4 doubles over those integers (aggregation-order
+    * independent). The dictionary is [[bpeEncodeDict]] over the
+    * published artifact — the same frozen-tokenizer spelling t22
+    * (batch) and w15 (stream, via [[bpeNtokExpr]], spec-pinned equal)
+    * consume.
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val dict = bpeEncodeDict(bpeMerges(spark, dir), bpeVocab(spark, dir))
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode_outer(bpeWords(col("text"))).as("word"))
+      .filter(col("word").isNotNull)
+      .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+      .join(dict.hint("shuffle_hash"), "word")
+      .groupBy("lang")
+      .agg(sum("cnt").as("n_words"),
+        sum(col("cnt") * col("ntok")).as("n_tokens"),
+        sum(col("cnt") * octet_length(col("word"))).as("n_bytes"))
+      .select(col("lang"), col("n_words"), col("n_tokens"), col("n_bytes"),
+        Exact.round4(col("n_bytes").cast("double") / col("n_tokens"))
+          .as("bytes_per_token"),
+        Exact.round4(col("n_tokens").cast("double") / col("n_words"))
+          .as("tokens_per_word"))
+      .orderBy("lang")
+  }
+
+  val tokenizerFertilitySql: String =
+    s"""WITH $bpeDictCteSql, lw AS (
+       |  SELECT lang, word, COUNT(*) AS cnt FROM (
+       |    SELECT lang, unnest(${bpeWordsSql("text")}) AS word
+       |    FROM documents) t
+       |  GROUP BY lang, word
+       |), agg AS (
+       |  SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_words,
+       |    CAST(SUM(cnt * ntok) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(cnt * strlen(word)) AS BIGINT) AS n_bytes
+       |  FROM lw JOIN dict USING (word) GROUP BY lang
+       |)
+       |SELECT lang, n_words, n_tokens, n_bytes,
+       |  ${Exact.round4Sql("CAST(n_bytes AS DOUBLE) / n_tokens")}
+       |    AS bytes_per_token,
+       |  ${Exact.round4Sql("CAST(n_tokens AS DOUBLE) / n_words")}
+       |    AS tokens_per_word
+       |FROM agg ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Hashed-feature dimensionality for the learned quality classifier
     * (t23 + ml09) — the hashing-trick bucket count, shared by the
     * closed-form scorer and the spark.ml LogisticRegression twin.
@@ -2201,6 +2259,7 @@ object Text {
        |ORDER BY doc_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t26_tokenizer_fertility" -> tokenizerFertility _,
     "t25_bpe_train_large" -> bpeTrainLarge _,
     "t24_bpe_token_ids" -> bpeTokenIds _,
     "t23_quality_classifier" -> qualityClassifier _,
@@ -2229,6 +2288,7 @@ object Text {
   )
 
   def oracles: Map[String, String] = Map(
+    "t26_tokenizer_fertility" -> tokenizerFertilitySql,
     "t25_bpe_train_large" -> bpeTrainLargeSql,
     "t24_bpe_token_ids" -> bpeTokenIdsSql,
     "t23_quality_classifier" -> qualityClassifierSql,

@@ -300,6 +300,31 @@ class TextBpeSpec extends AnyFunSuite {
     assert(bad === 0L)
   }
 
+  test("t26 fertility: totals conserve t22's accounting, ratios bounded") {
+    import org.apache.spark.sql.functions.col
+    val fert = Text.tokenizerFertility(spark, sfDir)
+    assert(fert.columns.toSeq === Seq("lang", "n_words", "n_tokens",
+      "n_bytes", "bytes_per_token", "tokens_per_word"))
+    val rows = fert.collect()
+    assert(rows.nonEmpty)
+    // per-lang totals re-sum to t22's corpus-wide accounting — two
+    // independent groupings of the same frozen tokenizer
+    val enc = Text.bpeEncode(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum("n_words"),
+        org.apache.spark.sql.functions.sum("n_tokens")).head()
+    assert(rows.map(_.getLong(1)).sum === enc.getLong(0))
+    assert(rows.map(_.getLong(2)).sum === enc.getLong(1))
+    rows.foreach { r =>
+      // every token carries >= 1 byte; every word is >= 1 token
+      assert(r.getDouble(4) >= 1.0, s"bytes_per_token < 1 for ${r.get(0)}")
+      assert(r.getDouble(5) >= 1.0, s"tokens_per_word < 1 for ${r.get(0)}")
+      assert(r.getLong(3) >= r.getLong(2))
+      assert(r.getLong(2) >= r.getLong(1))
+    }
+    // the learned merges actually compress: corpus-wide bpt > 1
+    assert(rows.map(_.getLong(3)).sum > rows.map(_.getLong(2)).sum)
+  }
+
   test("byte-level fuzz: multi-byte UTF-8 vocabularies match the reference") {
     // words mixing 1-byte (ascii), 2-byte (é/ü) and 3-byte (中) chars;
     // sym built by an independent pure-Scala hex-pair byte split, so
