@@ -38,11 +38,14 @@ object Packing {
     * crosses. A doc with `spans > 1` is split across training
     * sequences — the packing loss every pipeline monitors.
     */
-  def packChunks(spark: SparkSession, dir: String): DataFrame = {
+  /** The ONE spelling of concat-and-chunk placement over a
+    * (lang, doc_id, n_tok) frame — shared by p01 (whitespace tokens)
+    * and p07 (real BPE token ids) so the two packings cannot drift.
+    */
+  private def placed(base: DataFrame): DataFrame = {
     val w = Window.partitionBy("lang").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-    Tables.documents(spark, dir)
-      .select(col("lang"), col("doc_id"), expr(sparkNTok).as("n_tok"))
+    base
       .withColumn("tok_offset", coalesce(sum("n_tok").over(w), lit(0L)))
       .withColumn("first_chunk", floor(col("tok_offset") / chunkTokens))
       .withColumn("last_chunk",
@@ -53,6 +56,10 @@ object Packing {
         "first_chunk", "last_chunk", "spans")
       .orderBy("lang", "doc_id")
   }
+
+  def packChunks(spark: SparkSession, dir: String): DataFrame =
+    placed(Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), expr(sparkNTok).as("n_tok")))
 
   // Every derived integer is CAST(... AS BIGINT): DuckDB's windowed
   // SUM(int) is HUGEINT (int128), which the driver's pandas bridge
@@ -404,7 +411,60 @@ object Packing {
        |ORDER BY scheme, split""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  /** p07 — PACK THE REAL TOKENIZER OUTPUT (round-15 verdict "next"
+    * 2): concat-and-chunk placement over each document's ACTUAL
+    * byte-level BPE token-id sequence ([[Text.bpeTokenIdSeqs]] — the
+    * frame t24 digests), closing the pipeline loop: t21 trains the
+    * tokenizer, t24 materializes id sequences, p07 lays them into
+    * fixed-capacity training chunks. p01/p04 pack whitespace-token
+    * counts (the pre-tokenizer estimate); p07 is the number the
+    * training run actually consumes.
+    *
+    * Scale shape: the id pipeline is t24's (shuffle_hash dictionary
+    * join, per-doc bounded reassembly); the placement window is p01's
+    * per-shard prefix sum. Token counts reduce to (doc_id, n_tok)
+    * before the window — id arrays never enter the shuffle.
+    * Conservation is spec-pinned: Σ n_tok here = Σ t24 n_tokens.
+    */
+  def packBpeIds(spark: SparkSession, dir: String): DataFrame = {
+    val seqs = Text.bpeTokenIdSeqs(spark, dir)
+      .select(col("doc_id"), size(col("ids")).as("nt"))
+    placed(Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"))
+      .join(seqs.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("lang"), col("doc_id"),
+        coalesce(col("nt"), lit(0)).cast("long").as("n_tok")))
+  }
+
+  val packBpeIdsSql: String =
+    s"""WITH ${Text.bpeDictCteSql}, docw AS (
+       |  SELECT doc_id, word, COUNT(*) AS cnt FROM (
+       |    SELECT doc_id, unnest(${Text.bpeWordsSql("text")}) AS word
+       |    FROM documents) t
+       |  GROUP BY doc_id, word
+       |), enc AS (
+       |  SELECT doc_id, CAST(SUM(cnt * ntok) AS BIGINT) AS n_tok
+       |  FROM docw JOIN dict USING (word) GROUP BY doc_id
+       |), base AS (
+       |  SELECT d.lang, d.doc_id, CAST(COALESCE(e.n_tok, 0) AS BIGINT) AS n_tok
+       |  FROM documents d LEFT JOIN enc e USING (doc_id)
+       |), o AS (
+       |  SELECT lang, doc_id, n_tok,
+       |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS tok_offset
+       |  FROM base)
+       |SELECT lang, doc_id, n_tok, tok_offset,
+       |  CAST(tok_offset // $chunkTokens AS BIGINT) AS first_chunk,
+       |  CAST((tok_offset + GREATEST(n_tok, 1) - 1) // $chunkTokens AS BIGINT)
+       |    AS last_chunk,
+       |  CAST((tok_offset + GREATEST(n_tok, 1) - 1) // $chunkTokens
+       |    - tok_offset // $chunkTokens + 1 AS BIGINT) AS spans
+       |FROM o ORDER BY lang, doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p07_pack_bpe_ids" -> packBpeIds _,
     "p06_leakage_splits" -> leakageSplits _,
     "p05_curriculum_plan" -> curriculumPlan _,
     "p01_pack_chunks" -> packChunks _,
@@ -414,6 +474,7 @@ object Packing {
   )
 
   def oracles: Map[String, String] = Map(
+    "p07_pack_bpe_ids" -> packBpeIdsSql,
     "p06_leakage_splits" -> leakageSplitsSql,
     "p05_curriculum_plan" -> curriculumPlanSql,
     "p01_pack_chunks" -> packChunksSql,

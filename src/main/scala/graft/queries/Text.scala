@@ -1948,7 +1948,16 @@ object Text {
     * tokens (bounded by definition). The dictionary join is
     * shuffle_hash: corpus vocabulary is unbounded at 100 TB.
     */
-  def bpeTokenIds(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-document token-ID SEQUENCES themselves — (doc_id, ids
+    * array<int>), one row per document that has at least one word —
+    * the actual training-data product t24 digests and p07 packs into
+    * shards (round-15 verdict "next" 2). Pure plan builder (no
+    * caching) so each consumer's physical plan is the one
+    * PlanAuditSpec pins; the per-doc reassembly and the shuffle_hash
+    * dictionary join are the t24 scale shape documented there.
+    */
+  private[graft] def bpeTokenIdSeqs(
+      spark: SparkSession, dir: String): DataFrame = {
     val merges = bpeMerges(spark, dir)
     val symFinal = merges
       .foldLeft("sym") { case (e, (_, l, r, _)) => mergeReplaceExpr(e, l, r) }
@@ -1963,7 +1972,7 @@ object Text {
          |  s -> coalesce(element_at($mapExpr, s),
          |                CAST(conv(s, 16, 10) AS INT)))""".stripMargin)
       .as("ids"))
-    val perDoc = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select(col("doc_id"),
         posexplode_outer(bpeWords(col("text"))).as(Seq("pos", "word")))
       .filter(col("word").isNotNull)
@@ -1973,6 +1982,10 @@ object Text {
         .as("ent"))
       .select(col("doc_id"),
         expr("flatten(transform(ent, e -> e.ids))").as("ids"))
+  }
+
+  def bpeTokenIds(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = bpeTokenIdSeqs(spark, dir)
       .select(col("doc_id"), size(col("ids")).as("n_tokens"),
         md5(expr(
           "array_join(transform(ids, i -> CAST(i AS STRING)), ',')"))

@@ -32,6 +32,28 @@ class PackingSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("p07 conserves t24's token accounting and covers every document") {
+    // Σ n_tok in the packed layout = Σ t24 n_tokens — the shards
+    // carry exactly the tokenizer's output, nothing dropped or
+    // double-packed (round-15 verdict "next" 2's conservation bar)
+    val packed = Packing.packBpeIds(spark, sfDir)
+    val pSum = packed.agg(sum("n_tok")).head().getLong(0)
+    val tSum = Text.bpeTokenIds(spark, sfDir)
+      .agg(sum("n_tokens")).head().getLong(0)
+    assert(pSum === tSum)
+    assert(packed.count() === Tables.documents(spark, sfDir).count())
+    // offsets are gap-free prefix sums within each lang shard (the
+    // p01 invariant, re-proven over the real BPE counts)
+    packed.select("lang", "doc_id", "n_tok", "tok_offset").collect()
+      .groupBy(_.getString(0)).values.foreach { docs =>
+        var expect = 0L
+        docs.sortBy(_.getLong(1)).foreach { r =>
+          assert(r.getLong(3) === expect)
+          expect += r.getLong(2)
+        }
+      }
+  }
+
   test("shard manifest partitions the corpus and is layout-invariant") {
     val docs = Tables.documents(spark, sfDir).count()
     val m = Packing.shardManifest(spark, sfDir).collect()
