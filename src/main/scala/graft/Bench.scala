@@ -54,6 +54,14 @@ object Bench {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // SPARK_GRAFT_SQLCONF=k=v[,k=v...]: runtime conf toggles for
+    // benching conf-gated engine paths (e.g. the t23 production hash:
+    // spark.graft.qcHash=xxh64) without touching the recorded default.
+    sys.env.get("SPARK_GRAFT_SQLCONF").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
+
     // JVM/session warm-up so the first measured query doesn't absorb
     // executor start + codegen compiler cold-start.
     spark.range(1000000).selectExpr("sum(id)").write

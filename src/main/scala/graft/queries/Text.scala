@@ -2199,15 +2199,34 @@ object Text {
     * broadcast-safe side in the family at ANY corpus size. Doc-sized
     * frames (labels, scores) join shuffle_hash as usual.
     */
+  /** Feature-hash family for the classifier (round-15 verdict "next"
+    * 3): `md5` (default) is the cross-engine-portable [[fp64]]
+    * spelling the DuckDB twin replays; `xxh64` is the PRODUCTION path
+    * — Spark's codegen'd 64-bit xxHash (one shift/multiply pass per
+    * token vs md5's full digest), same hashing-trick semantics,
+    * selected via `spark.graft.qcHash`. The two paths train different
+    * (equally arbitrary) bucketings, so the engine path is gated on
+    * held-out separation quality (QualityClassifierSpec: AUC/accuracy
+    * floors match the md5 path's) rather than per-document hashes —
+    * exactly why md5 stays the oracle spelling.
+    */
+  private[graft] def qcHashMode(spark: SparkSession): String =
+    spark.conf.get("spark.graft.qcHash", "md5")
+
+  private[graft] def qcFeature(spark: SparkSession, w: Column): Column =
+    if (qcHashMode(spark) == "xxh64") pmod(xxhash64(w), lit(qcDim.toLong))
+    else fp64(w) % qcDim
+
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val hashMode = qcHashMode(spark)
     val labels = PlanMemo.cached(spark, s"text.qcLabels:$dir")(
       qcLabels(spark, dir))
-    val feats = PlanMemo.cached(spark, s"text.qcFeatures:$dir")(
+    val feats = PlanMemo.cached(spark, s"text.qcFeatures:$dir:$hashMode")(
       Tables.documents(spark, dir)
         .select(col("doc_id"),
           explode_outer(tokens(lower(col("text")))).as("w"))
         .filter(col("w").isNotNull)
-        .groupBy(col("doc_id"), (fp64(col("w")) % qcDim).as("f"))
+        .groupBy(col("doc_id"), qcFeature(spark, col("w")).as("f"))
         .agg(count(lit(1)).as("n")))
     val trainFeats = feats.join(labels.hint("shuffle_hash"), "doc_id")
       .filter(col("doc_id") % qcFolds =!= 0)
