@@ -36,6 +36,30 @@ object Probe {
     }
 
     what match {
+      case "qcagree" =>
+        // ml10 calibration diagnosis: raw threshold-pred agreement vs
+        // rate-matched (each model selecting its own top half of the
+        // held-out fifth) between t23 and the spark.ml LR twin
+        import org.apache.spark.sql.functions._
+        val t23 = Text.qualityClassifier(spark, dir)
+          .filter(col("heldout") === 1)
+          .select(col("doc_id"), col("score8"), col("pred").as("p23"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        val lr = MlQueries.qcLrPreds(spark, dir)
+          .select(col("doc_id"),
+            org.apache.spark.ml.functions.vector_to_array(col("rawPrediction"))
+              .getItem(1).as("raw"),
+            col("prediction").cast("int").as("plr"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+          .map(t => t._1 -> (t._2, t._3)).toMap
+        val n = t23.length
+        val raw = t23.count { case (id, _, p) => lr(id)._2 == p }.toDouble / n
+        val k = t23.count(_._3 == 1) // match t23's own selection rate
+        val sel23 = t23.sortBy(t => (-t._2, t._1)).take(k).map(_._1).toSet
+        val selLr = t23.map(t => (t._1, lr(t._1)._1))
+          .sortBy(t => (-t._2, t._1)).take(k).map(_._1).toSet
+        val rate = (sel23 & selLr).size.toDouble / math.max(k, 1)
+        println(f"PROBE qcagree n=$n raw=$raw%.3f k=$k rateMatched=$rate%.3f")
       case "d11" =>
         time("d11_cold") { run(Dedup.neardupVerified(spark, dir)) }
         spark.catalog.clearCache()

@@ -431,9 +431,14 @@ object MlQueries {
     * Memoized so the driver row and MlSpec's tighter empirical bands
     * share one training run.
     */
-  private[graft] def qcLrMetrics(spark: SparkSession, dir: String)
-      : (Double, Double, Long) =
-    PlanMemo.cachedValue(spark, s"ml.qcLr:$dir") {
+  /** Held-out per-document predictions of the ml09 LR twin — the
+    * pipeline-stage output ml10 checks for agreement with t23's
+    * closed-form scorer. Memoized cached frame: the model fit runs
+    * once per (session, corpus) and the transform survives the
+    * metrics evaluate + the ml10 join.
+    */
+  private[graft] def qcLrPreds(spark: SparkSession, dir: String): DataFrame =
+    PlanMemo.cached(spark, s"ml.qcLrPreds:$dir") {
       // the SAME memo key t23 uses, so one session computes the
       // corpus-wide teacher pass once across both entries (and the
       // persisted frame survives the LR fit/transform/evaluate chain
@@ -454,9 +459,16 @@ object MlQueries {
       val lr = new LogisticRegression()
         .setMaxIter(20).setRegParam(0.01)
         .setFeaturesCol("features").setLabelCol("label")
-      val pred = lr.fit(train).transform(eval)
+      lr.fit(train).transform(eval)
+        .select("doc_id", "label", "rawPrediction", "prediction")
+    }
+
+  private[graft] def qcLrMetrics(spark: SparkSession, dir: String)
+      : (Double, Double, Long) =
+    PlanMemo.cachedValue(spark, s"ml.qcLr:$dir") {
+      val pred = qcLrPreds(spark, dir)
       val Seq((_, auc), (_, acc)) = clsMetrics(pred)
-      (auc, acc, eval.count())
+      (auc, acc, pred.count())
     }
 
   /** ml09 — learned quality classifier, spark.ml twin of t23 (the
@@ -477,7 +489,53 @@ object MlQueries {
         "band_eval_nonempty")
   }
 
+  /** ml10 — SCORING PARITY between the two quality classifiers
+    * (round-15 verdict "next" 8): the spark.ml LR twin checked as a
+    * PIPELINE STAGE, not just a metric — on the held-out fifth, each
+    * model selects its own top q fraction (q = t23's positive rate;
+    * the per-model (1−q) score quantile is the cutoff) and the two
+    * SELECTIONS must agree on ≥ 80% of documents. Rate-matched
+    * selection, not raw pred comparison, because the raw thresholds
+    * calibrate differently — t23 cuts at score 0 (no intercept), LR
+    * fits one — and MEASURED raw agreement swings 0.62→0.83→0.98
+    * across sf0.001→0.1 on intercept placement alone, while
+    * rate-matched agreement holds 0.88–0.98 (Probe `qcagree`). The
+    * selection is also the decision a curation pipeline actually
+    * ships ("keep the top q%"). Floor 0.8 sits under the measured
+    * minimum (0.878 at sf0.01) the way every ML band here does.
+    *
+    * Scale shape: one shuffle_hash join of two held-out-fifth-sized
+    * frames, two single-pass aggregations (rate + the two quantiles),
+    * one agreement count — no global sort, no driver-side ranking.
+    */
+  def qcAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val lr = qcLrPreds(spark, dir)
+      .select(col("doc_id"),
+        vector_to_array(col("rawPrediction")).getItem(1).as("raw"))
+    val t23 = Text.qualityClassifier(spark, dir)
+      .filter(col("heldout") === 1)
+      .select(col("doc_id"), col("score8"), col("pred"))
+    // shuffle_hash: both sides are held-out-fifth-sized (corpus-scale);
+    // memoized so the rate, cutoff and agreement passes share one join
+    val j = PlanMemo.cached(spark, s"ml.qcAgree:$dir")(
+      lr.join(t23.hint("shuffle_hash"), "doc_id"))
+    val q = j.agg(avg(col("pred").cast("double"))).head().getDouble(0)
+    val frac = math.min(math.max(1.0 - q, 0.0), 1.0)
+    val cuts = j.agg(
+      expr(s"percentile(score8, ${frac}D)").as("c23"),
+      expr(s"percentile(raw, ${frac}D)").as("clr")).head()
+    val (c23, cLr) = (cuts.getDouble(0), cuts.getDouble(1))
+    val row = j.agg(count(lit(1)).as("n"),
+      sum(when((col("score8") > c23) === (col("raw") > cLr), 1L)
+        .otherwise(0L)).as("agree")).head()
+    val (n, agree) = (row.getLong(0), row.getLong(1))
+    import spark.implicits._
+    Seq((n > 0L, agree * 10L >= n * 8L, agree <= n))
+      .toDF("band_eval_nonempty", "band_selection_agreement", "band_bounded")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml10_qc_agreement" -> qcAgreement _,
     "ml09_quality_lr" -> qualityClassifierLr _,
     "ml01_vectorize_scale" -> vectorizeScale _,
     "ml02_lr_regression" -> lrRegression _,
@@ -501,6 +559,8 @@ object MlQueries {
     cols.map(c => s"TRUE AS $c").mkString("SELECT ", ", ", "")
 
   def oracles: Map[String, String] = Map(
+    "ml10_qc_agreement" -> trueOracle(
+      "band_eval_nonempty", "band_selection_agreement", "band_bounded"),
     "ml09_quality_lr" -> trueOracle(
       "band_auc", "band_accuracy", "band_bounded", "band_eval_nonempty"),
     "ml01_vectorize_scale" -> trueOracle(

@@ -108,4 +108,28 @@ class QualityClassifierSpec extends AnyFunSuite {
     val bands = MlQueries.qualityClassifierLr(spark, sfDir).collect()(0)
     assert((0 until 4).forall(bands.getBoolean), s"driver bands: $bands")
   }
+
+  test("ml10: rate-matched selections of LR twin and t23 agree held-out") {
+    // the measured agreement backs the constant-TRUE driver oracle:
+    // independent driver-side recomputation of the rate-matched
+    // selection (each model keeps its own top-k by score, k = t23's
+    // positive count) — measured 0.915/0.878/0.979 at sf0.001/.01/.1
+    val lr = MlQueries.qcLrPreds(spark, sfDir)
+      .select(col("doc_id"),
+        org.apache.spark.ml.functions.vector_to_array(col("rawPrediction"))
+          .getItem(1).as("raw"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val held = out.filter(_._5 == 1)
+    assert(lr.keySet === held.map(_._1).toSet,
+      "LR eval split differs from t23's held-out fifth")
+    val k = held.count(_._4 == 1)
+    val sel23 = held.sortBy(h => (-h._3, h._1)).take(k).map(_._1).toSet
+    val selLr = held.map(h => (h._1, lr(h._1)))
+      .sortBy(t => (-t._2, t._1)).take(k).map(_._1).toSet
+    val agree = (sel23 & selLr).size.toDouble / math.max(k, 1)
+    info(f"ml10 rate-matched selection agreement $agree%.3f at k=$k")
+    assert(agree >= 0.85, f"selection agreement $agree%.3f under 0.85")
+    val bands = MlQueries.qcAgreement(spark, sfDir).collect()(0)
+    assert((0 until 3).forall(bands.getBoolean), s"driver bands: $bands")
+  }
 }
