@@ -462,12 +462,47 @@ object Dedup {
     * bounded by `maxShingleDf`, so per-row memory and pair fan-out
     * stay capped at 100 TB exactly like the old anti-join cap did.
     */
-  def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+  /** Corpus-size threshold above which d03 delegates to the
+    * prefix-filtered kernel (round-15 verdict "next" 4): the posting
+    * pipeline's pair emission is Σ df² — adjudicated CONVEX above
+    * ~150k documents on fixed-vocab corpora (SCALE.md: 9.7× at 10×
+    * data on the sf1→sf10 ladder, the worst ratio on the board) —
+    * while PPJoin stays candidate-bounded. The two kernels share one
+    * oracle and emit identical (d1, d2, inter, jaccard) rows at every
+    * committed SF (DedupKernelSpec pins set equality), so the switch
+    * is invisible to d03's gate and to the d08/d09/p06 consumers.
+    * Documented residual (unchanged from d19): a qualifying pair
+    * whose ONLY shared shingles exceed [[maxShingleDf]] is dropped by
+    * the posting cap but retained by the prefix kernel when those
+    * shingles rank inside a prefix — unobserved on every gated corpus
+    * (max df ≈ 25 at sf0.01; both kernels pass the capped oracle at
+    * all committed SFs).
+    */
+  val jaccardDelegateDocs = 150000L
+
+  /** Memoized corpus document count — parquet-metadata cheap; decides
+    * the d03 kernel once per (session, corpus).
+    */
+  private def corpusDocs(spark: SparkSession, dir: String): Long =
+    PlanMemo.cachedValue(spark, s"dedup.docCount:$dir")(
+      Tables.documents(spark, dir).count())
+
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    // conf override (specs force the delegation branch at any SF)
+    val cut = spark.conf
+      .get("spark.graft.jaccardDelegateDocs", jaccardDelegateDocs.toString)
+      .toLong
+    val kernel =
+      if (corpusDocs(spark, dir) > cut) "prefix" else "posting"
     // memoized: d03 sorts these pairs, d08/d09 run connected
     // components over them — one persisted pair set serves all three
-    // (the same shared-index pattern as lshBands for d02/d11/d13)
-    PlanMemo.cached(spark, s"dedup.jaccardPairs:$dir")(
-      buildJaccardPairs(spark, dir))
+    // (the same shared-index pattern as lshBands for d02/d11/d13);
+    // kernel-tagged key so a conf flip never serves the other
+    // kernel's cached frame
+    PlanMemo.cached(spark, s"dedup.jaccardPairs:$dir:$kernel")(
+      if (kernel == "prefix") buildPrefixPairs(spark, dir)
+      else buildJaccardPairs(spark, dir))
+  }
 
   private def buildJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     // NOT derived from the d19 sortedSets memo: layering the posting
@@ -726,7 +761,14 @@ object Dedup {
       .select("d1", "d2")
   }
 
-  def prefixJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def prefixJaccard(spark: SparkSession, dir: String): DataFrame =
+    buildPrefixPairs(spark, dir).orderBy("d1", "d2")
+
+  /** The PPJoin pipeline WITHOUT the presentation sort — d19's body,
+    * factored so [[jaccardPairs]] can delegate to it above
+    * [[jaccardDelegateDocs]].
+    */
+  private def buildPrefixPairs(spark: SparkSession, dir: String): DataFrame = {
     SortedInterSize.register(spark)
     val sets = sortedSets(spark, dir)
     val cand = prefixCand(spark, dir)
@@ -758,7 +800,6 @@ object Dedup {
         (size(col("fps1")) + size(col("fps2")) - col("inter"))))
       .filter(col("jaccard") >= jaccardThreshold)
       .select("d1", "d2", "inter", "jaccard")
-      .orderBy("d1", "d2")
   }
 
   /** DuckDB CTE block computing the verified near-dup pairs — the

@@ -219,6 +219,18 @@ class TextDedupSpec extends AnyFunSuite {
     assert(full.exceptAll(pref).count() === 0)
   }
 
+  test("d03 delegates to the prefix kernel above the size threshold") {
+    // force the delegation branch (threshold 0 -> every corpus is
+    // "large"); d03's public entry must return exactly the classic
+    // kernel's rows — the switch is invisible to the gate
+    val classic = Dedup.ngramJaccard(spark, sfDir).collect().map(_.toSeq)
+    spark.conf.set("spark.graft.jaccardDelegateDocs", "0")
+    try {
+      val delegated = Dedup.ngramJaccard(spark, sfDir).collect().map(_.toSeq)
+      assert(delegated.toSeq === classic.toSeq)
+    } finally spark.conf.unset("spark.graft.jaccardDelegateDocs")
+  }
+
   test("d19 bounds never prune a qualifying pair (adversarial corpus)") {
     // The PPJoin length/positional filters are pruning BOUNDS — any
     // off-by-one (prefix length, 0- vs 1-based positions, the ceil on
