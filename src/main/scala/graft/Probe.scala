@@ -36,6 +36,36 @@ object Probe {
     }
 
     what match {
+      case "exnodes" =>
+        // real exchange NODES in the executed tree (a cached
+        // relation's embedded build plan prints in toString but is
+        // not part of the tree) — warm, like the PlanAuditSpec pin
+        val name = sys.env.getOrElse("SPARK_GRAFT_QUERY", "d19_prefix_jaccard")
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        val plan = SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan
+        def countNodes(p: org.apache.spark.sql.execution.SparkPlan): Map[String, Int] = {
+          val b = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+          def walk(n: org.apache.spark.sql.execution.SparkPlan): Unit = {
+            val nm = n.getClass.getSimpleName
+            if (nm.contains("Exchange") || nm.contains("InMemoryTableScan"))
+              b(nm) += 1
+            n.children.foreach(walk)
+            n match {
+              case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+                walk(a.executedPlan)
+              case _ =>
+            }
+          }
+          walk(p)
+          b.toMap
+        }
+        println(s"PROBE exnodes $name ${countNodes(plan)}")
+      case "emission" =>
+        // d03-dispatch signal: sampled posting-emission pairs/doc
+        println(f"PROBE emission $dir " +
+          f"${Dedup.pairEmissionPerDoc(spark, dir)}%.1f pairs/doc")
       case "qcagree" =>
         // ml10 calibration diagnosis: raw threshold-pred agreement vs
         // rate-matched (each model selecting its own top half of the

@@ -462,15 +462,25 @@ object Dedup {
     * bounded by `maxShingleDf`, so per-row memory and pair fan-out
     * stay capped at 100 TB exactly like the old anti-join cap did.
     */
-  /** Corpus-size threshold above which d03 delegates to the
-    * prefix-filtered kernel (round-15 verdict "next" 4): the posting
-    * pipeline's pair emission is Σ df² — adjudicated CONVEX above
-    * ~150k documents on fixed-vocab corpora (SCALE.md: 9.7× at 10×
-    * data on the sf1→sf10 ladder, the worst ratio on the board) —
-    * while PPJoin stays candidate-bounded. The two kernels share one
-    * oracle and emit identical (d1, d2, inter, jaccard) rows at every
-    * committed SF (DedupKernelSpec pins set equality), so the switch
-    * is invisible to d03's gate and to the d08/d09/p06 consumers.
+  /** Pair-emission threshold (pairs per document) above which d03
+    * delegates to the prefix-filtered kernel (round-15 verdict "next"
+    * 4). The posting pipeline's pair emission is Σ df·(df−1)/2 — on
+    * df-SKEWED corpora (real text is Zipf) that sum is quadratic in
+    * the hot shingles and d03 goes convex (banked: zipf sf3 d03 62 s
+    * vs d19 13.6 s), while on uniform-df corpora d03 stays the faster
+    * kernel at every committed SF (gensf10: 16.8 s posting vs 23.5 s
+    * prefix — raw DOC COUNT would have dispatched this exactly
+    * wrong). So the dispatch key is the measured convexity driver
+    * itself: [[pairEmissionPerDoc]], a sampled estimate of the
+    * posting emission, probed once per (session, corpus). Measured
+    * values: ~60–90 on the uniform GenData ladder and the driver
+    * testdata, >10⁴ on zipf corpora — the default cut sits an order
+    * of magnitude above uniform and well below zipf.
+    *
+    * The two kernels share one oracle and emit identical
+    * (d1, d2, inter, jaccard) rows (forced-delegation spec pins row
+    * equality; both pass the same DuckDB gate), so the switch is
+    * invisible to d03's gate and to the d08/d09/p06 consumers.
     * Documented residual (unchanged from d19): a qualifying pair
     * whose ONLY shared shingles exceed [[maxShingleDf]] is dropped by
     * the posting cap but retained by the prefix kernel when those
@@ -478,22 +488,51 @@ object Dedup {
     * (max df ≈ 25 at sf0.01; both kernels pass the capped oracle at
     * all committed SFs).
     */
-  val jaccardDelegateDocs = 150000L
+  val jaccardDelegateEmission = 1000.0
 
-  /** Memoized corpus document count — parquet-metadata cheap; decides
-    * the d03 kernel once per (session, corpus).
-    */
+  /** Documents sampled by the emission probe. */
+  val jaccardProbeDocs = 20000.0
+
+  /** Memoized corpus document count — parquet-metadata cheap. */
   private def corpusDocs(spark: SparkSession, dir: String): Long =
     PlanMemo.cachedValue(spark, s"dedup.docCount:$dir")(
       Tables.documents(spark, dir).count())
 
+  /** Sampled posting-emission estimate: Σ df·(df−1)/2 over the
+    * shingle sets of a seeded ~[[jaccardProbeDocs]]-document sample,
+    * scaled by 1/p² (pair counts are quadratic in a uniform document
+    * sample) and reported PER DOCUMENT. The hot shingles — the only
+    * ones that can make the sum convex — are exactly the ones a 4%
+    * sample estimates well; the rare-df tail under-contributes to
+    * emission by definition. One shingle+count pass over the sample
+    * (codegen `shingle_fps`), memoized per (session, corpus); cost is
+    * ~probe-sample shingling, orders below one d03 run. The estimate
+    * ignores the [[maxShingleDf]] cap deliberately: a corpus whose
+    * lists crowd the cap is quadratic territory regardless of what
+    * the cap later drops.
+    */
+  private[graft] def pairEmissionPerDoc(
+      spark: SparkSession, dir: String): Double =
+    PlanMemo.cachedValue(spark, s"dedup.emissionProbe:$dir") {
+      val docs = math.max(corpusDocs(spark, dir).toDouble, 1.0)
+      val p = math.min(1.0, jaccardProbeDocs / docs)
+      val row = shingled(spark, dir)
+        .sample(withReplacement = false, p, seed = 7L)
+        .select(explode_outer(col("fps")).as("sh"))
+        .filter(col("sh").isNotNull)
+        .groupBy("sh").agg(count(lit(1)).as("df"))
+        .agg(sum(expr("df * (df - 1)")).as("e2")).head()
+      val e2 = if (row.isNullAt(0)) 0.0 else row.getLong(0).toDouble / 2.0
+      e2 / (p * p) / docs
+    }
+
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    // conf override (specs force the delegation branch at any SF)
+    // conf override (specs force either branch at any SF)
     val cut = spark.conf
-      .get("spark.graft.jaccardDelegateDocs", jaccardDelegateDocs.toString)
-      .toLong
+      .get("spark.graft.jaccardDelegateEmission",
+        jaccardDelegateEmission.toString).toDouble
     val kernel =
-      if (corpusDocs(spark, dir) > cut) "prefix" else "posting"
+      if (pairEmissionPerDoc(spark, dir) > cut) "prefix" else "posting"
     // memoized: d03 sorts these pairs, d08/d09 run connected
     // components over them — one persisted pair set serves all three
     // (the same shared-index pattern as lshBands for d02/d11/d13);
@@ -584,11 +623,21 @@ object Dedup {
     * d19 indexes the rarest ~(1−t) fraction of each doc, so common
     * shingles — exactly the ones with the quadratic df — never enter
     * a posting list, and the verify cost is candidates × one array
-    * intersection. The [[maxShingleDf]] stop-shingle cap still guards
-    * a pathological hot PREFIX shingle; under skew it almost never
-    * engages for d19 (hot shingles sort to the END of the df order,
-    * outside every prefix), so d19 even retains qualifying pairs
-    * whose only shared shingles d03's cap had to drop.
+    * intersection.
+    *
+    * CAP SEMANTICS (round-15, unified): the kernel operates on the
+    * SAME cap-filtered shingle space as d03 and the shared oracle —
+    * shingles with corpus df > [[maxShingleDf]] are removed from
+    * every document's set BEFORE sizing, prefix selection and verify
+    * (the standard stop-shingle discipline: an ultra-common shingle
+    * carries no dedup signal and only quadratic cost). Round 15's
+    * zipf-sf1 oracle gate caught the previous full-set verify
+    * diverging from the capped oracle the first time the cap actually
+    * engaged (114 vs 112 pairs, inter off by the capped shingles on
+    * 108 more) — on every cap-silent corpus the two spaces are
+    * identical, which is why all earlier gates passed. With one
+    * semantic, d03's size-gated delegation to this kernel is sound on
+    * any corpus.
     *
     * Measured (GenData, local[32], post-PPJoin-bounds): on ZIPF text
     * (real-text df skew, `GenData ... zipf`): d03 62 s vs d19 13.6 s
@@ -603,50 +652,65 @@ object Dedup {
     * flat/engineered token spaces, d19 for natural text.
     */
   /** The canonical-order shingle-set frame (doc_id, fps sorted) —
-    * MEMOIZED: it feeds FOUR plan branches (the df count, the prefix
-    * join, and both verify sides); unpersisted, the tokenize+md5
-    * pipeline (the dominant CPU) ran four times. No size(fps)>0
-    * filter: alias-inlining would drag the whole shingle derivation
-    * into a Filter (the PlanAuditSpec trap); empty-set docs simply
-    * produce no exploded rows and no candidates.
+    * the map-side UNCAPPED spelling, kept for SortedInterSizeSpec's
+    * parity fixtures; the d19 pipeline itself consumes
+    * [[cappedEnts]] (the cap-filtered space it shares with d03).
     */
   private[graft] def sortedSets(spark: SparkSession, dir: String): DataFrame =
-    // cachedEager: the four consumer branches become independent AQE
-    // leaf stages that would otherwise race four copies of the build
     PlanMemo.cachedEager(spark, s"dedup.sortedSets:$dir")(
       shingled(spark, dir)
         .withColumn("fps", array_sort(col("fps")))) // canonical order
 
-  /** Per-doc prefix entries (doc_id, n, pos, sh). */
-  private[graft] def prefixEntries(spark: SparkSession, dir: String): DataFrame = {
-    val ex = sortedSets(spark, dir)
-      .select(col("doc_id"), explode_outer(col("fps")).as("sh"))
-      .filter(col("sh").isNotNull)
-    val dfreq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
-    // per-doc (df, sh)-ascending order, keep the prefix: collect +
-    // array_sort on structs keeps the work in codegen after ONE
-    // shuffle by doc_id (a rank window would sort the same shuffle)
-    // shuffle_hash: `dfreq` is one row per distinct shingle — the
-    // corpus vocabulary, unbounded at scale — so it must meet the
-    // exploded stream via a shuffle, not a driver-built broadcast
-    ex.join(dfreq.hint("shuffle_hash"), "sh")
-      .groupBy("doc_id")
-      .agg(collect_list(struct(col("df"), col("sh"))).as("ent"))
+  /** The cap-filtered per-document shingle frame (doc_id, ent) with
+    * `ent` array_sorted by (df, sh) — the ONE materialized input of
+    * the prefix kernel. MEMOIZED + eager: it feeds the prefix slice
+    * AND both verify sides (each derives its view by projection);
+    * unpersisted, the tokenize+md5+df-join pipeline (the dominant
+    * CPU) would run three times, and the lazy-persist AQE race would
+    * build it concurrently. shuffle_hash: `dfreq` is one row per
+    * distinct shingle — the corpus vocabulary, unbounded at scale —
+    * so it meets the exploded stream via a shuffle, never a
+    * driver-built broadcast. The df ≤ [[maxShingleDf]] filter BEFORE
+    * the join is the cap-space projection shared with d03's posting
+    * filter; it also bounds every downstream posting list for free.
+    */
+  private[graft] def cappedEnts(spark: SparkSession, dir: String): DataFrame =
+    PlanMemo.cachedEager(spark, s"dedup.cappedEnts:$dir") {
+      val ex = shingled(spark, dir)
+        .select(col("doc_id"), explode_outer(col("fps")).as("sh"))
+        .filter(col("sh").isNotNull)
+      val dfreq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxShingleDf)
+      ex.join(dfreq.hint("shuffle_hash"), "sh")
+        .groupBy("doc_id")
+        // per-doc (df, sh)-ascending order baked in at build: collect
+        // + array_sort on structs keeps the work in codegen after ONE
+        // shuffle by doc_id (a rank window would sort the same
+        // shuffle)
+        .agg(array_sort(collect_list(struct(col("df"), col("sh"))))
+          .as("ent"))
+    }
+
+  /** Per-doc prefix entries (doc_id, n, pos, sh) over the capped
+    * space ([[cappedEnts]]); `n` is the CAPPED set size — the same
+    * quantity d03's `sizes` aggregate counts.
+    */
+  private[graft] def prefixEntries(spark: SparkSession, dir: String): DataFrame =
+    cappedEnts(spark, dir)
       .select(col("doc_id"), size(col("ent")).as("n"),
         expr(s"""slice(
-          |  transform(array_sort(ent), e -> e.sh),
+          |  transform(ent, e -> e.sh),
           |  1,
           |  size(ent) - CAST(ceil($jaccardThreshold * size(ent)) AS INT) + 1
           |)""".stripMargin).as("pre"))
       // posexplode_outer: an inner explode's inferred non-empty
       // predicate would carry the prefix derivation into a Filter
       // (see d02/d03); the position IS the shingle's rank in the
-      // doc's full (df, sh)-ascending order, since the prefix is a
+      // doc's capped (df, sh)-ascending order, since the prefix is a
       // contiguous head of that order — the positional filter needs it
       .select(col("doc_id"), col("n"),
         posexplode_outer(col("pre")).as(Seq("pos", "sh")))
       .filter(col("sh").isNotNull)
-  }
 
   /** Prefix posting lists (sh → [(doc_id, n, pos)…]). */
   private[graft] def prefixPosting(spark: SparkSession, dir: String): DataFrame =
@@ -770,7 +834,12 @@ object Dedup {
     */
   private def buildPrefixPairs(spark: SparkSession, dir: String): DataFrame = {
     SortedInterSize.register(spark)
-    val sets = sortedSets(spark, dir)
+    // verify sets = the CAPPED space (value-sorted by projection over
+    // the one memoized ents frame) — sizing, candidates and verify
+    // all see the same universe d03 and the oracle do
+    val sets = cappedEnts(spark, dir)
+      .select(col("doc_id"),
+        expr("array_sort(transform(ent, e -> e.sh))").as("fps"))
     val cand = prefixCand(spark, dir)
     // exact verify: one sorted_inter_size over the two shingle sets —
     // a codegen two-pointer merge over the already-array_sorted fps

@@ -220,15 +220,17 @@ class TextDedupSpec extends AnyFunSuite {
   }
 
   test("d03 delegates to the prefix kernel above the size threshold") {
-    // force the delegation branch (threshold 0 -> every corpus is
-    // "large"); d03's public entry must return exactly the classic
-    // kernel's rows — the switch is invisible to the gate
+    // force the delegation branch (emission cut 0 -> any corpus with
+    // a shared shingle is "skewed"); d03's public entry must return
+    // exactly the classic kernel's rows — the switch is invisible to
+    // the gate
     val classic = Dedup.ngramJaccard(spark, sfDir).collect().map(_.toSeq)
-    spark.conf.set("spark.graft.jaccardDelegateDocs", "0")
+    assert(Dedup.pairEmissionPerDoc(spark, sfDir) > 0.0)
+    spark.conf.set("spark.graft.jaccardDelegateEmission", "0")
     try {
       val delegated = Dedup.ngramJaccard(spark, sfDir).collect().map(_.toSeq)
       assert(delegated.toSeq === classic.toSeq)
-    } finally spark.conf.unset("spark.graft.jaccardDelegateDocs")
+    } finally spark.conf.unset("spark.graft.jaccardDelegateEmission")
   }
 
   test("d19 bounds never prune a qualifying pair (adversarial corpus)") {
