@@ -26,12 +26,13 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ MlQueries.queries ++
       StreamingQueries.queries ++ IoQueries.queries ++
       Multimodal.queries ++ Temporal.queries ++ Packing.queries ++
-      Clustering.queries ++ Quantization.queries
+      Clustering.queries ++ Quantization.queries ++ Pipeline.queries
 
   def oracleSql: Map[String, String] =
     Kpis.oracles ++ Relational.oracles ++ Text.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ MlQueries.oracles ++
       StreamingQueries.oracles ++
       IoQueries.oracles ++ Multimodal.oracles ++ Temporal.oracles ++
-      Packing.oracles ++ Clustering.oracles ++ Quantization.oracles
+      Packing.oracles ++ Clustering.oracles ++ Quantization.oracles ++
+      Pipeline.oracles
 }

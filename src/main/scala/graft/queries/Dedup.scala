@@ -1699,8 +1699,15 @@ object Dedup {
     // OOMed the planner. Eager localCheckpoint materializes the round
     // and truncates the plan to a LogicalRDD, the standard Spark
     // iterative-fixpoint pattern (GraphX checkpoints the same way).
-    val edges = pairs
-      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+    // select-by-name BEFORE the union: `union` is POSITIONAL, so a
+    // caller whose frame carries (d2, d1) order (e.g. after two
+    // using-column joins, which move the using column first) would
+    // otherwise union the reversed frame onto itself unreversed and
+    // silently lose every symmetric edge (found by e01's composed
+    // oracle gate — losers collapsed to zero)
+    val p = pairs.select(col("d1"), col("d2"))
+    val edges = p
+      .union(p.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint()
     // Right-size the LOOP's shuffle parallelism to the GRAPH, not the
     // corpus: near-dup graphs are a sliver of the input (pairs ≪

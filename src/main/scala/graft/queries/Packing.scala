@@ -42,7 +42,7 @@ object Packing {
     * (lang, doc_id, n_tok) frame — shared by p01 (whitespace tokens)
     * and p07 (real BPE token ids) so the two packings cannot drift.
     */
-  private def placed(base: DataFrame): DataFrame = {
+  private[graft] def placed(base: DataFrame): DataFrame = {
     val w = Window.partitionBy("lang").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
     base

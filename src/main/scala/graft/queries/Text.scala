@@ -1957,7 +1957,17 @@ object Text {
     * dictionary join are the t24 scale shape documented there.
     */
   private[graft] def bpeTokenIdSeqs(
-      spark: SparkSession, dir: String): DataFrame = {
+      spark: SparkSession, dir: String): DataFrame =
+    bpeTokenIdSeqsOn(spark, dir, Tables.documents(spark, dir))
+
+  /** [[bpeTokenIdSeqs]] over an explicit document frame — e01's
+    * pipeline tokenizes only its quality+dedup SURVIVORS, so the
+    * corpus-sized token pass must run on the filtered frame, not be
+    * filtered after the fact (at 100 TB tokenizing drop-outs is the
+    * single largest avoidable cost in the composed plan).
+    */
+  private[graft] def bpeTokenIdSeqsOn(
+      spark: SparkSession, dir: String, docs: DataFrame): DataFrame = {
     val merges = bpeMerges(spark, dir)
     val symFinal = merges
       .foldLeft("sym") { case (e, (_, l, r, _)) => mergeReplaceExpr(e, l, r) }
@@ -1972,7 +1982,7 @@ object Text {
          |  s -> coalesce(element_at($mapExpr, s),
          |                CAST(conv(s, 16, 10) AS INT)))""".stripMargin)
       .as("ids"))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"),
         posexplode_outer(bpeWords(col("text"))).as(Seq("pos", "word")))
       .filter(col("word").isNotNull)
@@ -2141,7 +2151,7 @@ object Text {
   /** Shared SQL CTE block: `labels` (doc_id, y) — the oracle twin of
     * [[qcLabels]].
     */
-  private def qcLabelsCteSql: String =
+  private[graft] def qcLabelsCteSql: String =
     s"""qst AS (
        |  SELECT doc_id, ${Exact.round4Sql(
              s"len(list_filter(toks, t -> t IN ($stopwordsSqlList))) * 1.0 " +
@@ -2255,8 +2265,14 @@ object Text {
       .orderBy("doc_id")
   }
 
-  val qualityClassifierSql: String =
-    s"""WITH $qcLabelsCteSql, feats AS (
+  /** The t23 train+score CTE chain, exposed for composition (e01's
+    * pipeline oracle reuses it verbatim): `labels` (doc_id, y) and
+    * `scored` (doc_id, s8) are the consumable outputs. Every name here
+    * (qst/qmed/labels/feats/tr/counts/totals/weights/scored) is
+    * reserved across composed oracles.
+    */
+  private[graft] val qcCtesSql: String =
+    s"""$qcLabelsCteSql, feats AS (
        |  SELECT doc_id, f, COUNT(*) AS n FROM (
        |    SELECT doc_id, ${fp64Sql("w")} % $qcDim AS f FROM (
        |      SELECT doc_id, unnest(${tokensSql("lower(text)")}) AS w
@@ -2282,7 +2298,10 @@ object Text {
        |    $qcScale // (sn + $qcDim))) AS BIGINT) AS s8
        |  FROM feats LEFT JOIN weights USING (f) CROSS JOIN totals
        |  GROUP BY doc_id
-       |)
+       |)""".stripMargin
+
+  val qualityClassifierSql: String =
+    s"""WITH $qcCtesSql
        |SELECT l.doc_id, l.y,
        |  COALESCE(s8, 0) AS score8,
        |  CAST(COALESCE(s8, 0) > 0 AS INT) AS pred,

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Pipeline]] — end-to-end composition invariants beyond e01's
+  * composed hash oracle.
+  */
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("shipped corpus contains no verified near-dup pair") {
+    // the whole point of stage 2: after keep-one dedup, joining the
+    // verified pair set against shipped×shipped must come up empty
+    val kept = Pipeline.keptDocs(spark, sfDir)
+    val pairs = Dedup.jaccardPairs(spark, sfDir).select("d1", "d2")
+      .join(kept.select(col("doc_id").as("d1")), Seq("d1"), "left_semi")
+      .join(kept.select(col("doc_id").as("d2")), Seq("d2"), "left_semi")
+    assert(pairs.count() === 0L)
+  }
+
+  test("shipped docs are exactly the quality survivors minus dedup losers") {
+    val kept = Pipeline.keptDocs(spark, sfDir)
+    val quality = Text.qualityClassifier(spark, sfDir)
+      .filter(col("pred") === 1).select("doc_id")
+    // kept ⊆ quality survivors
+    assert(kept.join(quality, Seq("doc_id"), "left_anti").count() === 0L)
+    // every dropped survivor is a near-dup of some SHIPPED doc (its
+    // cluster representative) — nothing vanished for no reason
+    val dropped = quality.join(kept, Seq("doc_id"), "left_anti")
+    val pairs = Dedup.jaccardPairs(spark, sfDir)
+    val explained = dropped.join(
+      pairs.select(explode(array(col("d1"), col("d2"))).as("doc_id"))
+        .distinct(),
+      Seq("doc_id"), "left_semi")
+    assert(explained.count() === dropped.count())
+  }
+
+  test("e01 token accounting conserves the tokenizer output on survivors") {
+    val e01 = Pipeline.trainingPipeline(spark, sfDir)
+    val eSum = e01.agg(sum("n_tok")).head().getLong(0)
+    val kept = Pipeline.keptDocs(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+      .join(kept, Seq("doc_id"), "left_semi")
+    val tSum = Text.bpeTokenIdSeqsOn(spark, sfDir, docs)
+      .agg(sum(size(col("ids")))).head().getLong(0)
+    assert(eSum === tSum)
+    // and every shipped doc appears exactly once in the layout
+    assert(e01.count() === kept.count())
+    assert(e01.select("doc_id").distinct().count() === kept.count())
+  }
+
+  test("connectedComponents is column-ORDER-proof (positional-union regression)") {
+    // e01's gate caught this class: a caller frame carrying (d2, d1)
+    // column ORDER (using-column joins move the join key first) fed a
+    // positional union that silently dropped every symmetric edge.
+    // Pin: a reordered frame yields the identical fixpoint.
+    val s = spark
+    import s.implicits._
+    val fwd = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
+    val swapped = fwd.select(col("d2"), col("d1")) // schema order (d2, d1)
+    val a = Dedup.connectedComponents(fwd)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = Dedup.connectedComponents(swapped)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq === b.toSeq)
+    assert(a.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+  }
+}
