@@ -1681,6 +1681,32 @@ object Text {
     * (`spark.graft.bpeMinFreq` in [[bpeTrainLarge]]) — the standard
     * min-frequency cut every production trainer applies.
     */
+  /** Separator-consuming leftmost non-overlapping merge application —
+    * the ONE in-memory spelling of [[mergeReplaceExpr]]'s
+    * `replace(' l r ', ' lr ')` contract, shared by the trainer's
+    * rescans and the large-vocabulary encoder ([[bpeEncodeSymsLarge]]).
+    * Returns the SAME array instance when no merge fires (callers use
+    * the reference check to skip bookkeeping).
+    */
+  private[graft] def bpeApplyMerge(
+      w: Array[String], l: String, r: String): Array[String] = {
+    var found = false; var i = 0
+    while (!found && i < w.length - 1) {
+      if (w(i) == l && w(i + 1) == r) found = true
+      i += 1
+    }
+    if (!found) return w
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    i = 0
+    var justMerged = false
+    while (i < w.length) {
+      if (!justMerged && i < w.length - 1 && w(i) == l && w(i + 1) == r) {
+        buf += l + r; justMerged = true; i += 2
+      } else { buf += w(i); justMerged = false; i += 1 }
+    }
+    buf.toArray
+  }
+
   private[graft] def bpeTrainDriver(
       vocab: Seq[(Long, String)], rounds: Int,
       checkpointRound: Int = 0): BpeDriverTrain = {
@@ -1716,25 +1742,8 @@ object Text {
       while (j < words.length) { t += freqs(j) * words(j).length; j += 1 }
       t
     }
-    // separator-consuming leftmost non-overlapping merge (see the
-    // Scaladoc above); returns the SAME array when no merge fires
-    def applyMerge(w: Array[String], l: String, r: String): Array[String] = {
-      var found = false; var i = 0
-      while (!found && i < w.length - 1) {
-        if (w(i) == l && w(i + 1) == r) found = true
-        i += 1
-      }
-      if (!found) return w
-      val buf = mutable.ArrayBuffer.empty[String]
-      i = 0
-      var justMerged = false
-      while (i < w.length) {
-        if (!justMerged && i < w.length - 1 && w(i) == l && w(i + 1) == r) {
-          buf += l + r; justMerged = true; i += 2
-        } else { buf += w(i); justMerged = false; i += 1 }
-      }
-      buf.toArray
-    }
+    def applyMerge(w: Array[String], l: String, r: String): Array[String] =
+      bpeApplyMerge(w, l, r)
     val tokensInitial = total
     var tokensCk = if (checkpointRound == 0) tokensInitial else -1L
     val out = mutable.ListBuffer.empty[(Int, String, String, Long)]
@@ -1801,10 +1810,15 @@ object Text {
     * before collect exactly as production trainers do; the bands gate
     * runs unpruned.
     */
-  def bpeTrainLarge(spark: SparkSession, dir: String): DataFrame = {
+  /** The memoized production-vocabulary training result — t25's bands
+    * and t27's encode both consume it, one train per (session, corpus,
+    * minFreq).
+    */
+  private[graft] def bpeLargeTrain(
+      spark: SparkSession, dir: String): BpeDriverTrain = {
     val minFreq = spark.conf.get("spark.graft.bpeMinFreq", "1").toLong
     val rounds = bpeLargeVocabTarget - 256
-    val res = PlanMemo.cachedValue(spark,
+    PlanMemo.cachedValue(spark,
       s"text.bpeLarge:$dir:${PlanMemo.corpusFingerprint(dir)}:$minFreq") {
       val dict = bpeVocab(spark, dir)
         .filter(col("freq") >= minFreq)
@@ -1812,6 +1826,11 @@ object Text {
         .map(r => (r.getLong(0), r.getString(1))).toSeq
       bpeTrainDriver(dict, rounds, checkpointRound = bpeRounds)
     }
+  }
+
+  def bpeTrainLarge(spark: SparkSession, dir: String): DataFrame = {
+    val rounds = bpeLargeVocabTarget - 256
+    val res = bpeLargeTrain(spark, dir)
     val artifact = bpeMerges(spark, dir)
     val m = res.merges
     val counts = m.map(_._4)
@@ -1832,6 +1851,118 @@ object Text {
     """SELECT TRUE AS band_vocab_reached, TRUE AS band_prefix_agrees,
       |  TRUE AS band_counts_nonincreasing, TRUE AS band_wellformed,
       |  TRUE AS band_compression""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** In-memory encode of ONE byte-symbol string under a frozen merge
+    * list: fold every rule in rank order through [[bpeApplyMerge]] —
+    * exactly the contract the 12-merge nested-replace chain
+    * ([[bpeEncodeDict]]) compiles into SQL/Catalyst, at a vocabulary
+    * size where a 1000-deep replace chain is not a sane expression.
+    * Returns the token count.
+    *
+    * Rank-order single-pass application is ENOUGH (no fixpoint loop):
+    * a rule (l, r) over pre-existing symbols can never become newly
+    * applicable after a later merge — replacing a pair with a fused
+    * symbol only creates adjacencies INVOLVING the fused symbol, and
+    * any rule consuming a fused symbol was necessarily learned after
+    * the rule that created it. TextBpeSpec fuzz-pins this equal to
+    * the naive reference at 1000 rounds.
+    *
+    * The symbol-presence set makes skipping a non-firing rule O(1):
+    * 1000 rules × a hash probe ≪ 1000 × an array scan — the
+    * difference between micro- and milliseconds per dictionary word.
+    * Stale entries (a symbol later consumed entirely) only cost a
+    * redundant scan, never a wrong merge.
+    */
+  private[graft] def bpeEncodeSymsLarge(
+      sym: String, rules: Array[(String, String)]): Int = {
+    var w = sym.split(" ")
+    if (w.length <= 1) return w.length
+    val present = scala.collection.mutable.HashSet.empty[String]
+    var i = 0
+    while (i < w.length) { present += w(i); i += 1 }
+    var r = 0
+    while (r < rules.length && w.length > 1) {
+      val (l, rr) = rules(r)
+      if (present.contains(l) && present.contains(rr)) {
+        val nw = bpeApplyMerge(w, l, rr)
+        if (!(nw eq w)) { w = nw; present += l + rr }
+      }
+      r += 1
+    }
+    w.length
+  }
+
+  /** The production-vocabulary encode dictionary — (word, ntok_large)
+    * under the [[bpeLargeTrain]] merge table. The rules ship as ONE
+    * broadcast (vocab-target-sized: 1k here, 50k in production — KBs
+    * either way) and each DICTIONARY row encodes in-executor via
+    * [[bpeEncodeSymsLarge]]. This is the one place in the text family
+    * where a typed map replaces a Catalyst expression, and it is
+    * deliberate: the work is per-DISTINCT-WORD (corpus-vocabulary-
+    * sized, like t22's dictionary — never per token or per document),
+    * and a 1000-rule merge chain cannot be spelled as a sane
+    * expression tree (the 12-rule chain is one and stays).
+    */
+  private[graft] def bpeEncodeLargeDict(
+      spark: SparkSession, dir: String): DataFrame = {
+    val rules = bpeLargeTrain(spark, dir).merges
+      .map { case (_, l, r, _) => (l, r) }.toArray
+    val bc = spark.sparkContext.broadcast(rules)
+    val s = spark
+    import s.implicits._
+    bpeVocab(spark, dir).select("word", "sym").as[(String, String)]
+      .map { case (w, sym) => (w, bpeEncodeSymsLarge(sym, bc.value)) }
+      .toDF("word", "ntok_large")
+  }
+
+  /** t27 — ENCODE UNDER THE PRODUCTION-SIZE VOCABULARY: the loop t25
+    * left open — training now reaches a ≥1k-merge vocabulary, so the
+    * corpus must also ENCODE under it. Engine path: the broadcast-
+    * rules dictionary encode above; accounting: one corpus word pass
+    * (the t22 shape) joined to BOTH dictionaries (12-merge and
+    * 1000-merge), aggregated per language.
+    *
+    * Bands (constant-TRUE oracle, each earned in TextBpeSpec):
+    *   - word_bounds: every dictionary word encodes to 1 ≤ n ≤ its
+    *     byte length, and never MORE tokens than under the 12-merge
+    *     prefix (rules only ever fuse — and the first 12 applications
+    *     are identical, band_prefix_agrees in t25);
+    *   - per_lang_improved: every language's corpus token total
+    *     strictly drops from the 12-merge to the 1000-merge
+    *     vocabulary (the fertility win a bigger vocab exists to buy);
+    *   - nonempty: the dictionary is not degenerate.
+    */
+  def bpeEncodeLarge(spark: SparkSession, dir: String): DataFrame = {
+    val dictL = bpeEncodeLargeDict(spark, dir)
+    val dict12 = bpeEncodeDict(bpeMerges(spark, dir), bpeVocab(spark, dir))
+    val both = PlanMemo.cached(spark, s"text.bpeBothDicts:$dir")(
+      bpeVocab(spark, dir)
+        .withColumn("n_bytes", length(regexp_replace(col("sym"), " ", "")) / 2)
+        .join(dictL.hint("shuffle_hash"), "word")
+        .join(dict12.hint("shuffle_hash"), "word"))
+    val violations = both.filter(
+      col("ntok_large") < 1 || col("ntok_large") > col("n_bytes") ||
+        col("ntok_large") > col("ntok")).count()
+    val perLang = Tables.documents(spark, dir)
+      .select(col("lang"), explode(bpeWords(col("text"))).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+      .join(both.hint("shuffle_hash"), "word")
+      .groupBy("lang").agg(
+        sum(col("cnt") * col("ntok_large")).as("tl"),
+        sum(col("cnt") * col("ntok")).as("t12"))
+      .collect()
+    import spark.implicits._
+    Seq((
+      violations == 0L,
+      perLang.nonEmpty && perLang.forall(r => r.getLong(1) < r.getLong(2)),
+      both.limit(1).count() == 1L))
+      .toDF("band_word_bounds", "band_per_lang_improved", "band_nonempty")
+  }
+
+  val bpeEncodeLargeSql: String =
+    """SELECT TRUE AS band_word_bounds, TRUE AS band_per_lang_improved,
+      |  TRUE AS band_nonempty""".stripMargin
 
   /** The encode dictionary (word → token count under the learned
     * merges): the full merge chain re-spelled as one nested-replace
@@ -2310,6 +2441,7 @@ object Text {
        |ORDER BY doc_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t27_bpe_encode_large" -> bpeEncodeLarge _,
     "t26_tokenizer_fertility" -> tokenizerFertility _,
     "t25_bpe_train_large" -> bpeTrainLarge _,
     "t24_bpe_token_ids" -> bpeTokenIds _,
@@ -2339,6 +2471,7 @@ object Text {
   )
 
   def oracles: Map[String, String] = Map(
+    "t27_bpe_encode_large" -> bpeEncodeLargeSql,
     "t26_tokenizer_fertility" -> tokenizerFertilitySql,
     "t25_bpe_train_large" -> bpeTrainLargeSql,
     "t24_bpe_token_ids" -> bpeTokenIdsSql,

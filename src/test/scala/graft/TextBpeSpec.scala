@@ -222,6 +222,64 @@ class TextBpeSpec extends AnyFunSuite {
     }
   }
 
+  test("large-vocab encoder equals the naive per-rule replace fold (fuzz)") {
+    // t27's in-executor encoder (presence-set skip + bpeApplyMerge)
+    // vs the INDEPENDENT string-replace spelling of the same contract
+    // — the trainer/oracle's ' l r ' → ' lr ' rewrite applied rule by
+    // rule in rank order
+    def naiveEncode(sym: String, rules: Seq[(String, String)]): Int =
+      rules.foldLeft(sym) { case (s, (l, r)) =>
+        (" " + s + " ").replace(s" $l $r ", s" $l$r ").trim
+      }.split(" ").length
+    val rnd = new scala.util.Random(101)
+    for (_ <- 1 to 40) {
+      // train a real rule list on a random vocab, then encode OTHER
+      // random words under it (the production encode situation)
+      val vocabWords = Seq.fill(6 + rnd.nextInt(8)) {
+        (1 to (2 + rnd.nextInt(6)))
+          .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }.distinct
+      val fixed = vocabWords.map(w => (1L + rnd.nextInt(9), w.toSeq.mkString(" ")))
+      val rules = refBpe(fixed, 8).map { case (_, l, r, _) => (l, r) }
+      for (_ <- 1 to 5) {
+        val word = (1 to (1 + rnd.nextInt(10)))
+          .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+        val sym = word.toSeq.mkString(" ")
+        assert(Text.bpeEncodeSymsLarge(sym, rules.toArray) ===
+          naiveEncode(sym, rules),
+          s"divergence on '$word' under ${rules.mkString(",")}")
+      }
+    }
+  }
+
+  test("t27 distributed large-vocab dictionary equals the naive fold on sf0.001") {
+    def naiveEncode(sym: String, rules: Seq[(String, String)]): Int =
+      rules.foldLeft(sym) { case (s, (l, r)) =>
+        (" " + s + " ").replace(s" $l $r ", s" $l$r ").trim
+      }.split(" ").length
+    val rules = Text.bpeLargeTrain(spark, sfDir).merges
+      .map { case (_, l, r, _) => (l, r) }
+    val vocab = Text.bpeVocab(spark, sfDir)
+      .select("word", "sym").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    val dict = Text.bpeEncodeLargeDict(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    assert(dict.length === vocab.size)
+    dict.foreach { case (w, n) =>
+      assert(n === naiveEncode(vocab(w), rules), s"divergence on '$w'")
+    }
+  }
+
+  test("t27 bands are all TRUE on sf0.001") {
+    val df = Text.bpeEncodeLarge(spark, sfDir)
+    val row = df.collect()
+    assert(row.length === 1)
+    val r = row(0)
+    (0 until r.length).foreach { i =>
+      assert(r.getBoolean(i), s"band ${df.columns(i)} is false")
+    }
+  }
+
   test("a config-mismatched artifact is refused (decode None → retrain)") {
     val s = spark
     import s.implicits._
