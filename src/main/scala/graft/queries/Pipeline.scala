@@ -83,8 +83,12 @@ object Pipeline {
     * frames (the bpeChainCtes discipline — default inlining
     * re-executes a CTE per reference).
     */
-  val trainingPipelineSql: String =
-    s"""WITH RECURSIVE ${Text.qcCtesSql},
+  /** Stages 1+2 as a CTE chain ending in `keptf` (doc_id) — shared by
+    * the e01 and e02 oracles. Callers must open with `WITH RECURSIVE`
+    * (the `reach` fixpoint).
+    */
+  private val keptCtesSql: String =
+    s"""${Text.qcCtesSql},
        |kept0 AS MATERIALIZED (
        |  SELECT l.doc_id FROM labels l LEFT JOIN scored USING (doc_id)
        |  WHERE COALESCE(s8, 0) > 0
@@ -108,7 +112,10 @@ object Pipeline {
        |keptf AS MATERIALIZED (
        |  SELECT doc_id FROM kept0
        |  WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)
-       |),
+       |)""".stripMargin
+
+  val trainingPipelineSql: String =
+    s"""WITH RECURSIVE $keptCtesSql,
        |${Text.bpeDictCteSql},
        |docw AS (
        |  SELECT doc_id, word, COUNT(*) AS cnt FROM (
@@ -136,11 +143,113 @@ object Pipeline {
        |    - tok_offset // ${Packing.chunkTokens} + 1 AS BIGINT) AS spans
        |FROM o ORDER BY lang, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** e02 — THE TRAINING SHARDS THEMSELVES: e01 places documents into
+    * fixed-capacity chunks; e02 materializes each chunk's CONTENT —
+    * (lang, chunk_id, n_tokens, md5 of the chunk's exact ordered
+    * token-id stream). This is the artifact a training run loads; the
+    * digest pins every chunk byte-for-byte, including the documents
+    * that SPAN a boundary (their ids split across two digests at
+    * exactly the cut).
+    *
+    * Scale shape — the shard-writer spelling: each surviving document
+    * SLICES its own id array at the chunk boundaries it crosses
+    * (`sequence(first_chunk, last_chunk)` → per-chunk `slice`), so
+    * the chunk-assembly shuffle carries one ARRAY SEGMENT per
+    * (doc × crossed boundary) — O(docs + crossings) rows, never one
+    * row per token — and each (lang, chunk_id) group re-assembles at
+    * most `chunkTokens` ids. The oracle deliberately takes the
+    * opposite, per-token-row road (unnest every id, GROUP BY its
+    * chunk) — an independent algorithm checking the slice arithmetic.
+    */
+  def trainingShards(spark: SparkSession, dir: String): DataFrame = {
+    val ct = Packing.chunkTokens
+    val docs = Tables.documents(spark, dir)
+      .join(keptDocs(spark, dir).hint("shuffle_hash"),
+        Seq("doc_id"), "left_semi")
+    val seqs = Text.bpeTokenIdSeqsOn(spark, dir, docs)
+    val segs = trainingPipeline(spark, dir)
+      .select("doc_id", "lang", "tok_offset")
+      .join(seqs.hint("shuffle_hash"), Seq("doc_id"))
+      .filter(size(col("ids")) > 0)
+      .select(col("lang"), explode(expr(
+        s"""transform(
+           |  sequence(CAST(tok_offset DIV $ct AS INT),
+           |           CAST((tok_offset + size(ids) - 1) DIV $ct AS INT)),
+           |  c -> named_struct(
+           |    'chunk_id', CAST(c AS BIGINT),
+           |    'seg_start', greatest(CAST(c AS BIGINT) * $ct, tok_offset),
+           |    'seg_ids', slice(ids,
+           |      CAST(greatest(CAST(c AS BIGINT) * $ct - tok_offset, 0)
+           |        AS INT) + 1,
+           |      CAST(least((CAST(c AS BIGINT) + 1) * $ct,
+           |             tok_offset + size(ids))
+           |        - greatest(CAST(c AS BIGINT) * $ct, tok_offset)
+           |        AS INT))))""".stripMargin)).as("seg"))
+      .select(col("lang"), col("seg.chunk_id").as("chunk_id"),
+        col("seg.seg_start").as("seg_start"), col("seg.seg_ids").as("seg_ids"))
+    segs.groupBy("lang", "chunk_id")
+      .agg(
+        sum(size(col("seg_ids"))).as("n_tokens"),
+        array_sort(collect_list(struct(col("seg_start"), col("seg_ids"))))
+          .as("ent"))
+      .select(col("lang"), col("chunk_id"), col("n_tokens"),
+        md5(expr("""array_join(transform(
+          flatten(transform(ent, e -> e.seg_ids)),
+          i -> CAST(i AS STRING)), ',')""")).as("ids_md5"))
+      .orderBy("lang", "chunk_id")
+  }
+
+  val trainingShardsSql: String =
+    s"""WITH RECURSIVE $keptCtesSql,
+       |${Text.bpeIdDictCtesSql},
+       |docw AS MATERIALIZED (
+       |  SELECT doc_id, unnest(${Text.bpeWordsSql("text")}) AS word,
+       |    generate_subscripts(${Text.bpeWordsSql("text")}, 1) AS pos
+       |  FROM documents JOIN keptf USING (doc_id)
+       |), jw AS MATERIALIZED (
+       |  SELECT d.doc_id, d.pos, w.idstr, w.nids
+       |  FROM docw d JOIN wids w USING (word)
+       |), doctok AS (
+       |  SELECT doc_id, CAST(SUM(nids) AS BIGINT) AS n_tok
+       |  FROM jw GROUP BY doc_id
+       |), base AS (
+       |  SELECT d.lang, d.doc_id, COALESCE(t.n_tok, 0) AS n_tok
+       |  FROM documents d JOIN keptf USING (doc_id)
+       |  LEFT JOIN doctok t USING (doc_id)
+       |), off AS (
+       |  SELECT lang, doc_id,
+       |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS tok_offset
+       |  FROM base
+       |), woff AS (
+       |  SELECT doc_id, pos, idstr,
+       |    CAST(COALESCE(SUM(nids) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS woff
+       |  FROM jw
+       |), tok AS (
+       |  SELECT o.lang,
+       |    o.tok_offset + w.woff
+       |      + generate_subscripts(string_split(w.idstr, ','), 1) - 1 AS abspos,
+       |    unnest(string_split(w.idstr, ',')) AS id_s
+       |  FROM woff w JOIN off o USING (doc_id)
+       |)
+       |SELECT lang, CAST(abspos // ${Packing.chunkTokens} AS BIGINT)
+       |    AS chunk_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  md5(string_agg(id_s, ',' ORDER BY abspos)) AS ids_md5
+       |FROM tok GROUP BY lang, chunk_id
+       |ORDER BY lang, chunk_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "e01_training_pipeline" -> trainingPipeline _
+    "e01_training_pipeline" -> trainingPipeline _,
+    "e02_training_shards" -> trainingShards _
   )
 
   def oracles: Map[String, String] = Map(
-    "e01_training_pipeline" -> trainingPipelineSql
+    "e01_training_pipeline" -> trainingPipelineSql,
+    "e02_training_shards" -> trainingShardsSql
   )
 }

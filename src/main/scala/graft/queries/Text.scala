@@ -2139,11 +2139,15 @@ object Text {
       .orderBy("doc_id")
   }
 
-  val bpeTokenIdsSql: String = {
+  /** The token-ID dictionary CTE chain — merge chain + symbol→id map
+    * + per-word ordered id strings (`wids`: word, idstr, nids).
+    * Shared by the t24 oracle and e02's shard oracle.
+    */
+  private[graft] val bpeIdDictCtesSql: String = {
     val rows = (1 to bpeRounds).map(r =>
       s"SELECT replace(pair, ' ', '') AS sym, 255 + $r AS id FROM p$r")
       .mkString("\n    UNION ALL ")
-    s"""WITH ${bpeChainCtes(lastWord = true)}, mergeids AS MATERIALIZED (
+    s"""${bpeChainCtes(lastWord = true)}, mergeids AS MATERIALIZED (
        |  SELECT sym, MIN(id) AS id FROM (
        |    $rows) m
        |  GROUP BY sym
@@ -2158,7 +2162,11 @@ object Text {
        |    COUNT(*) AS nids
        |  FROM wsym LEFT JOIN mergeids m ON m.sym = wsym.s
        |  GROUP BY word
-       |), docw AS MATERIALIZED (
+       |)""".stripMargin
+  }
+
+  val bpeTokenIdsSql: String = {
+    s"""WITH $bpeIdDictCtesSql, docw AS MATERIALIZED (
        |  -- MATERIALIZED throughout (the bpeChainCtes discipline):
        |  -- inlined, the optimizer fused the 50M-row occurrence
        |  -- stream, the dictionary join and the ordered string_agg

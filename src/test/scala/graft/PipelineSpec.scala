@@ -50,6 +50,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(e01.select("doc_id").distinct().count() === kept.count())
   }
 
+  test("e02 shards: capacity, contiguity, and conservation of e01's layout") {
+    val shards = Pipeline.trainingShards(spark, sfDir).collect()
+    val byLang = shards.groupBy(_.getString(0))
+    byLang.foreach { case (lang, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      // chunk ids are contiguous from 0 — no hole in the shard stream
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(1) === i.toLong, s"$lang chunk hole at $i")
+      }
+      // every chunk is exactly full except (possibly) the last
+      sorted.init.foreach { r =>
+        assert(r.getLong(2) === Packing.chunkTokens.toLong,
+          s"$lang chunk ${r.getLong(1)} not full: ${r.getLong(2)}")
+      }
+      assert(sorted.last.getLong(2) <= Packing.chunkTokens.toLong)
+      assert(sorted.last.getLong(2) > 0L)
+    }
+    // Σ chunk tokens = Σ e01 doc tokens — nothing dropped or doubled
+    // at the boundary cuts
+    val cSum = shards.map(_.getLong(2)).sum
+    val eSum = Pipeline.trainingPipeline(spark, sfDir)
+      .agg(sum("n_tok")).head().getLong(0)
+    assert(cSum === eSum)
+  }
+
   test("connectedComponents is column-ORDER-proof (positional-union regression)") {
     // e01's gate caught this class: a caller frame carrying (d2, d1)
     // column ORDER (using-column joins move the join key first) fed a
