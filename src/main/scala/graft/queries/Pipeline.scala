@@ -168,10 +168,16 @@ object Pipeline {
       .join(keptDocs(spark, dir).hint("shuffle_hash"),
         Seq("doc_id"), "left_semi")
     val seqs = Text.bpeTokenIdSeqsOn(spark, dir, docs)
+    // No size(ids) > 0 filter here: the INNER join already excludes
+    // id-less documents (a doc gets a seqs row only with ≥1 word,
+    // hence ≥1 id — PipelineSpec's conservation pin would catch a
+    // violation), and a filter on the derived column gets the whole
+    // flatten/transform id derivation alias-inlined into the Filter —
+    // the PlanAuditSpec pushdown trap, which fired on exactly this
+    // line before the filter was removed.
     val segs = trainingPipeline(spark, dir)
       .select("doc_id", "lang", "tok_offset")
       .join(seqs.hint("shuffle_hash"), Seq("doc_id"))
-      .filter(size(col("ids")) > 0)
       .select(col("lang"), explode(expr(
         s"""transform(
            |  sequence(CAST(tok_offset DIV $ct AS INT),

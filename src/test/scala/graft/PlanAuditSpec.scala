@@ -42,7 +42,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // round-8 HOF-heavy addition
     "d19_prefix_jaccard",
     // round-14: md5-per-token feature hashing (the t04 class)
-    "t23_quality_classifier")
+    "t23_quality_classifier",
+    // round-15: the composed pipeline (md5 fingerprints + id HOFs)
+    "e01_training_pipeline", "e02_training_shards")
 
   /** Exchange-count pins for the most expensive plans (round-7 verdict
     * "next" 8): a future edit that doubles a shuffle must fail CI with
@@ -142,7 +144,17 @@ class PlanAuditSpec extends AnyFunSuite {
     // t24: dictionary join (shuffle_hash) + per-doc order reassembly
     // + coverage left join; 0 broadcasts — the vocabulary-sized id
     // dictionary must never become a driver hash relation
-    "t24_bpe_token_ids" -> ((5, 4, 1, 0)))
+    "t24_bpe_token_ids" -> ((5, 4, 1, 0)),
+    // round-15: the composed pipeline entries. Their printed plans
+    // embed the cached keptDocs/t23/pair relations' build plans (the
+    // p06 overstatement note), so the counts fingerprint the whole
+    // composition: a stage silently recomputing inline (memo scans
+    // vanishing) or a docs-scale side turning broadcast moves them
+    // 0 broadcasts in both: every composed side (survivors, losers,
+    // pair graph, id dictionary, segments) is corpus-scale and must
+    // stay a shuffle join
+    "e01_training_pipeline" -> ((16, 4, 1, 0)),
+    "e02_training_shards" -> ((27, 7, 1, 0)))
 
   exchangePins.foreach { case (name, (hash, rr, range, bcast)) =>
     test(s"$name: exchange counts stay pinned") {
