@@ -787,7 +787,86 @@ object StreamingQueries {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** w16 — STREAMING ADMISSION GATE: e01's quality stage at ingest
+    * time — every arriving document is scored under the FROZEN
+    * learned classifier ([[Text.qcFrozenWeights]] — trained batch-
+    * side, served as a stream-static broadcast of the dim-bounded
+    * weight table, exactly how a production model ships to the ingest
+    * tier) and the admission verdict attaches per distinct CONTENT.
+    *
+    * Keying the one stateful aggregation by content fingerprint (not
+    * doc_id) buys two things at once: the output is arrival-order
+    * INDEPENDENT (identical texts score identically, so the per-fp
+    * row is the same whatever order copies land in — what makes a
+    * hash oracle possible, the w07 discipline), and the gate doubles
+    * as the exact-dedup admission ledger — n_copies is the dup count
+    * the pipeline monitors. Per-copy values recover exactly: every
+    * copy contributes identical tokens, so s8 = Σw8e / n_copies and
+    * n_tokens = rows / n_copies are exact integer divisions
+    * (truncation direction irrelevant on exact multiples).
+    *
+    * Scale shape: token scoring is map-side (explode_outer + the
+    * broadcast weight join — no corpus-sized static frame anywhere);
+    * the single stateful agg keys on fingerprint, so state is
+    * O(distinct contents) — the w07 class; at 100 TB the same plan
+    * runs with a watermark (or the d17 bloom screen) bounding it.
+    * Zero-token documents never reach the agg (nothing to score at
+    * ingest); the oracle's join on `scored` drops them identically.
+    */
+  def streamingAdmission(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val streamDir = TempArtifacts.scratchDir("graft_stream_adm")
+    TempArtifacts.stageTable(streamDir, path)
+    val schema = spark.read.parquet(path).schema
+    val (weights, defW8) = Text.qcFrozenWeights(spark, dir)
+    val toks = balancedStream(
+        drainSession(spark)
+          .readStream.schema(schema).parquet(streamDir.toString))
+      .select(col("doc_id"), md5(col("text")).as("fingerprint"),
+        posexplode_outer(Text.tokens(lower(col("text"))))
+          .as(Seq("pos", "w")))
+      .filter(col("w").isNotNull)
+      .select(col("fingerprint"), col("doc_id"), col("pos"),
+        (Text.fp64(col("w")) % Text.qcDim).as("f"))
+      .join(broadcast(weights), Seq("f"), "left")
+      .select(col("fingerprint"), col("doc_id"), col("pos"),
+        coalesce(col("w8"), lit(defW8)).as("w8e"))
+    val agg = toks.groupBy("fingerprint").agg(
+      min("doc_id").as("rep_doc"),
+      sum(when(col("pos") === 0, 1L).otherwise(0L)).as("n_copies"),
+      count(lit(1)).as("tok_rows"),
+      sum("w8e").as("s8_total"))
+    drainToMemory(spark, agg, "complete", "w16", streamDir)
+      .select(col("fingerprint"), col("rep_doc"), col("n_copies"),
+        expr("tok_rows div n_copies").as("n_tokens"),
+        expr("s8_total div n_copies").as("s8"),
+        (expr("s8_total div n_copies") > 0).as("admitted"))
+      .orderBy("fingerprint")
+  }
+
+  /** Oracle: t23's per-doc scores grouped by content fingerprint —
+    * copies of one content collapse to one admission row.
+    */
+  val streamingAdmissionSql: String =
+    s"""WITH ${Text.qcCtesSql}, dt AS (
+       |  SELECT doc_id, md5(text) AS fingerprint,
+       |    len(${Text.tokensSql("lower(text)")}) AS n_toks
+       |  FROM documents
+       |), j AS (
+       |  SELECT dt.fingerprint, dt.doc_id, dt.n_toks, s.s8
+       |  FROM dt JOIN scored s USING (doc_id)
+       |)
+       |SELECT fingerprint, CAST(MIN(doc_id) AS BIGINT) AS rep_doc,
+       |  CAST(COUNT(*) AS BIGINT) AS n_copies,
+       |  CAST(MIN(n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(MIN(s8) AS BIGINT) AS s8,
+       |  MIN(s8) > 0 AS admitted
+       |FROM j GROUP BY fingerprint
+       |ORDER BY fingerprint""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w16_streaming_admission" -> streamingAdmission _,
     "w15_streaming_tokens" -> streamingTokenAccounting _,
     "w12_streaming_funnel" -> streamingFunnel _,
     "w13_streaming_heavy_hitters" -> streamingHeavyHitters _,
@@ -804,6 +883,7 @@ object StreamingQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "w16_streaming_admission" -> streamingAdmissionSql,
     "w15_streaming_tokens" -> streamingTokenAccountingSql,
     // the ingest-time state machine computes exactly r08's semantics
     "w12_streaming_funnel" -> Temporal.funnelSql,

@@ -2366,6 +2366,45 @@ object Text {
     if (qcHashMode(spark) == "xxh64") pmod(xxhash64(w), lit(qcDim.toLong))
     else fp64(w) % qcDim
 
+  /** The FROZEN classifier model as a servable artifact: the trained
+    * (f, w8) weight table — bounded by [[qcDim]], broadcast-safe at
+    * any corpus size — plus the unseen-bucket default weight, as a
+    * plain Long (it is one deterministic integer; w16's stream path
+    * coalesces misses with it as a literal). Training replays t23's
+    * exact arithmetic over the SAME memoized feats/labels frames, so
+    * the stream scores and the batch t23 scores cannot drift; the
+    * totals collect is ONE row (bounded driver data).
+    */
+  private[graft] def qcFrozenWeights(
+      spark: SparkSession, dir: String): (DataFrame, Long) = {
+    val labels = PlanMemo.cached(spark, s"text.qcLabels:$dir")(
+      qcLabels(spark, dir))
+    val feats = PlanMemo.cached(spark, s"text.qcFeatures:$dir:md5")(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          explode_outer(tokens(lower(col("text")))).as("w"))
+        .filter(col("w").isNotNull)
+        .groupBy(col("doc_id"), (fp64(col("w")) % qcDim).as("f"))
+        .agg(count(lit(1)).as("n")))
+    val counts = PlanMemo.cached(spark, s"text.qcCounts:$dir")(
+      feats.join(labels.hint("shuffle_hash"), "doc_id")
+        .filter(col("doc_id") % qcFolds =!= 0)
+        .groupBy("f").agg(
+          sum(when(col("y") === 1, col("n")).otherwise(0L)).as("cp"),
+          sum(when(col("y") === 0, col("n")).otherwise(0L)).as("cn")))
+    val (sp, sn) = PlanMemo.cachedValue(spark, s"text.qcTotals:$dir") {
+      val r = counts.agg(sum("cp"), sum("cn")).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    val weights = counts.select(col("f"), expr(
+      s"(cp + 1) * $qcScale div (${sp}L + $qcDim) - " +
+        s"(cn + 1) * $qcScale div (${sn}L + $qcDim)").as("w8"))
+    // Scala Long division truncates; both operands positive here, so
+    // it equals the engines' div/// — the same t23 discipline
+    val defW8 = qcScale / (sp + qcDim) - qcScale / (sn + qcDim)
+    (weights, defW8)
+  }
+
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     val hashMode = qcHashMode(spark)
     val labels = PlanMemo.cached(spark, s"text.qcLabels:$dir")(

@@ -231,6 +231,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.count() > 0)
   }
 
+  test("w16 streaming admission agrees with the batch t23 scores per doc") {
+    import org.apache.spark.sql.functions._
+    val adm = StreamingQueries.streamingAdmission(spark, sfDir)
+    // every representative's recovered per-copy score equals the
+    // batch classifier's score for that doc — the frozen-weights
+    // stream path and t23 are ONE model
+    val t23 = Text.qualityClassifier(spark, sfDir)
+      .select(col("doc_id").as("rep_doc"), col("score8"), col("pred"))
+    val joined = adm.join(t23, "rep_doc")
+    assert(joined.count() === adm.count())
+    assert(joined.filter(col("s8") =!= col("score8")).count() === 0)
+    assert(joined.filter((col("admitted") === true) =!=
+      (col("pred") === 1)).count() === 0)
+    // copy accounting covers exactly the docs that have tokens
+    val nDocs = Tables.documents(spark, sfDir)
+      .filter(size(Text.tokens(lower(col("text")))) > 0).count()
+    assert(adm.agg(sum("n_copies")).head().getLong(0) === nDocs)
+  }
+
   test("checkpointed windowed agg: kill/restart emits finalized windows once, equal to batch") {
     val root = java.nio.file.Files.createTempDirectory("graft_ckpt_w").toString
     try {
