@@ -880,7 +880,7 @@ object Dedup {
        |  SELECT doc_id, $shingleFpsSql AS fps FROM documents
        |), ex AS (
        |  SELECT doc_id, unnest(fps) AS sh FROM sh
-       |), capped AS (
+       |), capped AS MATERIALIZED (
        |  SELECT doc_id, sh FROM (
        |    SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM ex)
        |  WHERE df <= $maxShingleDf
@@ -891,7 +891,13 @@ object Dedup {
        |  FROM capped a JOIN capped b
        |    ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
-       |), pairs AS (
+       |), pairs AS MATERIALIZED (
+       |  -- MATERIALIZED (and `capped` above): consumers reference
+       |  -- `pairs` more than once (d08/d09's symmetric edge set, the
+       |  -- e01 pipeline), and DuckDB's default inlining re-executes
+       |  -- the whole Σdf² self-join per reference — on zipf sf1 that
+       |  -- turned d08's oracle from ~2 min into a >2.5-min-per-copy
+       |  -- stall (found by this round's full zipf sweep)
        |  SELECT d1, d2, inter,
        |    ${Exact.round4Sql("CAST(inter AS DOUBLE) / (sa.n + sb.n - inter)")} AS jaccard
        |  FROM inter JOIN sizes sa ON sa.doc_id = d1

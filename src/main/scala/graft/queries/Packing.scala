@@ -383,9 +383,13 @@ object Packing {
        |  SELECT a AS node, a AS lbl FROM edges
        |  UNION
        |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
-       |), cc AS (
+       |), cc AS MATERIALIZED (
        |  SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
-       |), sp AS (
+       |), sp AS MATERIALIZED (
+       |  -- MATERIALIZED (cc too): sp is read FOUR times below; default
+       |  -- inlining re-ran the whole md5-split projection AND the cc
+       |  -- recursion per reference — the zipf-sf1 sweep timed this
+       |  -- oracle out before the hints, seconds after
        |  SELECT d.doc_id,
        |    ${splitCase("CAST(COALESCE(cc.cluster_id, d.doc_id) AS VARCHAR)")}
        |      AS s_cluster,

@@ -43,6 +43,11 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     prefixes = sys.argv[3].split(",") if len(sys.argv) > 3 else None
     con = duckdb.connect()
+    # ORACLE_CHECK_SET="preserve_insertion_order=false;memory_limit='24GB'"
+    # — session settings for heavy legs (d14's unrolled-Lloyd oracle
+    # spills >60 GB at GenData SFs with insertion order preserved)
+    for kv in filter(None, os.environ.get("ORACLE_CHECK_SET", "").split(";")):
+        con.execute(f"SET {kv}")
     for t in TABLES:
         # driver testdata tables are single parquet FILES; GenData
         # ladder tables are multi-part DIRECTORIES — accept both
