@@ -167,7 +167,24 @@ object Pipeline {
     val docs = Tables.documents(spark, dir)
       .join(keptDocs(spark, dir).hint("shuffle_hash"),
         Seq("doc_id"), "left_semi")
-    val seqs = Text.bpeTokenIdSeqsOn(spark, dir, docs)
+    // ONE id derivation: e02 needs both the counts (for placement)
+    // and the ids (for chunk content), so it derives the sequence
+    // frame once and re-applies the SHARED placement spelling
+    // ([[Packing.placed]] — the same construction trainingPipeline
+    // runs; PipelineSpec's conservation test cross-pins the two
+    // paths row-for-row) instead of calling trainingPipeline and
+    // paying the t24 dictionary join + per-doc reassembly twice.
+    // memoized: the plan reads seqs twice (counts + ids); without the
+    // persist Catalyst duplicates the whole dictionary-join subtree
+    // per reference — exactly the re-execution class the zipf sweep
+    // found in the DuckDB oracles
+    val seqs = PlanMemo.cached(spark, s"pipeline.keptSeqs:$dir")(
+      Text.bpeTokenIdSeqsOn(spark, dir, docs))
+    val placedDf = Packing.placed(docs.select(col("lang"), col("doc_id"))
+      .join(seqs.select(col("doc_id"), size(col("ids")).as("nt"))
+        .hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("lang"), col("doc_id"),
+        coalesce(col("nt"), lit(0)).cast("long").as("n_tok")))
     // No size(ids) > 0 filter here: the INNER join already excludes
     // id-less documents (a doc gets a seqs row only with ≥1 word,
     // hence ≥1 id — PipelineSpec's conservation pin would catch a
@@ -175,7 +192,7 @@ object Pipeline {
     // flatten/transform id derivation alias-inlined into the Filter —
     // the PlanAuditSpec pushdown trap, which fired on exactly this
     // line before the filter was removed.
-    val segs = trainingPipeline(spark, dir)
+    val segs = placedDf
       .select("doc_id", "lang", "tok_offset")
       .join(seqs.hint("shuffle_hash"), Seq("doc_id"))
       .select(col("lang"), explode(expr(

@@ -152,9 +152,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // vanishing) or a docs-scale side turning broadcast moves them
     // 0 broadcasts in both: every composed side (survivors, losers,
     // pair graph, id dictionary, segments) is corpus-scale and must
-    // stay a shuffle join
-    "e01_training_pipeline" -> ((16, 4, 1, 0)),
-    "e02_training_shards" -> ((27, 7, 1, 0)))
+    // stay a shuffle join. e02's counts include the keptSeqs memo's
+    // embedded build plan printed once per scan (read twice: counts +
+    // ids) — the p06 overstatement note; the memo is what keeps the
+    // dictionary join from EXECUTING twice
+    "e01_training_pipeline" -> ((26, 7, 1, 0)),
+    "e02_training_shards" -> ((47, 13, 1, 0)))
 
   exchangePins.foreach { case (name, (hash, rr, range, bcast)) =>
     test(s"$name: exchange counts stay pinned") {
