@@ -266,13 +266,284 @@ object Pipeline {
        |FROM tok GROUP BY lang, chunk_id
        |ORDER BY lang, chunk_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** e03 — INCREMENTAL PIPELINE APPEND: the operational shape that
+    * makes the pipeline maintainable at 100 TB — a crawl increment
+    * (the newest [[Dedup.incrementalFraction]] of doc_ids, d13's
+    * convention) is admitted WITHOUT recomputing the base corpus:
+    *
+    *   1. QUALITY — increment docs score under the FROZEN shipped
+    *      classifier (trained on the full corpus batch-side; models
+    *      update on their own cadence, not per increment).
+    *   2. EXACT SCREEN — drop exact duplicates of base-KEPT contents
+    *      (the shipped corpus's fingerprint set — the compact derived
+    *      artifact a pipeline keeps between increments, d13's layer).
+    *   3. NEAR SCREEN — drop increment docs sharing a VERIFIED
+    *      near-dup pair with any base-kept doc (identical texts pair
+    *      at jaccard 1.0, so this subsumes step 2 except for
+    *      shingle-less short docs — both layers kept, like d13).
+    *   4. INTRA-INCREMENT DEDUP — connected components over the
+    *      increment-internal pair subgraph, keep min doc_id.
+    *   5. APPEND PLACEMENT — survivors tokenize under the frozen
+    *      tokenizer and CONTINUE each lang's concat-and-chunk stream
+    *      from the base-kept token totals (the chunk ids pick up
+    *      exactly where the shipped shards end — nothing upstream is
+    *      re-cut).
+    *
+    * Base-kept here = the pipeline over the BASE alone (quality
+    * survivors minus base-subgraph CC losers), so the increment is
+    * screened against what actually shipped, not against dropped
+    * docs. Scale shape: the base corpus is touched only through
+    * doc_id-keyed semi joins and the per-lang token totals (a
+    * lang-sized frame); every screen is an equi join of the increment
+    * against an O(base) artifact, never corpus × corpus; both CC
+    * fixpoints run on pair subgraphs (slivers).
+    */
+  private[graft] def baseKeptDocs(spark: SparkSession, dir: String): DataFrame =
+    PlanMemo.cached(spark, s"pipeline.baseKeptDocs:$dir") {
+      val sid = Dedup.incrementalSplitId(spark, dir)
+      val baseQ = PlanMemo.publishedParquet(spark, dir,
+          "t23_quality_classifier")(Text.qualityClassifier(spark, dir))
+        .filter(col("pred") === 1 && col("doc_id") < sid).select("doc_id")
+      val basePairs = Dedup.jaccardPairs(spark, dir)
+        .select("d1", "d2")
+        .filter(col("d1") < sid && col("d2") < sid)
+        .join(baseQ.select(col("doc_id").as("d1")).hint("shuffle_hash"),
+          Seq("d1"), "left_semi")
+        .join(baseQ.select(col("doc_id").as("d2")).hint("shuffle_hash"),
+          Seq("d2"), "left_semi")
+      val losers = Dedup.connectedComponents(basePairs)
+        .filter(col("node") =!= col("lbl"))
+        .select(col("node").as("doc_id"))
+      baseQ.join(losers.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+    }
+
+  def incrementAppend(spark: SparkSession, dir: String): DataFrame = {
+    val sid = Dedup.incrementalSplitId(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val baseKept = baseKeptDocs(spark, dir)
+    val incQ = PlanMemo.publishedParquet(spark, dir,
+        "t23_quality_classifier")(Text.qualityClassifier(spark, dir))
+      .filter(col("pred") === 1 && col("doc_id") >= sid).select("doc_id")
+    // exact screen: base-KEPT fingerprint set (optimizer_barrier — the
+    // d13 discipline: the anti join infers isnotnull(fp) and would
+    // otherwise inline md5(text) into a pre-rebalance Filter)
+    val fp = expr("optimizer_barrier(md5(text))")
+    val baseFps = docs
+      .join(baseKept.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+      .select(fp.as("fp")).distinct()
+    val incNoExact = docs
+      .join(incQ.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), fp.as("fp"))
+      .join(baseFps.hint("shuffle_hash"), Seq("fp"), "left_anti")
+      .select("doc_id")
+    // near screen: any verified pair touching a base-kept doc drops
+    // the increment side (d1 < d2 and base ids < increment ids, but
+    // both orientations are handled rather than relied on)
+    val pairs = Dedup.jaccardPairs(spark, dir).select("d1", "d2")
+    val crossLosers = pairs
+      .join(baseKept.select(col("doc_id").as("d1")).hint("shuffle_hash"),
+        Seq("d1"), "left_semi")
+      .select(col("d2").as("doc_id"))
+      .union(pairs
+        .join(baseKept.select(col("doc_id").as("d2")).hint("shuffle_hash"),
+          Seq("d2"), "left_semi")
+        .select(col("d1").as("doc_id")))
+      .distinct()
+    val incScreened = incNoExact
+      .join(crossLosers.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+    // intra-increment dedup on the surviving subgraph
+    val incPairs = pairs
+      .join(incScreened.select(col("doc_id").as("d1")).hint("shuffle_hash"),
+        Seq("d1"), "left_semi")
+      .join(incScreened.select(col("doc_id").as("d2")).hint("shuffle_hash"),
+        Seq("d2"), "left_semi")
+    val incLosers = Dedup.connectedComponents(incPairs)
+      .filter(col("node") =!= col("lbl"))
+      .select(col("node").as("doc_id"))
+    val admitted = incScreened
+      .join(incLosers.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+    // append placement: per-lang base-kept token totals (under the
+    // frozen TOKENIZER — the same accounting the shipped shards used),
+    // then the increment's prefix sum continues each lang's stream
+    val baseDocs = docs.join(baseKept.hint("shuffle_hash"),
+      Seq("doc_id"), "left_semi")
+    val baseTotals = Text.bpeTokenIdSeqsOn(spark, dir, baseDocs)
+      .select(col("doc_id"), size(col("ids")).as("nt"))
+      .join(baseDocs.select("doc_id", "lang").hint("shuffle_hash"),
+        Seq("doc_id"))
+      .groupBy("lang").agg(sum(col("nt").cast("long")).as("base_tok"))
+    val incDocs = docs.join(admitted.hint("shuffle_hash"),
+      Seq("doc_id"), "left_semi")
+    val incBase = incDocs.select(col("lang"), col("doc_id"))
+      .join(Text.bpeTokenIdSeqsOn(spark, dir, incDocs)
+        .select(col("doc_id"), size(col("ids")).as("nt"))
+        .hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("lang"), col("doc_id"),
+        coalesce(col("nt"), lit(0)).cast("long").as("n_tok"))
+    val ct = Packing.chunkTokens
+    // the shared placement spelling computes the increment-internal
+    // prefix sum; the base totals (a LANG-sized frame — genuinely
+    // bounded, the one broadcast here) shift it, and the chunk
+    // columns re-derive from the shifted offset with placed()'s
+    // exact formulas
+    Packing.placed(incBase)
+      .select("lang", "doc_id", "n_tok", "tok_offset")
+      .join(broadcast(baseTotals), Seq("lang"), "left")
+      .withColumn("tok_offset",
+        col("tok_offset") + coalesce(col("base_tok"), lit(0L)))
+      .withColumn("first_chunk", floor(col("tok_offset") / ct))
+      .withColumn("last_chunk",
+        floor((col("tok_offset") + greatest(col("n_tok"), lit(1)) - 1) / ct))
+      .withColumn("spans", col("last_chunk") - col("first_chunk") + 1)
+      .select("lang", "doc_id", "n_tok", "tok_offset",
+        "first_chunk", "last_chunk", "spans")
+      .orderBy("lang", "doc_id")
+  }
+
+  /** e03's oracle replays all five stages: the t23 chain, the pair
+    * block, TWO recursive component closures (base-side then
+    * increment-side), the exact-fingerprint screen, the dictionary
+    * encode for base totals and increment counts, and the shifted
+    * window placement. CTE names carry b-/i- prefixes to stay clear
+    * of the shared blocks (reserved names).
+    */
+  val incrementAppendSql: String = {
+    val frac = 1.0 - Dedup.incrementalFraction
+    s"""WITH RECURSIVE ${Text.qcCtesSql},
+       |qkept AS MATERIALIZED (
+       |  SELECT l.doc_id FROM labels l LEFT JOIN scored USING (doc_id)
+       |  WHERE COALESCE(s8, 0) > 0
+       |),
+       |isplit AS (
+       |  SELECT CAST(CEIL((MAX(doc_id) + 1) * $frac) AS BIGINT) AS sid
+       |  FROM documents
+       |),
+       |${Dedup.jaccardPairsCteSql},
+       |bq AS MATERIALIZED (
+       |  SELECT doc_id FROM qkept WHERE doc_id < (SELECT sid FROM isplit)
+       |),
+       |bpairs AS MATERIALIZED (
+       |  SELECT p.d1, p.d2 FROM pairs p
+       |  JOIN bq ba ON ba.doc_id = p.d1
+       |  JOIN bq bb ON bb.doc_id = p.d2
+       |),
+       |bedges AS (
+       |  SELECT d1 AS a, d2 AS b FROM bpairs
+       |  UNION ALL SELECT d2, d1 FROM bpairs
+       |),
+       |breach AS (
+       |  SELECT a AS node, a AS lbl FROM bedges
+       |  UNION
+       |  SELECT e.b, r.lbl FROM breach r JOIN bedges e ON e.a = r.node
+       |),
+       |bcc AS MATERIALIZED (
+       |  SELECT node, MIN(lbl) AS cluster_id FROM breach GROUP BY node
+       |),
+       |bkept AS MATERIALIZED (
+       |  SELECT doc_id FROM bq
+       |  WHERE doc_id NOT IN (SELECT node FROM bcc WHERE node <> cluster_id)
+       |),
+       |iq AS MATERIALIZED (
+       |  SELECT doc_id FROM qkept WHERE doc_id >= (SELECT sid FROM isplit)
+       |),
+       |bfp AS MATERIALIZED (
+       |  SELECT DISTINCT md5(text) AS fp
+       |  FROM documents JOIN bkept USING (doc_id)
+       |),
+       |inoex AS MATERIALIZED (
+       |  SELECT d.doc_id FROM documents d JOIN iq USING (doc_id)
+       |  WHERE md5(d.text) NOT IN (SELECT fp FROM bfp)
+       |),
+       |xlose AS MATERIALIZED (
+       |  SELECT p.d2 AS doc_id FROM pairs p JOIN bkept k ON k.doc_id = p.d1
+       |  UNION
+       |  SELECT p.d1 FROM pairs p JOIN bkept k ON k.doc_id = p.d2
+       |),
+       |iscr AS MATERIALIZED (
+       |  SELECT doc_id FROM inoex
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM xlose)
+       |),
+       |ipairs AS MATERIALIZED (
+       |  SELECT p.d1, p.d2 FROM pairs p
+       |  JOIN iscr ia ON ia.doc_id = p.d1
+       |  JOIN iscr ib ON ib.doc_id = p.d2
+       |),
+       |iedges AS (
+       |  SELECT d1 AS a, d2 AS b FROM ipairs
+       |  UNION ALL SELECT d2, d1 FROM ipairs
+       |),
+       |ireach AS (
+       |  SELECT a AS node, a AS lbl FROM iedges
+       |  UNION
+       |  SELECT e.b, r.lbl FROM ireach r JOIN iedges e ON e.a = r.node
+       |),
+       |icc AS MATERIALIZED (
+       |  SELECT node, MIN(lbl) AS cluster_id FROM ireach GROUP BY node
+       |),
+       |iadm AS MATERIALIZED (
+       |  SELECT doc_id FROM iscr
+       |  WHERE doc_id NOT IN (SELECT node FROM icc WHERE node <> cluster_id)
+       |),
+       |${Text.bpeDictCteSql},
+       |bdocw AS MATERIALIZED (
+       |  SELECT doc_id, word, COUNT(*) AS cnt FROM (
+       |    SELECT doc_id, unnest(${Text.bpeWordsSql("text")}) AS word
+       |    FROM documents JOIN bkept USING (doc_id)) t
+       |  GROUP BY doc_id, word
+       |),
+       |btot AS MATERIALIZED (
+       |  SELECT d.lang, CAST(SUM(w.cnt * dict.ntok) AS BIGINT) AS base_tok
+       |  FROM bdocw w JOIN dict USING (word)
+       |  JOIN documents d USING (doc_id)
+       |  GROUP BY d.lang
+       |),
+       |idocw AS (
+       |  SELECT doc_id, word, COUNT(*) AS cnt FROM (
+       |    SELECT doc_id, unnest(${Text.bpeWordsSql("text")}) AS word
+       |    FROM documents JOIN iadm USING (doc_id)) t
+       |  GROUP BY doc_id, word
+       |),
+       |ienc AS (
+       |  SELECT doc_id, CAST(SUM(cnt * ntok) AS BIGINT) AS n_tok
+       |  FROM idocw JOIN dict USING (word) GROUP BY doc_id
+       |),
+       |ibase AS (
+       |  SELECT d.lang, d.doc_id, CAST(COALESCE(e.n_tok, 0) AS BIGINT) AS n_tok
+       |  FROM documents d JOIN iadm USING (doc_id)
+       |  LEFT JOIN ienc e USING (doc_id)
+       |),
+       |io AS (
+       |  SELECT lang, doc_id, n_tok,
+       |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS inc_off
+       |  FROM ibase
+       |)
+       |SELECT io.lang, io.doc_id, io.n_tok,
+       |  CAST(io.inc_off + COALESCE(bt.base_tok, 0) AS BIGINT) AS tok_offset,
+       |  CAST((io.inc_off + COALESCE(bt.base_tok, 0))
+       |    // ${Packing.chunkTokens} AS BIGINT) AS first_chunk,
+       |  CAST((io.inc_off + COALESCE(bt.base_tok, 0)
+       |      + GREATEST(io.n_tok, 1) - 1) // ${Packing.chunkTokens} AS BIGINT)
+       |    AS last_chunk,
+       |  CAST((io.inc_off + COALESCE(bt.base_tok, 0)
+       |      + GREATEST(io.n_tok, 1) - 1) // ${Packing.chunkTokens}
+       |    - (io.inc_off + COALESCE(bt.base_tok, 0)) // ${Packing.chunkTokens}
+       |    + 1 AS BIGINT) AS spans
+       |FROM io LEFT JOIN btot bt USING (lang)
+       |ORDER BY io.lang, io.doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_training_pipeline" -> trainingPipeline _,
-    "e02_training_shards" -> trainingShards _
+    "e02_training_shards" -> trainingShards _,
+    "e03_increment_append" -> incrementAppend _
   )
 
   def oracles: Map[String, String] = Map(
     "e01_training_pipeline" -> trainingPipelineSql,
-    "e02_training_shards" -> trainingShardsSql
+    "e02_training_shards" -> trainingShardsSql,
+    "e03_increment_append" -> incrementAppendSql
   )
 }

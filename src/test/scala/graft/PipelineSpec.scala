@@ -75,6 +75,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(cSum === eSum)
   }
 
+  test("e03 increment: admission screens and append continuity hold") {
+    val sid = Dedup.incrementalSplitId(spark, sfDir)
+    val adm = Pipeline.incrementAppend(spark, sfDir)
+    val admIds = adm.select("doc_id")
+    // admitted docs are increment-side quality survivors
+    assert(adm.filter(col("doc_id") < sid).count() === 0)
+    val quality = Text.qualityClassifier(spark, sfDir)
+      .filter(col("pred") === 1).select("doc_id")
+    assert(admIds.join(quality, Seq("doc_id"), "left_anti").count() === 0)
+    val baseKept = Pipeline.baseKeptDocs(spark, sfDir)
+    // no admitted content equals a shipped base content
+    val docs = Tables.documents(spark, sfDir)
+    val admFps = docs.join(admIds, Seq("doc_id"), "left_semi")
+      .select(md5(col("text")).as("fp"))
+    val baseFps = docs.join(baseKept, Seq("doc_id"), "left_semi")
+      .select(md5(col("text")).as("fp"))
+    assert(admFps.join(baseFps, Seq("fp"), "left_semi").count() === 0)
+    // no verified pair survives within (base-kept ∪ admitted)
+    val shipped = baseKept.union(admIds)
+    val pairs = Dedup.jaccardPairs(spark, sfDir).select("d1", "d2")
+      .join(shipped.select(col("doc_id").as("d1")), Seq("d1"), "left_semi")
+      .join(shipped.select(col("doc_id").as("d2")), Seq("d2"), "left_semi")
+    assert(pairs.count() === 0)
+    // append continuity: the first admitted doc of each lang starts
+    // exactly at the base-kept token total for that lang
+    val baseDocs = docs.join(baseKept, Seq("doc_id"), "left_semi")
+    val baseTotals = Text.bpeTokenIdSeqsOn(spark, sfDir, baseDocs)
+      .join(baseDocs.select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy("lang").agg(sum(size(col("ids")).cast("long")).as("bt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    adm.groupBy("lang").agg(min("tok_offset").as("start"))
+      .collect().foreach { r =>
+        assert(r.getLong(1) === baseTotals.getOrElse(r.getString(0), 0L),
+          s"lang ${r.getString(0)} does not continue the base stream")
+      }
+  }
+
   test("connectedComponents is column-ORDER-proof (positional-union regression)") {
     // e01's gate caught this class: a caller frame carrying (d2, d1)
     // column ORDER (using-column joins move the join key first) fed a

@@ -44,7 +44,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // round-14: md5-per-token feature hashing (the t04 class)
     "t23_quality_classifier",
     // round-15: the composed pipeline (md5 fingerprints + id HOFs)
-    "e01_training_pipeline", "e02_training_shards")
+    "e01_training_pipeline", "e02_training_shards",
+    "e03_increment_append")
 
   /** Exchange-count pins for the most expensive plans (round-7 verdict
     * "next" 8): a future edit that doubles a shuffle must fail CI with
@@ -157,7 +158,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // ids) — the p06 overstatement note; the memo is what keeps the
     // dictionary join from EXECUTING twice
     "e01_training_pipeline" -> ((26, 7, 1, 0)),
-    "e02_training_shards" -> ((47, 13, 1, 0)))
+    "e02_training_shards" -> ((47, 13, 1, 0)),
+    // e03: the ONE broadcast is the LANG-sized base-totals frame —
+    // genuinely bounded; everything else (screens, pair subgraphs,
+    // fingerprint sets) stays shuffle. The hash/rr counts are almost
+    // entirely printed copies of the memoized pairs/baseKept/t23
+    // relations' build plans (one per scan — the p06 overstatement
+    // note, at its largest here because e03 scans `pairs` three times)
+    "e03_increment_append" -> ((146, 60, 1, 1)))
 
   exchangePins.foreach { case (name, (hash, rr, range, bcast)) =>
     test(s"$name: exchange counts stay pinned") {
