@@ -151,21 +151,70 @@ class PlanAuditSpec extends AnyFunSuite {
     // p06 overstatement note), so the counts fingerprint the whole
     // composition: a stage silently recomputing inline (memo scans
     // vanishing) or a docs-scale side turning broadcast moves them
-    // 0 broadcasts in both: every composed side (survivors, losers,
-    // pair graph, id dictionary, segments) is corpus-scale and must
-    // stay a shuffle join. e02's counts include the keptSeqs memo's
-    // embedded build plan printed once per scan (read twice: counts +
-    // ids) — the p06 overstatement note; the memo is what keeps the
-    // dictionary join from EXECUTING twice
-    "e01_training_pipeline" -> ((26, 7, 1, 0)),
-    "e02_training_shards" -> ((47, 13, 1, 0)),
-    // e03: the ONE broadcast is the LANG-sized base-totals frame —
-    // genuinely bounded; everything else (screens, pair subgraphs,
-    // fingerprint sets) stays shuffle. The hash/rr counts are almost
-    // entirely printed copies of the memoized pairs/baseKept/t23
-    // relations' build plans (one per scan — the p06 overstatement
-    // note, at its largest here because e03 scans `pairs` three times)
-    "e03_increment_append" -> ((146, 60, 1, 1)))
+    )
+
+  /** TREE-node pins for the composed pipeline entries. These plans
+    * embed many memoized relations, and BOTH the printed fingerprint
+    * and the exact tree counts shift with which earlier suite first
+    * built each memo (warm-order) — measured: e01's initial tree is
+    * (6,2,1,0,3) when this suite runs alone and (3,1,1,0,2) after
+    * PipelineSpec warmed the memos. So these entries pin INVARIANTS,
+    * not exact counts: the broadcast count is EXACT (the scale
+    * contract — 0 for e01/e02, 1 lang-sized frame for e03; a
+    * corpus-scale side becoming a driver hash relation moves it), the
+    * hash-exchange count has a CEILING (a quadratic respelling or a
+    * memo silently re-running inline blows through it), and at least
+    * `minScans` InMemoryTableScans must be present (the memos are
+    * genuinely consumed). Tuple = (maxHash, exactBroadcast, minScans).
+    */
+  private val treeExchangePins = Map(
+    "e01_training_pipeline" -> ((8, 0, 1)),
+    "e02_training_shards" -> ((8, 0, 2)),
+    "e03_increment_append" -> ((34, 1, 5)))
+
+  treeExchangePins.foreach { case (name, expected) =>
+    test(s"$name: executed-tree exchange counts stay pinned") {
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan
+      var (h, rr, rg, b, ims) = (0, 0, 0, 0, 0)
+      def walk(n: org.apache.spark.sql.execution.SparkPlan): Unit = {
+        n match {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            e.outputPartitioning match {
+              case _: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning => h += 1
+              case _: org.apache.spark.sql.catalyst.plans.physical.RangePartitioning => rg += 1
+              case _ => rr += 1
+            }
+          case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+            b += 1
+          case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            ims += 1
+          case _ =>
+        }
+        n.children.foreach(walk)
+        n match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case _ =>
+        }
+      }
+      walk(plan)
+      val (maxHash, exactBcast, minScans) = expected
+      assert(b === exactBcast,
+        s"$name broadcast count moved: expected $exactBcast, got $b " +
+          s"(full tree: ${(h, rr, rg, b, ims)}) — a corpus-scale side " +
+          "may have become a driver hash relation")
+      assert(h <= maxHash,
+        s"$name hash exchanges exceeded the ceiling $maxHash: got $h " +
+          s"(full tree: ${(h, rr, rg, b, ims)}) — a stage may be " +
+          "re-running inline or a spelling went quadratic")
+      assert(ims >= minScans,
+        s"$name uses only $ims memo scans (min $minScans) — a shared " +
+          "relation is no longer consumed from the cache")
+    }
+  }
 
   exchangePins.foreach { case (name, (hash, rr, range, bcast)) =>
     test(s"$name: exchange counts stay pinned") {
