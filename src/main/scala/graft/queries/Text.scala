@@ -2193,6 +2193,57 @@ object Text {
   }
 
   // ---------------------------------------------------------------
+  /** t28 — BPE DECODE (the tokenizer roundtrip): reconstruct each
+    * document's text from its t24 token-ID sequence under the frozen
+    * artifact — the other half every shipped tokenizer has, and the
+    * property that makes byte-level BPE byte-level: decode is exact,
+    * not approximate. Decode inverts the id layout (id < 256 → that
+    * byte; id 255+r → rule r's fused byte symbol), concatenates the
+    * hex, and UTF-8-decodes the bytes. The gate is maximal: the
+    * ORACLE never sees ids — DuckDB recomputes each document's
+    * pre-token stream directly from raw `text`, so a full hash match
+    * on the decoded STRINGS proves the entire chain (pre-tokenize →
+    * byte split → 12-rule merge chain → earliest-rule id assignment →
+    * inverse vocabulary → bytes → text) is lossless, cross-engine,
+    * byte-for-byte. (Whitespace is not carried by the GPT-2-style
+    * pre-tokenizer, so the roundtrip target is the word stream — the
+    * exact content the ids encode.)
+    *
+    * Scale shape: t24's — the id derivation and the inverse
+    * vocabulary are both artifact-sized; the only corpus pass is
+    * [[bpeTokenIdSeqs]]'s (posexplode → shuffle_hash dictionary join
+    * → per-doc reassembly), and decode itself is one codegen'd
+    * transform/unhex/decode over the assembled array. The final
+    * document join is shuffle_hash (doc-sized, unbounded at 100 TB).
+    */
+  def bpeDecode(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMerges(spark, dir)
+    // inverse vocabulary: merge id 255+r → rule r's fused hex symbol
+    // (total on ids ≥ 256 by construction; base ids re-hex below)
+    val invMap = merges
+      .map { case (r, l, rr, _) => s"${255 + r}, '${l + rr}'" }
+      .mkString("map(", ", ", ")")
+    val decoded = bpeTokenIdSeqs(spark, dir)
+      .select(col("doc_id"), expr(
+        s"""decode(unhex(array_join(transform(ids,
+           |  i -> coalesce(element_at($invMap, i),
+           |                lpad(conv(i, 10, 16), 2, '0'))), '')),
+           |'UTF-8')""".stripMargin).as("decoded"))
+    Tables.documents(spark, dir).select("doc_id")
+      .join(decoded.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("decoded"), lit("")).as("decoded"))
+      .orderBy("doc_id")
+  }
+
+  /** t28's oracle: the word stream straight off the raw text — no id
+    * machinery at all, which is the point (see [[bpeDecode]]).
+    */
+  val bpeDecodeSql: String =
+    s"""SELECT doc_id,
+       |  array_to_string(${bpeWordsSql("text")}, '') AS decoded
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   /** t26 — TOKENIZER FERTILITY under the FROZEN t21 artifact
     * (round-15 verdict "next" 5, the t12 re-spelling): per-language
     * word/token/byte totals with bytes-per-token and tokens-per-word
@@ -2488,6 +2539,7 @@ object Text {
        |ORDER BY doc_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t28_bpe_decode" -> bpeDecode _,
     "t27_bpe_encode_large" -> bpeEncodeLarge _,
     "t26_tokenizer_fertility" -> tokenizerFertility _,
     "t25_bpe_train_large" -> bpeTrainLarge _,
@@ -2518,6 +2570,7 @@ object Text {
   )
 
   def oracles: Map[String, String] = Map(
+    "t28_bpe_decode" -> bpeDecodeSql,
     "t27_bpe_encode_large" -> bpeEncodeLargeSql,
     "t26_tokenizer_fertility" -> tokenizerFertilitySql,
     "t25_bpe_train_large" -> bpeTrainLargeSql,

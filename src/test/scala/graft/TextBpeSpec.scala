@@ -383,6 +383,22 @@ class TextBpeSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).sum > rows.map(_.getLong(2)).sum)
   }
 
+  test("t28 decode roundtrips the word stream byte-for-byte") {
+    import org.apache.spark.sql.functions.{array_join, col}
+    val dec = Text.bpeDecode(spark, sfDir)
+    assert(dec.columns.toSeq === Seq("doc_id", "decoded"))
+    // engine-side twin of the oracle: the word stream straight off
+    // the raw text, never touching ids — a mismatch means some id
+    // mapped to the wrong bytes somewhere in the encode+decode chain
+    val expect = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        array_join(Text.bpeWords(col("text")), "").as("exp"))
+    val diff = dec.join(expect, "doc_id")
+      .filter(col("decoded") =!= col("exp")).count()
+    assert(diff === 0L)
+    assert(dec.count() === Tables.documents(spark, sfDir).count())
+  }
+
   test("byte-level fuzz: multi-byte UTF-8 vocabularies match the reference") {
     // words mixing 1-byte (ascii), 2-byte (é/ü) and 3-byte (中) chars;
     // sym built by an independent pure-Scala hex-pair byte split, so
