@@ -117,6 +117,20 @@ object PlanMemo {
   private[graft] def size: Int =
     memos.synchronized(memos.size) + values.synchronized(values.size)
 
+  /** Drop one memoized frame (unpersist + forget). For tests that
+    * force a non-default code path behind a conf toggle: the frame
+    * they memoized under the forced conf must not linger, because
+    * Spark's CacheManager substitutes any registered cached plan into
+    * LATER queries whose subtree matches — a leaked forced-path cache
+    * silently rewrites other tests' physical plans (found as a
+    * suite-order-dependent d19 exchange-pin flip).
+    */
+  private[graft] def drop(spark: SparkSession, key: String): Unit =
+    memos.synchronized {
+      val df = memos.remove((spark, key))
+      if (df != null) df.unpersist(blocking = true)
+    }
+
   private lazy val publishRoot: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft_published")
     graft.TempArtifacts.register(p)

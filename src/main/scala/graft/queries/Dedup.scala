@@ -1001,22 +1001,26 @@ object Dedup {
     */
   val spanTokens = 8
 
-  def dupNgramSpans(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-document k-token window-fingerprint stream (doc_id,
+    * n_tok, pos, wh) — d12's detection and d20's removal both read
+    * it. Native span_fps (functions/SpanFps.scala): the window HOF +
+    * hex-md5 chain as one codegen kernel; position i's hash is at
+    * index i-1, so posexplode recovers the identical (pos, wh)
+    * pairs (SpanFpsSpec pins bit-and-order equality). Docs with ≥k
+    * tokens have n_tok ≡ size(fps) + k - 1; shorter docs emit no
+    * rows here, exactly like the old CASE-guarded spelling.
+    * optimizer_barrier fences the kernel so the size() reference is
+    * not alias-inlined into a second evaluation (the d02/d03 trap).
+    * Memoized persist (dup-hash derivation + join-back + d20 all
+    * read it; a bare per-call persist leaked one cached copy per
+    * invocation).
+    */
+  private[graft] def spanWins(spark: SparkSession, dir: String): DataFrame = {
     val k = spanTokens
-    // native span_fps (functions/SpanFps.scala): the window HOF +
-    // hex-md5 chain as one codegen kernel; position i's hash is at
-    // index i-1, so posexplode recovers the identical (pos, wh)
-    // pairs (SpanFpsSpec pins bit-and-order equality). Docs with ≥k
-    // tokens have n_tok ≡ size(fps) + k - 1; shorter docs emit no
-    // rows here, exactly like the old CASE-guarded spelling.
-    // optimizer_barrier fences the kernel so the size() reference is
-    // not alias-inlined into a second evaluation (the d02/d03 trap).
     SpanFps.register(spark)
     TokCount.register(spark)
     OptimizerBarrier.register(spark)
-    // memoized persist (dup-hash derivation + join-back both read it;
-    // a bare per-call persist leaked one cached copy per invocation)
-    val wins = PlanMemo.cached(spark, s"dedup.spanWins:$dir")(
+    PlanMemo.cached(spark, s"dedup.spanWins:$dir")(
       Tables.documents(spark, dir)
         .withColumn("fps", expr(s"optimizer_barrier(span_fps(text, $k))"))
         .select(col("doc_id"),
@@ -1026,6 +1030,11 @@ object Dedup {
         .filter(col("wh").isNotNull)
         .select(col("doc_id"), col("n_tok"), (col("pos0") + 1).as("pos"),
           col("wh")))
+  }
+
+  def dupNgramSpans(spark: SparkSession, dir: String): DataFrame = {
+    val k = spanTokens
+    val wins = spanWins(spark, dir)
     // cross-document duplicate window hashes: min/max doc disagree
     val dupHashes = wins.groupBy("wh")
       .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
@@ -1117,6 +1126,115 @@ object Dedup {
        |    AS dup_frac
        |FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id
        |ORDER BY b.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  /** d20 — EXACT-SUBSTRING REMOVAL: the rewrite d12 only measures —
+    * Lee et al. 2022's actual product is the corpus with repeated
+    * ≥k-token substrings REMOVED, one occurrence kept. The keep rule
+    * is deterministic: for every cross-document duplicate window
+    * hash, the EARLIEST document (min doc_id over that hash) keeps
+    * its copy; every later document's covered token positions are
+    * dropped, and its token stream is re-joined without them.
+    *
+    * Output per document: doc_id, n_tok, removed_tok, cleaned —
+    * `cleaned` is the rewritten (space-joined, whitespace-normalized,
+    * lowercase — d12's token contract) stream for AFFECTED documents
+    * and '' for untouched ones (removed_tok = 0 disambiguates: no
+    * rewrite is emitted, the original text stands). The gate hashes
+    * the cleaned STRINGS themselves, so the interval arithmetic, the
+    * keep-earliest rule and the reassembly are all pinned exactly.
+    *
+    * Scale shape: the window stream is [[spanWins]]'s memoized
+    * explode (one row per token position, partial-aggregated to one
+    * row per DISTINCT hash for the min-doc table); removal positions
+    * explode k rows per REMOVING window — bounded by the corpus's
+    * duplicate coverage, a sliver. The expensive per-doc reassembly
+    * (collect_list + array_sort, t24's shape) runs ONLY on affected
+    * documents (left_semi on the removal set), never the whole
+    * corpus; every doc-keyed and hash-keyed side is unbounded at
+    * 100 TB so all joins are shuffle_hash, no broadcast anywhere.
+    */
+  def exactSubstringRemoval(spark: SparkSession, dir: String): DataFrame = {
+    val k = spanTokens
+    val wins = spanWins(spark, dir)
+    val mins = wins.groupBy("wh").agg(min("doc_id").as("lo"))
+    // removing windows: this doc is NOT the earliest holder
+    val remw = wins.join(mins.hint("shuffle_hash"), "wh")
+      .filter(col("doc_id") > col("lo"))
+      .select("doc_id", "pos")
+    // union of covered token positions (1-based, matching wins.pos)
+    val remp = remw
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("tp"))
+      .distinct()
+    val removed = PlanMemo.cached(spark, s"dedup.spanRemoved:$dir")(
+      remp.groupBy("doc_id").agg(count(lit(1)).as("removed_tok")))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode_outer(Text.tokens(lower(col("text")))).as(Seq("tp0", "tok")))
+      .filter(col("tok").isNotNull)
+      .select(col("doc_id"), (col("tp0") + 1).as("tp"), col("tok"))
+    val kept = toks
+      .join(removed.select("doc_id").hint("shuffle_hash"),
+        Seq("doc_id"), "left_semi")
+      .join(remp.hint("shuffle_hash"), Seq("doc_id", "tp"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("tp"), col("tok")))).as("kt"))
+      .select(col("doc_id"),
+        expr("array_join(transform(kt, e -> e.tok), ' ')").as("cleaned0"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("tok_count(text)").cast("long").as("n_tok"))
+      .join(removed.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(kept.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("removed_tok"), lit(0L)).as("removed_tok"),
+        // affected doc with EVERY token removed → kept has no row →
+        // cleaned0 null → '' (a true full rewrite to empty); the
+        // untouched-doc '' comes from the outer coalesce instead
+        coalesce(col("cleaned0"), lit("")).as("cleaned"))
+      .orderBy("doc_id")
+  }
+
+  val exactSubstringRemovalSql: String = {
+    val k = spanTokens
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS t
+       |  FROM documents
+       |), wins AS MATERIALIZED (
+       |  SELECT doc_id, CAST(i AS INT) AS pos,
+       |    CAST(CONCAT('0x', SUBSTR(md5(array_to_string(
+       |      list_slice(t, i, i + ${k - 1}), ' ')), 1, 15)) AS BIGINT) AS wh
+       |  FROM (
+       |    SELECT doc_id, t, unnest(range(1, len(t) - ${k - 2})) AS i
+       |    FROM toks)
+       |), mins AS MATERIALIZED (
+       |  SELECT wh, MIN(doc_id) AS lo FROM wins GROUP BY wh
+       |), remp AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, pos + i AS tp FROM (
+       |    SELECT w.doc_id, w.pos, unnest(range(0, $k)) AS i
+       |    FROM wins w JOIN mins USING (wh) WHERE w.doc_id > lo) r
+       |), removed AS MATERIALIZED (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS removed_tok
+       |  FROM remp GROUP BY doc_id
+       |), tstream AS (
+       |  SELECT toks.doc_id, unnest(t) AS tok,
+       |    generate_subscripts(t, 1) AS tp
+       |  FROM toks SEMI JOIN removed USING (doc_id)
+       |), kept AS (
+       |  SELECT ts.doc_id, string_agg(tok, ' ' ORDER BY ts.tp) AS cleaned0
+       |  FROM tstream ts LEFT JOIN remp r
+       |    ON r.doc_id = ts.doc_id AND r.tp = ts.tp
+       |  WHERE r.tp IS NULL
+       |  GROUP BY ts.doc_id
+       |)
+       |SELECT b.doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+       |  COALESCE(removed_tok, 0) AS removed_tok,
+       |  COALESCE(cleaned0, '') AS cleaned
+       |FROM toks b LEFT JOIN removed USING (doc_id)
+       |  LEFT JOIN kept USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   // ---------------------------------------------------------------
@@ -2169,6 +2287,7 @@ object Dedup {
     "d17_bloom_increment" -> bloomIncrementalDedup _,
     "d18_source_rank" -> sourceRank _,
     "d19_prefix_jaccard" -> prefixJaccard _,
+    "d20_substring_removal" -> exactSubstringRemoval _,
     "w10_streaming_increment" -> streamingIncrementalDedup _
   )
 
@@ -2194,6 +2313,7 @@ object Dedup {
     "d18_source_rank" -> sourceRankSql,
     // prefix filtering computes exactly d03's semantics → its oracle
     "d19_prefix_jaccard" -> ngramJaccardSql,
+    "d20_substring_removal" -> exactSubstringRemovalSql,
     // arrival order cannot change per-doc verdicts → d13's oracle
     "w10_streaming_increment" -> incrementalDedupSql
   )

@@ -45,7 +45,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "t23_quality_classifier",
     // round-15: the composed pipeline (md5 fingerprints + id HOFs)
     "e01_training_pipeline", "e02_training_shards",
-    "e03_increment_append")
+    "e03_increment_append",
+    // round-15: span-family rewrite (span_fps + per-doc reassembly)
+    "d20_substring_removal")
 
   /** Exchange-count pins for the most expensive plans (round-7 verdict
     * "next" 8): a future edit that doubles a shuffle must fail CI with

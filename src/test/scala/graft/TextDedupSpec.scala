@@ -209,6 +209,32 @@ class TextDedupSpec extends AnyFunSuite {
     assert(df.filter(col("d1") >= col("d2")).count() === 0)
   }
 
+  test("d20 substring removal: conservation, d12 consistency, rewrite shape") {
+    val d20 = Dedup.exactSubstringRemoval(spark, sfDir)
+    assert(d20.columns.toSeq ===
+      Seq("doc_id", "n_tok", "removed_tok", "cleaned"))
+    // removal ⊆ detection: d12 counts duplicated tokens in EVERY
+    // holder, d20 removes them only from the non-earliest holders
+    val d12 = Dedup.dupNgramSpans(spark, sfDir)
+      .select(col("doc_id"), col("dup_tokens"))
+    assert(d20.join(d12, "doc_id")
+      .filter(col("removed_tok") > col("dup_tokens")).count() === 0L)
+    // conservation: the cleaned stream recounts to n_tok - removed_tok
+    val bad = d20.filter(col("removed_tok") > 0)
+      .filter(size(Text.tokens(col("cleaned"))) =!=
+        col("n_tok") - col("removed_tok"))
+    assert(bad.count() === 0L)
+    // untouched docs emit no rewrite
+    assert(d20.filter(col("removed_tok") === 0 && col("cleaned") =!= "")
+      .count() === 0L)
+    // cross-doc duplication exists ⟺ something was removed (every
+    // duplicated hash has a non-earliest holder by definition)
+    val dupSpans = Dedup.dupNgramSpans(spark, sfDir)
+      .agg(sum("dup_windows")).head().getLong(0)
+    val removedTotal = d20.agg(sum("removed_tok")).head().getLong(0)
+    assert((dupSpans > 0L) === (removedTotal > 0L))
+  }
+
   test("d19 prefix-filtered jaccard equals d03 row-for-row (exactness)") {
     // prefix filtering is a CANDIDATE pruning, never a recall loss:
     // the All-Pairs prefix theorem guarantees every pair with
@@ -230,7 +256,14 @@ class TextDedupSpec extends AnyFunSuite {
     try {
       val delegated = Dedup.ngramJaccard(spark, sfDir).collect().map(_.toSeq)
       assert(delegated.toSeq === classic.toSeq)
-    } finally spark.conf.unset("spark.graft.jaccardDelegateEmission")
+    } finally {
+      spark.conf.unset("spark.graft.jaccardDelegateEmission")
+      // the forced-kernel memo must not outlive the test: a cached
+      // plan registered here gets substituted into LATER queries'
+      // matching subtrees (d19's exchange pin flipped with suite
+      // order before this drop)
+      PlanMemo.drop(spark, s"dedup.jaccardPairs:$sfDir:prefix")
+    }
   }
 
   test("d19 bounds never prune a qualifying pair (adversarial corpus)") {
