@@ -535,15 +535,127 @@ object Pipeline {
        |ORDER BY io.lang, io.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  /** Token-budget factor for e04: the run trains on budget = factor ×
+    * the pipeline's total shipped tokens (multi-epoch training over
+    * the mixed corpus — the published mixture tables train 1–5 epochs
+    * over their largest source).
+    */
+  val epochsBudgetFactor = 2L
+
+  /** Per-source epoch cap for e04, in milli-epochs: no source repeats
+    * more than 4× regardless of its temperature weight — the standard
+    * guard against memorizing a tiny upweighted source.
+    */
+  val maxEpochsMilli = 4000L
+
+  /** e04 — THE MIXTURE PLAN: what the training run actually consumes
+    * once the shards exist — per-SOURCE sampling weights and epoch
+    * (repeat) factors under a total token budget. d10 samples
+    * documents at temperature; e04 solves the budget: with per-source
+    * token totals n_s over the PIPELINE SURVIVORS (stages 1+2, the
+    * same keptDocs/keptSeqs artifacts e01/e02 consume),
+    * α = 0.5 temperature weights allocate target tokens
+    * w_s = √n_s / Σ√n_m of budget B = [[epochsBudgetFactor]]·T, and
+    * each source's repeat factor is clamped at [[maxEpochsMilli]].
+    *
+    * ALL-INTEGER arithmetic (the t23 discipline): s_s = ⌊√n_s⌋ is an
+    * exact bigint (sqrt of an integer-valued double is correctly
+    * rounded, floor deterministic), Z = Σ s_s is an INTEGER sum — no
+    * floating summation-order dependence anywhere — and the
+    * target allocation ⌊B·s_s/Z⌋ is computed as
+    * s·(B div Z) + (s·(B mod Z)) div Z, the overflow-safe exact
+    * decomposition (a direct B·s product overflows int64 once
+    * B·√n_max > 9.2e18 — ~1e12 total tokens; the decomposition's
+    * largest intermediate is s·(B mod Z) < s·Z ≤ (Σ√n)², safe past
+    * any real corpus). Positive operands throughout, so Spark `div`
+    * and DuckDB `//` truncate identically.
+    *
+    * Scale shape: one per-source aggregation over the memoized
+    * survivor sequences (partial-aggregated map-side; the output is
+    * source-cardinality-sized), one 1-row totals broadcast, pure
+    * projection after. The heavy lifting (classifier, pair graph,
+    * tokenize) is the SHARED pipeline artifacts — e04 adds no
+    * corpus-sized pass of its own.
+    */
+  def mixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .join(keptDocs(spark, dir).hint("shuffle_hash"),
+        Seq("doc_id"), "left_semi")
+    val seqs = PlanMemo.cached(spark, s"pipeline.keptSeqs:$dir")(
+      Text.bpeTokenIdSeqsOn(spark, dir, docs))
+    val perSrc = docs.select(col("source"), col("doc_id"))
+      .join(seqs.select(col("doc_id"), size(col("ids")).as("nt"))
+        .hint("shuffle_hash"), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum(coalesce(col("nt"), lit(0)).cast("long")).as("n_tok"))
+      .withColumn("s", floor(sqrt(col("n_tok").cast("double"))).cast("long"))
+    val tot = perSrc.agg(
+      greatest(sum("s"), lit(1L)).as("z"),
+      (sum("n_tok") * epochsBudgetFactor).as("b"))
+    perSrc.crossJoin(broadcast(tot))
+      .withColumn("weight_ppm", expr("(s * 1000000) div z"))
+      .withColumn("target_tok",
+        expr("s * (b div z) + (s * (b % z)) div z"))
+      .withColumn("epochs_milli", least(
+        expr("(target_tok * 1000) div greatest(n_tok, 1)"),
+        lit(maxEpochsMilli)))
+      .select(col("source"), col("docs"), col("n_tok"), col("weight_ppm"),
+        col("target_tok"), col("epochs_milli"),
+        expr("(epochs_milli * n_tok) div 1000").as("shipped_tok"))
+      .orderBy("source")
+  }
+
+  val mixturePlanSql: String =
+    s"""WITH RECURSIVE $keptCtesSql,
+       |${Text.bpeDictCteSql},
+       |docw AS (
+       |  SELECT doc_id, word, COUNT(*) AS cnt FROM (
+       |    SELECT doc_id, unnest(${Text.bpeWordsSql("text")}) AS word
+       |    FROM documents JOIN keptf USING (doc_id)) t
+       |  GROUP BY doc_id, word
+       |), enc AS (
+       |  SELECT doc_id, CAST(SUM(cnt * ntok) AS BIGINT) AS n_tok
+       |  FROM docw JOIN dict USING (word) GROUP BY doc_id
+       |), per AS (
+       |  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS docs,
+       |    CAST(SUM(COALESCE(e.n_tok, 0)) AS BIGINT) AS n_tok,
+       |    CAST(floor(sqrt(CAST(SUM(COALESCE(e.n_tok, 0)) AS DOUBLE)))
+       |      AS BIGINT) AS s
+       |  FROM documents d JOIN keptf USING (doc_id)
+       |  LEFT JOIN enc e USING (doc_id)
+       |  GROUP BY d.source
+       |), tot AS (
+       |  SELECT GREATEST(CAST(SUM(s) AS BIGINT), 1) AS z,
+       |    CAST(SUM(n_tok) * $epochsBudgetFactor AS BIGINT) AS b
+       |  FROM per
+       |), q AS (
+       |  SELECT source, docs, n_tok,
+       |    (s * 1000000) // z AS weight_ppm,
+       |    s * (b // z) + (s * (b % z)) // z AS target_tok
+       |  FROM per CROSS JOIN tot
+       |), r AS (
+       |  SELECT source, docs, n_tok, weight_ppm, target_tok,
+       |    LEAST((target_tok * 1000) // GREATEST(n_tok, 1),
+       |      $maxEpochsMilli) AS epochs_milli
+       |  FROM q
+       |)
+       |SELECT source, docs, n_tok, weight_ppm, target_tok, epochs_milli,
+       |  (epochs_milli * n_tok) // 1000 AS shipped_tok
+       |FROM r ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_training_pipeline" -> trainingPipeline _,
     "e02_training_shards" -> trainingShards _,
-    "e03_increment_append" -> incrementAppend _
+    "e03_increment_append" -> incrementAppend _,
+    "e04_mixture_plan" -> mixturePlan _
   )
 
   def oracles: Map[String, String] = Map(
     "e01_training_pipeline" -> trainingPipelineSql,
     "e02_training_shards" -> trainingShardsSql,
-    "e03_increment_append" -> incrementAppendSql
+    "e03_increment_append" -> incrementAppendSql,
+    "e04_mixture_plan" -> mixturePlanSql
   )
 }

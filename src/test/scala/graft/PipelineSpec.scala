@@ -112,6 +112,48 @@ class PipelineSpec extends AnyFunSuite {
       }
   }
 
+  test("e04 mixture plan: budget, clamp and conservation invariants") {
+    val plan = Pipeline.mixturePlan(spark, sfDir).collect()
+    assert(plan.nonEmpty)
+    val nTok = plan.map(_.getAs[Long]("n_tok"))
+    val target = plan.map(_.getAs[Long]("target_tok"))
+    val epochs = plan.map(_.getAs[Long]("epochs_milli"))
+    val shipped = plan.map(_.getAs[Long]("shipped_tok"))
+    val budget = nTok.sum * Pipeline.epochsBudgetFactor
+    // allocation never exceeds the budget, and floor division loses
+    // < 1 token per source (Σ B·s/Z = B exactly when Z = Σs)
+    assert(target.sum <= budget)
+    assert(budget - target.sum < plan.length.toLong)
+    // per-source: epochs clamped, shipped consistent with epochs
+    plan.foreach { r =>
+      val (n, t, e, s) = (r.getAs[Long]("n_tok"), r.getAs[Long]("target_tok"),
+        r.getAs[Long]("epochs_milli"), r.getAs[Long]("shipped_tok"))
+      assert(e >= 0 && e <= Pipeline.maxEpochsMilli)
+      assert(s === e * n / 1000)
+      if (e < Pipeline.maxEpochsMilli && n > 0)
+        assert(s <= t, s"unclamped source ships more than its target")
+    }
+    // weights sum to ~1e6 (floor loss < #sources ppm)
+    val wsum = plan.map(_.getAs[Long]("weight_ppm")).sum
+    assert(wsum <= 1000000L && wsum > 1000000L - plan.length)
+    // pipeline coherence: per-source tokens re-sum to e01's totals
+    val e01 = Pipeline.trainingPipeline(spark, sfDir)
+      .agg(sum("n_tok")).head().getLong(0)
+    assert(nTok.sum === e01)
+    // the α = 0.5 reweighting actually upsamples the tail: the
+    // smallest source's epoch factor is >= the largest source's.
+    // Guarded on a 2× size ratio — real epochs go as 1/√n, but
+    // ⌊√n⌋'s relative step (~1/√n) can locally flip NEAR-equal sizes
+    val nonzero = plan.filter(_.getAs[Long]("n_tok") > 0)
+    if (nonzero.length >= 2) {
+      val bySize = nonzero.sortBy(_.getAs[Long]("n_tok"))
+      if (bySize.last.getAs[Long]("n_tok") >=
+          2 * bySize.head.getAs[Long]("n_tok"))
+        assert(bySize.head.getAs[Long]("epochs_milli") >=
+          bySize.last.getAs[Long]("epochs_milli"))
+    }
+  }
+
   test("connectedComponents is column-ORDER-proof (positional-union regression)") {
     // e01's gate caught this class: a caller frame carrying (d2, d1)
     // column ORDER (using-column joins move the join key first) fed a
