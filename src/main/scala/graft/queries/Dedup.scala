@@ -537,7 +537,10 @@ object Dedup {
     // components over them — one persisted pair set serves all three
     // (the same shared-index pattern as lshBands for d02/d11/d13);
     // kernel-tagged key so a conf flip never serves the other
-    // kernel's cached frame
+    // kernel's cached frame. Stays LAZY: e03's four-consumer fan-out
+    // is race-safe because its CC edge checkpoint materializes the
+    // frame sequentially at construction, and an eager count() here
+    // costs d03 (the single-consumer case) +50% standalone
     PlanMemo.cached(spark, s"dedup.jaccardPairs:$dir:$kernel")(
       if (kernel == "prefix") buildPrefixPairs(spark, dir)
       else buildJaccardPairs(spark, dir))
@@ -1815,6 +1818,55 @@ object Dedup {
     * Factored from the d08 query so the spec can drive it on synthetic
     * graphs (chains, forests) and pin the iteration bound.
     */
+  /** Driver-path ceiling for [[connectedComponents]] (undirected edge
+    * count, conf `spark.graft.ccDriverMaxEdges`): near-dup pair
+    * graphs are SLIVERS of the corpus, and below this cut the
+    * fixpoint's per-round scheduling latency (join + groupBy +
+    * localCheckpoint + convergence probe, ×diameter) costs far more
+    * than the graph — collect it and run union-find in-memory
+    * (2M edges ≈ 32 MB of longs; path-compressed min-root DSU is
+    * O(E·α)). Above the cut — a genuinely huge dup graph at 100 TB —
+    * the distributed label-propagation loop runs as before. The same
+    * size-gated kernel dispatch d03 applies to its pair emission.
+    */
+  val ccDriverMaxEdges = 2000000L
+
+  /** In-memory union-find over a collected edge list. Min-root union
+    * keeps every tree's root = the component's min id (a union always
+    * attaches the larger root under the smaller), so the output
+    * (node, lbl = find(node)) is EXACTLY the distributed fixpoint's
+    * labeling. Path compression on find keeps the walk amortized
+    * near-constant despite union-by-min (not by rank).
+    */
+  private def ccDriver(
+      sess: SparkSession, edges: Array[(Long, Long)]): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val nx = parent(c); parent(c) = r; c = nx
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      // register both endpoints: every node must appear in the output
+      // even when it ends up a root (no parent entry of its own)
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val out = parent.keysIterator.map(k => (k, find(k))).toArray
+    // parallelize, not a LocalRelation: a million-row literal embedded
+    // in the logical plan bloats every plan print/copy downstream
+    val rdd = sess.sparkContext.parallelize(
+      out.toIndexedSeq, math.max(4, out.length / 500000))
+    import sess.implicits._
+    sess.createDataset(rdd).toDF("node", "lbl")
+  }
+
   private[graft] def connectedComponents(
       pairs: DataFrame, maxIters: Int = maxCcIters): DataFrame = {
     // localCheckpoint, not persist: `labels` appears twice per round
@@ -1843,9 +1895,15 @@ object Dedup {
     // scoped conf override only ever affects the loop's own shuffles;
     // it is restored before the lazy downstream plan runs.
     val sess = pairs.sparkSession
+    val edgeCount = edges.count()
+    val cut = sess.conf
+      .get("spark.graft.ccDriverMaxEdges", ccDriverMaxEdges.toString).toLong
+    if (edgeCount <= cut)
+      return ccDriver(sess,
+        edges.collect().map(r => (r.getLong(0), r.getLong(1))))
     val parts = math.max(4, math.min(
-      sess.sparkContext.defaultParallelism,
-      (edges.count() / 100000L).toInt))
+      sess.sparkContext.defaultParallelism.toLong,
+      edgeCount / 100000L).toInt)
     val prevShuffle = sess.conf.get("spark.sql.shuffle.partitions")
     sess.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try {

@@ -93,25 +93,58 @@ class ScaleOpsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     // chain 1-…-6 (diameter 5) and triangle 10-11-12, listed shuffled
     val pairs = Seq((3L, 4L), (1L, 2L), (11L, 12L), (5L, 6L), (2L, 3L),
       (10L, 11L), (4L, 5L), (10L, 12L)).toDF("d1", "d2")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L)
+    // driver union-find path (the sliver default)
     val got = Dedup.connectedComponents(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
-      6L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+    assert(got === want)
+    // distributed fixpoint path (forced) must label identically
+    spark.conf.set("spark.graft.ccDriverMaxEdges", "0")
+    try {
+      val dist = Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist === want)
+    } finally spark.conf.unset("spark.graft.ccDriverMaxEdges")
   }
 
   test("connected components iteration bound is real: low cap throws") {
     val s = spark
     import s.implicits._
     // a 12-node chain needs ~diameter rounds; cap at 2 must refuse to
-    // return a half-propagated (wrong) labeling
+    // return a half-propagated (wrong) labeling. Forced distributed:
+    // the driver union-find path has no rounds to bound
     val chain = (1L until 12L).map(i => (i, i + 1)).toDF("d1", "d2")
-    assertThrows[IllegalArgumentException] {
-      Dedup.connectedComponents(chain, maxIters = 2)
-    }
-    // and the default cap converges fine on the same graph
-    val labels = Dedup.connectedComponents(chain)
-    assert(labels.select("lbl").distinct().collect().map(_.getLong(0))
-      .toSeq === Seq(1L))
+    spark.conf.set("spark.graft.ccDriverMaxEdges", "0")
+    try {
+      assertThrows[IllegalArgumentException] {
+        Dedup.connectedComponents(chain, maxIters = 2)
+      }
+      // and the default cap converges fine on the same graph
+      val labels = Dedup.connectedComponents(chain)
+      assert(labels.select("lbl").distinct().collect().map(_.getLong(0))
+        .toSeq === Seq(1L))
+    } finally spark.conf.unset("spark.graft.ccDriverMaxEdges")
+  }
+
+  test("connected components: driver and distributed paths agree on a random forest") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(77)
+    // random sparse graph: 300 nodes, 250 edges → many components of
+    // varied shape (trees, cycles, isolated pairs)
+    val pairs = Seq.fill(250) {
+      val a = rnd.nextInt(300).toLong; val b = rnd.nextInt(300).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct.toDF("d1", "d2")
+    val drv = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.graft.ccDriverMaxEdges", "0")
+    try {
+      val dist = Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(drv === dist)
+    } finally spark.conf.unset("spark.graft.ccDriverMaxEdges")
   }
 
   test("d02 candidate volume stays ~linear: candidates/doc bounded across 10x") {
