@@ -2218,17 +2218,44 @@ object Text {
     */
   def bpeDecode(spark: SparkSession, dir: String): DataFrame = {
     val merges = bpeMerges(spark, dir)
+    val symFinal = merges
+      .foldLeft("sym") { case (e, (_, l, r, _)) => mergeReplaceExpr(e, l, r) }
+    val idPairs = merges
+      .groupBy { case (_, l, r, _) => l + r }
+      .view.mapValues(_.map(m => 255 + m._1).min)
+      .toSeq.sortBy(_._2)
+    val mapExpr = idPairs
+      .map { case (s, id) => s"'$s', $id" }.mkString("map(", ", ", ")")
     // inverse vocabulary: merge id 255+r → rule r's fused hex symbol
-    // (total on ids ≥ 256 by construction; base ids re-hex below)
+    // (total on ids ≥ 256 by construction; base ids re-hex)
     val invMap = merges
       .map { case (r, l, rr, _) => s"${255 + r}, '${l + rr}'" }
       .mkString("map(", ", ", ")")
-    val decoded = bpeTokenIdSeqs(spark, dir)
-      .select(col("doc_id"), expr(
-        s"""decode(unhex(array_join(transform(ids,
-           |  i -> coalesce(element_at($invMap, i),
-           |                lpad(conv(i, 10, 16), 2, '0'))), '')),
-           |'UTF-8')""".stripMargin).as("decoded"))
+    // Decode runs per DISTINCT dictionary word (vocab-sized work):
+    // word → ids (the t24 layout, earliest-rule id per symbol) →
+    // inverse map → bytes → text. The per-document pass then only
+    // REASSEMBLES short decoded strings — the first spelling ran the
+    // id→hex transform HOF over every document's full id array
+    // (interpreted-HOF cost per element; 5.9× at 10× data at gensf10,
+    // vs ~3× for the t24-shaped reassembly alone).
+    val dict = bpeVocab(spark, dir).select(col("word"), expr(
+      s"""decode(unhex(array_join(transform(
+         |  transform(split($symFinal, ' '),
+         |    s -> coalesce(element_at($mapExpr, s),
+         |                  CAST(conv(s, 16, 10) AS INT))),
+         |  i -> coalesce(element_at($invMap, i),
+         |                lpad(conv(i, 10, 16), 2, '0'))), '')),
+         |'UTF-8')""".stripMargin).as("dec"))
+    val decoded = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode_outer(bpeWords(col("text"))).as(Seq("pos", "word")))
+      .filter(col("word").isNotNull)
+      .join(dict.hint("shuffle_hash"), "word")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("dec"))))
+        .as("ent"))
+      .select(col("doc_id"),
+        expr("array_join(transform(ent, e -> e.dec), '')").as("decoded"))
     Tables.documents(spark, dir).select("doc_id")
       .join(decoded.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("decoded"), lit("")).as("decoded"))
