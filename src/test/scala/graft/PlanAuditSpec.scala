@@ -138,6 +138,15 @@ class PlanAuditSpec extends AnyFunSuite {
     "q11_clean_pipeline" -> ((1, 1, 1, 0)),
     "q20_clean_light" -> ((1, 1, 1, 0)),
     "t16_c4_clean" -> ((2, 2, 1, 0)),
+    // round-15 session 3: the new span-rewrite / decode / mixture
+    // entries. d20's counts include the spanWins memo's printed build
+    // copies; e04's include the keptDocs/keptSeqs chains (the p06
+    // overstatement note) — its ONE broadcast is the 1-row totals
+    // frame, everything corpus-sized stays shuffle_hash. t28 and d20
+    // are broadcast-free by contract (dictionary and doc sides are
+    // both unbounded).
+    "d20_substring_removal" -> ((23, 22, 1, 0)),
+    "t28_bpe_decode" -> ((5, 4, 1, 0)),
     // t23: the counts include every printed copy of the cached
     // labels/features build plans (the p06 overstatement note above);
     // the 11 broadcasts are all BOUNDED sides — 1-row med/totals
@@ -177,7 +186,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // PUBLISHED parquet (round-15 bench finding — e03 re-derived the
     // whole base per rep), so they enter the tree as file scans, and
     // the screened increment is a lineage-truncating localCheckpoint
-    "e03_increment_append" -> ((34, 1, 2)))
+    "e03_increment_append" -> ((34, 1, 2)),
+    // e04 composes the same shared memos as e01 (its printed string
+    // counts flip 50↔52 with which suite warmed keptDocs first — the
+    // instability this section exists for); its ONE broadcast is the
+    // 1-row totals frame
+    "e04_mixture_plan" -> ((8, 1, 1)))
 
   treeExchangePins.foreach { case (name, expected) =>
     test(s"$name: executed-tree exchange counts stay pinned") {
