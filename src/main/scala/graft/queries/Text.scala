@@ -1874,10 +1874,10 @@ object Text {
     * Stale entries (a symbol later consumed entirely) only cost a
     * redundant scan, never a wrong merge.
     */
-  private[graft] def bpeEncodeSymsLarge(
-      sym: String, rules: Array[(String, String)]): Int = {
+  private[graft] def bpeEncodeSymsLargeArr(
+      sym: String, rules: Array[(String, String)]): Array[String] = {
     var w = sym.split(" ")
-    if (w.length <= 1) return w.length
+    if (w.length <= 1) return w
     val present = scala.collection.mutable.HashSet.empty[String]
     var i = 0
     while (i < w.length) { present += w(i); i += 1 }
@@ -1890,8 +1890,12 @@ object Text {
       }
       r += 1
     }
-    w.length
+    w
   }
+
+  private[graft] def bpeEncodeSymsLarge(
+      sym: String, rules: Array[(String, String)]): Int =
+    bpeEncodeSymsLargeArr(sym, rules).length
 
   /** The production-vocabulary encode dictionary — (word, ntok_large)
     * under the [[bpeLargeTrain]] merge table. The rules ship as ONE
@@ -1962,6 +1966,108 @@ object Text {
 
   val bpeEncodeLargeSql: String =
     """SELECT TRUE AS band_word_bounds, TRUE AS band_per_lang_improved,
+      |  TRUE AS band_nonempty""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** The id dictionary under the PRODUCTION vocabulary — (word, ids,
+    * rt_ok, n): each distinct corpus word's ordered token-id sequence
+    * under the [[bpeLargeTrain]] merge table, t24's id layout at the
+    * 1k scale (byte b → id b; merge rule r → 255 + r, EARLIEST rule
+    * on fused-string ties), plus an in-executor ROUNDTRIP verdict —
+    * the ids decoded back through the inverse vocabulary must
+    * reproduce the word's exact byte sequence. Typed map like
+    * [[bpeEncodeLargeDict]] (a 1000-deep merge chain is not a sane
+    * expression tree); work is per DISTINCT word, vocabulary-sized.
+    */
+  private[graft] def bpeIdsLargeDict(
+      spark: SparkSession, dir: String): DataFrame = {
+    val res = bpeLargeTrain(spark, dir)
+    val rules = res.merges.map { case (_, l, r, _) => (l, r) }.toArray
+    val idOf = res.merges
+      .groupBy { case (_, l, r, _) => l + r }
+      .view.mapValues(_.map(m => 255 + m._1).min).toMap
+    val fusedByRound = res.merges
+      .map { case (r, l, rr, _) => (255 + r, l + rr) }.toMap
+    val bc = spark.sparkContext.broadcast((rules, idOf, fusedByRound))
+    val s = spark
+    import s.implicits._
+    bpeVocab(spark, dir).select("word", "sym").as[(String, String)]
+      .map { case (w, sym) =>
+        val (rl, io, fb) = bc.value
+        val syms = bpeEncodeSymsLargeArr(sym, rl)
+        val ids = syms.map(sm => io.getOrElse(sm, Integer.parseInt(sm, 16)))
+        // roundtrip: re-render each id's byte symbol and compare to
+        // the word's own hex split — exact invertibility, per word
+        val hex = ids.map(i =>
+          if (i >= 256) fb(i) else f"$i%02X").mkString
+        (w, ids, hex == sym.replace(" ", ""), ids.length)
+      }
+      .toDF("word", "ids", "rt_ok", "n")
+  }
+
+  /** t29 — TOKEN-ID SEQUENCES UNDER THE PRODUCTION VOCABULARY: the
+    * id-level product t27 only counts — what training shards would
+    * carry once the 1k tokenizer ships. Not SQL-expressible (the
+    * 1k-merge chain has no writable oracle — the t25 constraint), so
+    * the driver gate is the band set, each property exact and
+    * engine-verified over the FULL corpus vocabulary:
+    *   - band_roundtrip: every distinct word's ids decode back to its
+    *     exact byte sequence through the inverse vocabulary (0
+    *     violations — id assignment is invertible at vocab scale);
+    *   - band_counts_agree: id-sequence lengths equal t27's encode
+    *     counts word-for-word, and every id is in [0, vocab);
+    *   - band_docs_not_longer: every document's token total under the
+    *     1k vocabulary is ≤ its 12-merge total (merges only fuse);
+    *   - band_conservation: the corpus total summed per document
+    *     equals the dictionary-side Σ cnt·|ids| (the two groupings of
+    *     one encode agree);
+    *   - band_nonempty.
+    * TextBpeSpec pins the id layout (earliest-rule ties, base-byte
+    * ids) and the symbol stream is already fuzz-pinned against the
+    * naive per-rule fold; [[bpeDecode]] hash-gates the same layout
+    * cross-engine at the 12-merge scale.
+    *
+    * Scale shape: every check is a dictionary-sized join or a
+    * doc-keyed integer aggregation — no id arrays ever shuffle.
+    */
+  def bpeIdsLarge(spark: SparkSession, dir: String): DataFrame = {
+    val dict = PlanMemo.cached(spark, s"text.idsLargeDict:$dir")(
+      bpeIdsLargeDict(spark, dir))
+    val dictL = bpeEncodeLargeDict(spark, dir)
+    val dict12 = bpeEncodeDict(bpeMerges(spark, dir), bpeVocab(spark, dir))
+    val violCounts = dict.join(dictL.hint("shuffle_hash"), "word")
+      .filter(col("n") =!= col("ntok_large") ||
+        expr(s"exists(ids, i -> i < 0 OR i >= $bpeLargeVocabTarget)"))
+      .count()
+    val violRt = dict.filter(!col("rt_ok")).count()
+    val docw = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode_outer(bpeWords(col("text"))).as("word"))
+      .filter(col("word").isNotNull)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+    val perDoc = docw
+      .join(dict.select("word", "n").hint("shuffle_hash"), "word")
+      .join(dict12.hint("shuffle_hash"), "word")
+      .groupBy("doc_id").agg(
+        sum(col("cnt") * col("n")).as("t29"),
+        sum(col("cnt") * col("ntok")).as("t12"))
+    val violLonger = perDoc.filter(col("t29") > col("t12")).count()
+    val docTotal = perDoc.agg(sum("t29")).head().getLong(0)
+    val corpusWordCnt = docw.groupBy("word").agg(sum("cnt").as("c"))
+    val dictTotal = corpusWordCnt
+      .join(dict.select("word", "n").hint("shuffle_hash"), "word")
+      .agg(sum(col("c") * col("n"))).head().getLong(0)
+    val nonempty = dict.limit(1).count() == 1L
+    val s = spark
+    import s.implicits._
+    Seq((violRt == 0L, violCounts == 0L, violLonger == 0L,
+      docTotal == dictTotal, nonempty))
+      .toDF("band_roundtrip", "band_counts_agree", "band_docs_not_longer",
+        "band_conservation", "band_nonempty")
+  }
+
+  val bpeIdsLargeSql: String =
+    """SELECT TRUE AS band_roundtrip, TRUE AS band_counts_agree,
+      |  TRUE AS band_docs_not_longer, TRUE AS band_conservation,
       |  TRUE AS band_nonempty""".stripMargin
 
   /** The encode dictionary (word → token count under the learned
@@ -2566,6 +2672,7 @@ object Text {
        |ORDER BY doc_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t29_bpe_ids_large" -> bpeIdsLarge _,
     "t28_bpe_decode" -> bpeDecode _,
     "t27_bpe_encode_large" -> bpeEncodeLarge _,
     "t26_tokenizer_fertility" -> tokenizerFertility _,
@@ -2597,6 +2704,7 @@ object Text {
   )
 
   def oracles: Map[String, String] = Map(
+    "t29_bpe_ids_large" -> bpeIdsLargeSql,
     "t28_bpe_decode" -> bpeDecodeSql,
     "t27_bpe_encode_large" -> bpeEncodeLargeSql,
     "t26_tokenizer_fertility" -> tokenizerFertilitySql,

@@ -383,6 +383,46 @@ class TextBpeSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).sum > rows.map(_.getLong(2)).sum)
   }
 
+  test("t29 id layout: base bytes, earliest-rule ties, naive-fold equality") {
+    // layout unit: rules ("61 62"→"6162") at round 1 and ("6162 63")
+    // at round 2; a later duplicate-producing rule must NOT steal the
+    // id (earliest rule wins, t24's convention)
+    val rules = Array(("61", "62"), ("6162", "63"))
+    val idOf = Map("6162" -> 256, "616263" -> 257)
+    val syms = Text.bpeEncodeSymsLargeArr("61 62 63 64", rules)
+    assert(syms.toSeq === Seq("616263", "64"))
+    val ids = syms.map(s => idOf.getOrElse(s, Integer.parseInt(s, 16)))
+    assert(ids.toSeq === Seq(257, 0x64))
+    // fuzz: dictionary ids on sf0.001 re-derived independently — the
+    // naive per-rule replace fold over the trained large merge list,
+    // then the same earliest-rule map — must agree word-for-word
+    val res = Text.bpeLargeTrain(spark, sfDir)
+    val naiveRules = res.merges.map { case (_, l, r, _) => (l, r) }
+    val naiveIdOf = res.merges
+      .groupBy { case (_, l, r, _) => l + r }
+      .view.mapValues(_.map(m => 255 + m._1).min).toMap
+    val dict = Text.bpeIdsLargeDict(spark, sfDir)
+      .collect().map(r => (r.getString(0),
+        r.getSeq[Int](1).toList, r.getBoolean(2))).toList
+    assert(dict.nonEmpty)
+    dict.foreach { case (w, ids29, rt) =>
+      assert(rt, s"roundtrip failed for '$w'")
+      val sym = w.getBytes("UTF-8").map("%02X".format(_)).mkString(" ")
+      val folded = naiveRules.foldLeft(sym) { case (e, (l, r)) =>
+        (" " + e + " ").replace(s" $l $r ", s" $l$r ").trim
+      }
+      val naiveIds = folded.split(" ").toList
+        .map(s => naiveIdOf.getOrElse(s, Integer.parseInt(s, 16)))
+      assert(ids29 === naiveIds, s"id divergence on '$w'")
+    }
+  }
+
+  test("t29 bands are all TRUE on sf0.001") {
+    val row = Text.bpeIdsLarge(spark, sfDir).head()
+    (0 until row.length).foreach(i => assert(row.getBoolean(i),
+      s"band ${Text.bpeIdsLarge(spark, sfDir).columns(i)} is false"))
+  }
+
   test("t28 decode roundtrips the word stream byte-for-byte") {
     import org.apache.spark.sql.functions.{array_join, col}
     val dec = Text.bpeDecode(spark, sfDir)
