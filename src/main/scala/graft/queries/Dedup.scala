@@ -1817,15 +1817,26 @@ object Dedup {
     * (columns d1, d2): lbl = min node id of the connected component.
     * Factored from the d08 query so the spec can drive it on synthetic
     * graphs (chains, forests) and pin the iteration bound.
+    *
+    * `maxIters` applies to the DISTRIBUTED path only: below the
+    * `spark.graft.ccDriverMaxEdges` cut the in-memory union-find has
+    * no rounds and always returns the exact labeling, so a caller
+    * passing a low cap to bound work will NOT see the guard fire on
+    * small graphs. Set the conf to "0" to force the distributed
+    * fixpoint when the iteration bound itself is under test.
     */
   /** Driver-path ceiling for [[connectedComponents]] (undirected edge
     * count, conf `spark.graft.ccDriverMaxEdges`): near-dup pair
     * graphs are SLIVERS of the corpus, and below this cut the
     * fixpoint's per-round scheduling latency (join + groupBy +
     * localCheckpoint + convergence probe, ×diameter) costs far more
-    * than the graph — collect it and run union-find in-memory
-    * (2M edges ≈ 32 MB of longs; path-compressed min-root DSU is
-    * O(E·α)). Above the cut — a genuinely huge dup graph at 100 TB —
+    * than the graph — collect it and run union-find in-memory.
+    * The collect goes through a typed (Long, Long) encoder, so the
+    * wire+heap cost is primitive tuples: 2M symmetrized edges ≈
+    * 32 MB of longs plus ~64 MB of Tuple2 boxes transiently on the
+    * driver — budget ~100 MB per 2M edges before raising the cut.
+    * Path-compressed min-root DSU is O(E·α). Above the cut — a
+    * genuinely huge dup graph at 100 TB —
     * the distributed label-propagation loop runs as before. The same
     * size-gated kernel dispatch d03 applies to its pair emission.
     */
@@ -1858,7 +1869,13 @@ object Dedup {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
-    val out = parent.keysIterator.map(k => (k, find(k))).toArray
+    // snapshot the keys BEFORE mapping: find() path-compresses, i.e.
+    // writes parent(c)=r mid-walk, and mutating a mutable.HashMap
+    // while iterating its keysIterator is unspecified (value-only
+    // updates happen to be safe in 2.13, but that's an accident of
+    // the current implementation, not a contract)
+    val ks = parent.keys.toArray
+    val out = ks.map(k => (k, find(k)))
     // parallelize, not a LocalRelation: a million-row literal embedded
     // in the logical plan bloats every plan print/copy downstream
     val rdd = sess.sparkContext.parallelize(
@@ -1898,9 +1915,13 @@ object Dedup {
     val edgeCount = edges.count()
     val cut = sess.conf
       .get("spark.graft.ccDriverMaxEdges", ccDriverMaxEdges.toString).toLong
-    if (edgeCount <= cut)
-      return ccDriver(sess,
-        edges.collect().map(r => (r.getLong(0), r.getLong(1))))
+    if (edgeCount <= cut) {
+      // typed-encoder collect: primitive Tuple2s, not GenericRow
+      // boxes — at the 2M default cut this is the difference between
+      // ~100 MB and several hundred MB of transient driver heap
+      import sess.implicits._
+      return ccDriver(sess, edges.as[(Long, Long)].collect())
+    }
     val parts = math.max(4, math.min(
       sess.sparkContext.defaultParallelism.toLong,
       edgeCount / 100000L).toInt)

@@ -418,9 +418,15 @@ class TextBpeSpec extends AnyFunSuite {
   }
 
   test("t29 bands are all TRUE on sf0.001") {
-    val row = Text.bpeIdsLarge(spark, sfDir).head()
+    // hoist the frame ONCE: ScalaTest evaluates the clue string even
+    // on passing asserts, and bpeIdsLarge runs eager Spark actions at
+    // construction — an inline call in the clue re-runs the whole
+    // band pipeline per column
+    val df = Text.bpeIdsLarge(spark, sfDir)
+    val row = df.head()
+    val cols = df.columns
     (0 until row.length).foreach(i => assert(row.getBoolean(i),
-      s"band ${Text.bpeIdsLarge(spark, sfDir).columns(i)} is false"))
+      s"band ${cols(i)} is false"))
   }
 
   test("t28 decode roundtrips the word stream byte-for-byte") {
