@@ -1815,18 +1815,55 @@ object Text {
     * minFreq).
     */
   private[graft] def bpeLargeTrain(
-      spark: SparkSession, dir: String): BpeDriverTrain = {
+      spark: SparkSession, dir: String): BpeDriverTrain =
+    bpeTrainAt(spark, dir, bpeLargeVocabTarget - 256, bpeRounds)
+
+  /** One in-memory train at an arbitrary merge-rounds target,
+    * memoized per (corpus, minFreq, rounds, checkpoint). The
+    * dictionary collect reuses [[bpeVocab]]'s memoized corpus pass;
+    * determinism does NOT depend on collect order (the pair queue
+    * aggregates counts and tie-breaks on the pair string), which is
+    * what makes the prefix bands exact: training to N merges and
+    * training to M > N merges agree on the first N rules.
+    */
+  private[graft] def bpeTrainAt(
+      spark: SparkSession, dir: String,
+      rounds: Int, checkpointRound: Int): BpeDriverTrain = {
     val minFreq = spark.conf.get("spark.graft.bpeMinFreq", "1").toLong
-    val rounds = bpeLargeVocabTarget - 256
     PlanMemo.cachedValue(spark,
-      s"text.bpeLarge:$dir:${PlanMemo.corpusFingerprint(dir)}:$minFreq") {
+      s"text.bpeLarge:$dir:${PlanMemo.corpusFingerprint(dir)}:$minFreq" +
+        s":$rounds:$checkpointRound") {
       val dict = bpeVocab(spark, dir)
         .filter(col("freq") >= minFreq)
         .select("freq", "sym").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSeq
-      bpeTrainDriver(dict, rounds, checkpointRound = bpeRounds)
+      bpeTrainDriver(dict, rounds, checkpointRound = checkpointRound)
     }
   }
+
+  /** Vocabulary target for the PRODUCTION tokenizer: 256 byte symbols
+    * + 32768 merges — the size real byte-level tokenizers ship
+    * (32k–50k). The merge count is DATA-BOUNDED: every learned rule
+    * must fire on ≥1 dictionary word and each application removes ≥1
+    * symbol from the distinct-word dictionary, so
+    * rounds ≤ Σ_vocab (word_bytes − 1). A corpus whose vocabulary is
+    * smaller than the target trains to EXHAUSTION (every word fully
+    * fused to one token) and the artifact carries the corpus's full
+    * merge capacity — t30's band_vocab_reached accepts either
+    * outcome, TextBpeSpec pins which one each fixture hits, and
+    * SCALE.md banks the measured capacity per corpus class.
+    */
+  val bpeProdVocabTarget: Int = 256 + 32768
+
+  /** The memoized production-vocabulary (32k-merge-target) training
+    * result — t30's bands and t31/t32's encodes all consume it; the
+    * compression checkpoint sits at the 1k boundary so the band set
+    * compares the production artifact against [[bpeLargeTrain]]'s.
+    */
+  private[graft] def bpeProdTrain(
+      spark: SparkSession, dir: String): BpeDriverTrain =
+    bpeTrainAt(spark, dir, bpeProdVocabTarget - 256,
+      bpeLargeVocabTarget - 256)
 
   def bpeTrainLarge(spark: SparkSession, dir: String): DataFrame = {
     val rounds = bpeLargeVocabTarget - 256
@@ -1897,6 +1934,79 @@ object Text {
       sym: String, rules: Array[(String, String)]): Int =
     bpeEncodeSymsLargeArr(sym, rules).length
 
+  /** Pair → ASCENDING rank list for [[bpeEncodeSymsRank]]. Built ONCE
+    * per partition (broadcast ships the rules array; the map is a
+    * local rebuild) — at 32k rules the map is ~MBs and amortizes over
+    * the partition's dictionary slice. A LIST per pair, not a single
+    * rank: the engine's merge pass is the alternate-occurrence
+    * separator-consuming replace (see mergeReplaceExpr), which can
+    * leave residual occurrences of a just-merged pair in the
+    * dictionary ("61 61 61 61" → "6161 61 61"), so the SAME pair can
+    * win again at a later round and trained tables genuinely contain
+    * duplicate pairs at distinct ranks.
+    */
+  private[graft] def bpeRankOf(rules: Array[(String, String)])
+      : scala.collection.mutable.AnyRefMap[String, Array[Int]] = {
+    val m = new scala.collection.mutable.AnyRefMap[String, Array[Int]](
+      rules.length * 2)
+    var i = 0
+    while (i < rules.length) {
+      val k = rules(i)._1 + " " + rules(i)._2
+      m(k) = m.getOrElse(k, Array.empty[Int]) :+ i
+      i += 1
+    }
+    m
+  }
+
+  /** PRODUCTION-SHAPE encode of one byte-symbol string: the rank-map
+    * BPE encode shipped tokenizers use, spelled to be EXACTLY the
+    * rank-ordered fold [[bpeEncodeSymsLargeArr]] computes. A rank
+    * CURSOR enforces the fold's contract — each rule applies at most
+    * once, in rank order: each step finds the lowest-rank pair
+    * present in the word at rank ≥ cursor, applies it (one
+    * alternate-occurrence pass, like the fold), and advances the
+    * cursor past it. Skipping straight to the lowest PRESENT rank is
+    * sound because a skipped rule's pair was absent at the moment the
+    * fold would have evaluated it (no rule fired in between), and the
+    * fold never revisits a passed rule — TextBpeSpec fuzz-pins the
+    * two equal, including on run-heavy words where the same pair
+    * holds multiple ranks. The win is the work bound: O(|word|²)
+    * rank-map probes per word instead of O(rules) — at 32k rules the
+    * fold's per-word rule sweep (even with the symbol-presence skip)
+    * costs 32k probes/word, the rank encode ~100, independent of
+    * vocabulary size. That ~300× is the difference between the
+    * 50k-rule encode being a dictionary-sized flea or the job's
+    * dominant term.
+    */
+  private[graft] def bpeEncodeSymsRank(
+      sym: String, rules: Array[(String, String)],
+      rank: scala.collection.Map[String, Array[Int]]): Array[String] = {
+    var w = sym.split(" ")
+    var cursor = 0
+    var cont = w.length > 1
+    while (cont) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < w.length - 1) {
+        val rs = rank.getOrElse(w(i) + " " + w(i + 1), null)
+        if (rs != null) {
+          // first rank ≥ cursor in the (tiny, ascending) list
+          var j = 0
+          while (j < rs.length && rs(j) < cursor) j += 1
+          if (j < rs.length && rs(j) < best) best = rs(j)
+        }
+        i += 1
+      }
+      if (best == Int.MaxValue) cont = false
+      else {
+        w = bpeApplyMerge(w, rules(best)._1, rules(best)._2)
+        cursor = best + 1
+        cont = w.length > 1
+      }
+    }
+    w
+  }
+
   /** The production-vocabulary encode dictionary — (word, ntok_large)
     * under the [[bpeLargeTrain]] merge table. The rules ship as ONE
     * broadcast (vocab-target-sized: 1k here, 50k in production — KBs
@@ -1909,15 +2019,33 @@ object Text {
     * expression tree (the 12-rule chain is one and stays).
     */
   private[graft] def bpeEncodeLargeDict(
-      spark: SparkSession, dir: String): DataFrame = {
-    val rules = bpeLargeTrain(spark, dir).merges
-      .map { case (_, l, r, _) => (l, r) }.toArray
+      spark: SparkSession, dir: String): DataFrame =
+    bpeEncodeDictUnder(spark, dir, bpeLargeTrain(spark, dir), "ntok_large")
+
+  /** (word, <colName>) under an arbitrary frozen merge table, via the
+    * rank-map encode ([[bpeEncodeSymsRank]]): rules ship as ONE
+    * broadcast, the rank map rebuilds once per PARTITION
+    * (mapPartitions, not map — at 32k rules a per-row rebuild would
+    * dwarf the encode itself), each dictionary row encodes
+    * in-executor. Work is per DISTINCT word — vocabulary-sized,
+    * never per token or per document.
+    */
+  private[graft] def bpeEncodeDictUnder(
+      spark: SparkSession, dir: String, res: BpeDriverTrain,
+      colName: String): DataFrame = {
+    val rules = res.merges.map { case (_, l, r, _) => (l, r) }.toArray
     val bc = spark.sparkContext.broadcast(rules)
     val s = spark
     import s.implicits._
     bpeVocab(spark, dir).select("word", "sym").as[(String, String)]
-      .map { case (w, sym) => (w, bpeEncodeSymsLarge(sym, bc.value)) }
-      .toDF("word", "ntok_large")
+      .mapPartitions { it =>
+        val rl = bc.value
+        val rank = bpeRankOf(rl)
+        it.map { case (w, sym) =>
+          (w, bpeEncodeSymsRank(sym, rl, rank).length)
+        }
+      }
+      .toDF("word", colName)
   }
 
   /** t27 — ENCODE UNDER THE PRODUCTION-SIZE VOCABULARY: the loop t25
@@ -1980,8 +2108,16 @@ object Text {
     * expression tree); work is per DISTINCT word, vocabulary-sized.
     */
   private[graft] def bpeIdsLargeDict(
-      spark: SparkSession, dir: String): DataFrame = {
-    val res = bpeLargeTrain(spark, dir)
+      spark: SparkSession, dir: String): DataFrame =
+    bpeIdsDictUnder(spark, dir, bpeLargeTrain(spark, dir))
+
+  /** The id dictionary under an arbitrary frozen merge table (see
+    * [[bpeIdsLargeDict]] for the layout contract). Rank-map encode,
+    * one broadcast, per-partition rank rebuild — the same
+    * production-shape plumbing as [[bpeEncodeDictUnder]].
+    */
+  private[graft] def bpeIdsDictUnder(
+      spark: SparkSession, dir: String, res: BpeDriverTrain): DataFrame = {
     val rules = res.merges.map { case (_, l, r, _) => (l, r) }.toArray
     val idOf = res.merges
       .groupBy { case (_, l, r, _) => l + r }
@@ -1992,15 +2128,19 @@ object Text {
     val s = spark
     import s.implicits._
     bpeVocab(spark, dir).select("word", "sym").as[(String, String)]
-      .map { case (w, sym) =>
+      .mapPartitions { it =>
         val (rl, io, fb) = bc.value
-        val syms = bpeEncodeSymsLargeArr(sym, rl)
-        val ids = syms.map(sm => io.getOrElse(sm, Integer.parseInt(sm, 16)))
-        // roundtrip: re-render each id's byte symbol and compare to
-        // the word's own hex split — exact invertibility, per word
-        val hex = ids.map(i =>
-          if (i >= 256) fb(i) else f"$i%02X").mkString
-        (w, ids, hex == sym.replace(" ", ""), ids.length)
+        val rank = bpeRankOf(rl)
+        it.map { case (w, sym) =>
+          val syms = bpeEncodeSymsRank(sym, rl, rank)
+          val ids = syms.map(sm =>
+            io.getOrElse(sm, Integer.parseInt(sm, 16)))
+          // roundtrip: re-render each id's byte symbol and compare to
+          // the word's own hex split — exact invertibility, per word
+          val hex = ids.map(i =>
+            if (i >= 256) fb(i) else f"$i%02X").mkString
+          (w, ids, hex == sym.replace(" ", ""), ids.length)
+        }
       }
       .toDF("word", "ids", "rt_ok", "n")
   }
@@ -2066,6 +2206,153 @@ object Text {
   }
 
   val bpeIdsLargeSql: String =
+    """SELECT TRUE AS band_roundtrip, TRUE AS band_counts_agree,
+      |  TRUE AS band_docs_not_longer, TRUE AS band_conservation,
+      |  TRUE AS band_nonempty""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** t30 — PRODUCTION-SIZE (32k) BPE TRAINING: [[bpeProdTrain]] runs
+    * the same in-memory trainer to [[bpeProdVocabTarget]] (256 +
+    * 32768 — the size shipped tokenizers actually use) and the bands
+    * gate the artifact's structure:
+    *   - vocab_reached: 32768 merges OR dictionary exhaustion (the
+    *     data bound — see [[bpeProdVocabTarget]]; the driver corpora
+    *     exhaust, the GenData `rich` ladder classes train tens of
+    *     thousands of real merges, SCALE.md banks each capacity);
+    *   - prefix_1k_agrees: the first |1k-table| merges EQUAL
+    *     [[bpeLargeTrain]]'s full table — training is prefix-stable,
+    *     so the production artifact inherits the 1k table's gate,
+    *     which itself inherits t21's cross-engine hash gate on ITS
+    *     12-merge prefix (a 3-level pin chain to the DuckDB oracle);
+    *   - counts_nonincreasing / wellformed: as t25;
+    *   - compression: the corpus token total strictly improves past
+    *     the 1k checkpoint iff training actually proceeded past it,
+    *     and the checkpoint strictly improves on the byte floor.
+    */
+  def bpeTrainProd(spark: SparkSession, dir: String): DataFrame = {
+    val res = bpeProdTrain(spark, dir)
+    val large = bpeLargeTrain(spark, dir)
+    val m = res.merges
+    val counts = m.map(_._4)
+    val past = m.length > large.merges.length
+    import spark.implicits._
+    Seq((
+      m.length == bpeProdVocabTarget - 256 || res.exhausted,
+      m.take(large.merges.length) == large.merges,
+      counts.zip(counts.drop(1)).forall { case (a, b) => a >= b },
+      m.forall { case (_, l, r, _) => (l + r).matches("^([0-9A-F]{2})+$") },
+      (if (past) res.tokensFinal < res.tokensAtCheckpoint
+       else res.tokensFinal == res.tokensAtCheckpoint) &&
+        res.tokensAtCheckpoint < res.tokensInitial &&
+        res.tokensFinal >= 0L))
+      .toDF("band_vocab_reached", "band_prefix_1k_agrees",
+        "band_counts_nonincreasing", "band_wellformed",
+        "band_compression")
+  }
+
+  val bpeTrainProdSql: String =
+    """SELECT TRUE AS band_vocab_reached, TRUE AS band_prefix_1k_agrees,
+      |  TRUE AS band_counts_nonincreasing, TRUE AS band_wellformed,
+      |  TRUE AS band_compression""".stripMargin
+
+  /** t31 — ENCODE UNDER THE PRODUCTION (32k) VOCABULARY: the corpus
+    * encode under [[bpeProdTrain]], compared per word and per
+    * language against the 1k vocabulary's encode (exactly how t27
+    * compares 1k against the 12-merge prefix). Bands:
+    *   - word_bounds: every dictionary word encodes to
+    *     1 ≤ n ≤ byte length, and never MORE tokens than under the
+    *     1k table (the first 1k rules are identical — prefix_1k
+    *     band in t30 — and further rules only fuse);
+    *   - per_lang_improved: every language's corpus token total
+    *     strictly drops 1k → 32k WHEN the production table actually
+    *     extends the 1k table (on a corpus whose capacity is below
+    *     1k merges the two artifacts coincide and the band is
+    *     vacuously green — TextBpeSpec pins both regimes);
+    *   - nonempty.
+    */
+  def bpeEncodeProd(spark: SparkSession, dir: String): DataFrame = {
+    val resP = bpeProdTrain(spark, dir)
+    val resL = bpeLargeTrain(spark, dir)
+    val both = PlanMemo.cached(spark, s"text.prodBothDicts:$dir")(
+      bpeVocab(spark, dir)
+        .withColumn("n_bytes", length(regexp_replace(col("sym"), " ", "")) / 2)
+        .join(bpeEncodeDictUnder(spark, dir, resP, "ntok_prod")
+          .hint("shuffle_hash"), "word")
+        .join(bpeEncodeDictUnder(spark, dir, resL, "ntok_1k")
+          .hint("shuffle_hash"), "word"))
+    val violations = both.filter(
+      col("ntok_prod") < 1 || col("ntok_prod") > col("n_bytes") ||
+        col("ntok_prod") > col("ntok_1k")).count()
+    val perLang = Tables.documents(spark, dir)
+      .select(col("lang"), explode(bpeWords(col("text"))).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+      .join(both.hint("shuffle_hash"), "word")
+      .groupBy("lang").agg(
+        sum(col("cnt") * col("ntok_prod")).as("tp"),
+        sum(col("cnt") * col("ntok_1k")).as("t1k"))
+      .collect()
+    val extended = resP.merges.length > resL.merges.length
+    import spark.implicits._
+    Seq((
+      violations == 0L,
+      perLang.nonEmpty &&
+        (!extended || perLang.forall(r => r.getLong(1) < r.getLong(2))),
+      both.limit(1).count() == 1L))
+      .toDF("band_word_bounds", "band_per_lang_improved", "band_nonempty")
+  }
+
+  val bpeEncodeProdSql: String =
+    """SELECT TRUE AS band_word_bounds, TRUE AS band_per_lang_improved,
+      |  TRUE AS band_nonempty""".stripMargin
+
+  /** t32 — TOKEN-ID SEQUENCES UNDER THE PRODUCTION (32k) VOCABULARY:
+    * t29's band set re-gated under [[bpeProdTrain]] — the id product
+    * a real 32k tokenizer would hand the shard packer. Same checks,
+    * same scale shape (dictionary-sized joins + doc-keyed integer
+    * aggregation, id arrays never shuffle); band_docs_not_longer
+    * compares against the 1k vocabulary's per-doc totals and the id
+    * range bound uses the artifact's ACTUAL vocabulary size
+    * (256 + merges learned), tighter than the target.
+    */
+  def bpeIdsProd(spark: SparkSession, dir: String): DataFrame = {
+    val resP = bpeProdTrain(spark, dir)
+    val resL = bpeLargeTrain(spark, dir)
+    val vocabSize = 256 + resP.merges.length
+    val dict = PlanMemo.cached(spark, s"text.idsProdDict:$dir")(
+      bpeIdsDictUnder(spark, dir, resP))
+    val dictP = bpeEncodeDictUnder(spark, dir, resP, "ntok_prod")
+    val dict1k = bpeEncodeDictUnder(spark, dir, resL, "ntok_1k")
+    val violCounts = dict.join(dictP.hint("shuffle_hash"), "word")
+      .filter(col("n") =!= col("ntok_prod") ||
+        expr(s"exists(ids, i -> i < 0 OR i >= $vocabSize)"))
+      .count()
+    val violRt = dict.filter(!col("rt_ok")).count()
+    val docw = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode_outer(bpeWords(col("text"))).as("word"))
+      .filter(col("word").isNotNull)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+    val perDoc = docw
+      .join(dict.select("word", "n").hint("shuffle_hash"), "word")
+      .join(dict1k.hint("shuffle_hash"), "word")
+      .groupBy("doc_id").agg(
+        sum(col("cnt") * col("n")).as("tprod"),
+        sum(col("cnt") * col("ntok_1k")).as("t1k"))
+    val violLonger = perDoc.filter(col("tprod") > col("t1k")).count()
+    val docTotal = perDoc.agg(sum("tprod")).head().getLong(0)
+    val corpusWordCnt = docw.groupBy("word").agg(sum("cnt").as("c"))
+    val dictTotal = corpusWordCnt
+      .join(dict.select("word", "n").hint("shuffle_hash"), "word")
+      .agg(sum(col("c") * col("n"))).head().getLong(0)
+    val nonempty = dict.limit(1).count() == 1L
+    val s = spark
+    import s.implicits._
+    Seq((violRt == 0L, violCounts == 0L, violLonger == 0L,
+      docTotal == dictTotal, nonempty))
+      .toDF("band_roundtrip", "band_counts_agree", "band_docs_not_longer",
+        "band_conservation", "band_nonempty")
+  }
+
+  val bpeIdsProdSql: String =
     """SELECT TRUE AS band_roundtrip, TRUE AS band_counts_agree,
       |  TRUE AS band_docs_not_longer, TRUE AS band_conservation,
       |  TRUE AS band_nonempty""".stripMargin
@@ -2672,6 +2959,9 @@ object Text {
        |ORDER BY doc_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t32_bpe_ids_prod" -> bpeIdsProd _,
+    "t31_bpe_encode_prod" -> bpeEncodeProd _,
+    "t30_bpe_train_prod" -> bpeTrainProd _,
     "t29_bpe_ids_large" -> bpeIdsLarge _,
     "t28_bpe_decode" -> bpeDecode _,
     "t27_bpe_encode_large" -> bpeEncodeLarge _,
@@ -2704,6 +2994,9 @@ object Text {
   )
 
   def oracles: Map[String, String] = Map(
+    "t32_bpe_ids_prod" -> bpeIdsProdSql,
+    "t31_bpe_encode_prod" -> bpeEncodeProdSql,
+    "t30_bpe_train_prod" -> bpeTrainProdSql,
     "t29_bpe_ids_large" -> bpeIdsLargeSql,
     "t28_bpe_decode" -> bpeDecodeSql,
     "t27_bpe_encode_large" -> bpeEncodeLargeSql,

@@ -481,4 +481,116 @@ class TextBpeSpec extends AnyFunSuite {
     }
     assert(checked === 10, s"only $checked/10 usable cases in $attempts")
   }
+
+  // ----------------------------------------------------------------
+  // t30/t31/t32 — the production (32k-target) vocabulary family
+
+  test("rank-cursor encoder equals the rank-ordered fold (fuzz)") {
+    // bpeEncodeSymsRank (the O(|word|²) production encode) vs
+    // bpeEncodeSymsLargeArr (the O(rules) fold, itself fuzz-pinned to
+    // the naive string-replace reference above) — exact ARRAY
+    // equality, on trained tables over run-heavy alphabets where the
+    // alternate-occurrence replace leaves residual pairs and the same
+    // pair holds multiple ranks
+    val rnd = new scala.util.Random(211)
+    for (round <- 1 to 30) {
+      val words = Seq.fill(5 + rnd.nextInt(10)) {
+        (1 to (2 + rnd.nextInt(9)))
+          .map(_ => ('a' + rnd.nextInt(2)).toChar).mkString // {a,b}: runs
+      }.distinct
+      val fixed = words.map(w => (1L + rnd.nextInt(9), w.toSeq.mkString(" ")))
+      val res = Text.bpeTrainDriver(fixed, 20)
+      val rules = res.merges.map { case (_, l, r, _) => (l, r) }.toArray
+      val rank = Text.bpeRankOf(rules)
+      for (_ <- 1 to 8) {
+        val word = (1 to (1 + rnd.nextInt(12)))
+          .map(_ => ('a' + rnd.nextInt(2)).toChar).mkString
+        val sym = word.toSeq.mkString(" ")
+        assert(Text.bpeEncodeSymsRank(sym, rules, rank).toSeq ===
+          Text.bpeEncodeSymsLargeArr(sym, rules).toSeq,
+          s"divergence on '$word' (case $round) under " +
+            rules.mkString(","))
+      }
+    }
+  }
+
+  test("duplicate-pair ranks exist in trained tables and the cursor handles them") {
+    // "a a a a" trains (a,a) at rounds 1 AND 2 (the pinned
+    // alternate-occurrence deviation) — the rank map must carry BOTH
+    // ranks or the cursor encode diverges from the fold after rank 1
+    val res = Text.bpeTrainDriver(Seq((1L, "a a a a")), 3)
+    val pairs = res.merges.map { case (_, l, r, _) => (l, r) }
+    assert(pairs.count(_ == ("a", "a")) >= 2, s"no duplicate in $pairs")
+    val rules = pairs.toArray
+    val rank = Text.bpeRankOf(rules)
+    assert(rank("a a").length >= 2)
+    for (sym <- Seq("a a a a", "a a a a a a", "a a", "a a a")) {
+      assert(Text.bpeEncodeSymsRank(sym, rules, rank).toSeq ===
+        Text.bpeEncodeSymsLargeArr(sym, rules).toSeq,
+        s"divergence on '$sym'")
+    }
+  }
+
+  test("t30 production target and the sf0.001 exhaustion regime") {
+    assert(Text.bpeProdVocabTarget === 256 + 32768)
+    // the fixture corpus's merge capacity is far below even the 1k
+    // target, so BOTH trains exhaust at the same table — pinning the
+    // regime t31's vacuous per-lang band and t32's equal-totals rely
+    // on (the extended regime is gated on the GenData rich classes)
+    val prod = Text.bpeProdTrain(spark, sfDir)
+    val large = Text.bpeLargeTrain(spark, sfDir)
+    assert(prod.exhausted && large.exhausted)
+    assert(prod.merges === large.merges)
+  }
+
+  test("t30 bands are all TRUE on sf0.001") {
+    val df = Text.bpeTrainProd(spark, sfDir)
+    val row = df.head()
+    val cols = df.columns
+    (0 until row.length).foreach(i => assert(row.getBoolean(i),
+      s"band ${cols(i)} is false"))
+  }
+
+  test("t31 bands are all TRUE on sf0.001") {
+    val df = Text.bpeEncodeProd(spark, sfDir)
+    val row = df.head()
+    val cols = df.columns
+    (0 until row.length).foreach(i => assert(row.getBoolean(i),
+      s"band ${cols(i)} is false"))
+  }
+
+  test("t32 bands are all TRUE on sf0.001") {
+    val df = Text.bpeIdsProd(spark, sfDir)
+    val row = df.head()
+    val cols = df.columns
+    (0 until row.length).foreach(i => assert(row.getBoolean(i),
+      s"band ${cols(i)} is false"))
+  }
+
+  test("t31 strictness is real when the production table extends the 1k table") {
+    // drive the EXTENDED regime on a synthetic dictionary rich enough
+    // to out-train a small "1k-stand-in" prefix: totals must strictly
+    // improve, and the prefix-table encode never beats the longer one
+    val rnd = new scala.util.Random(311)
+    val words = Seq.fill(400) {
+      (1 to (4 + rnd.nextInt(8)))
+        .map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+    }.distinct
+    val fixed = words.map(w => (1L + rnd.nextInt(20), w.toSeq.mkString(" ")))
+    val small = Text.bpeTrainDriver(fixed, 40)
+    val big = Text.bpeTrainDriver(fixed, 400)
+    assert(big.merges.take(small.merges.length) === small.merges)
+    assert(big.merges.length > small.merges.length)
+    val rulesS = small.merges.map { case (_, l, r, _) => (l, r) }.toArray
+    val rulesB = big.merges.map { case (_, l, r, _) => (l, r) }.toArray
+    val (rankS, rankB) = (Text.bpeRankOf(rulesS), Text.bpeRankOf(rulesB))
+    var (totS, totB) = (0L, 0L)
+    fixed.foreach { case (f, sym) =>
+      val nS = Text.bpeEncodeSymsRank(sym, rulesS, rankS).length
+      val nB = Text.bpeEncodeSymsRank(sym, rulesB, rankB).length
+      assert(nB <= nS, s"longer table worsened '$sym'")
+      totS += f * nS; totB += f * nB
+    }
+    assert(totB < totS)
+  }
 }
