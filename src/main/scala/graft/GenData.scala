@@ -92,17 +92,38 @@ object GenData {
     * digits pre-tokenize to their own tokens; case and multi-byte
     * scripts hit distinct byte symbols).
     */
-  private def decorate(id: Long, i: Int, w: String): String = {
+  private def decorate(id: Long, i: Int, w: String,
+      wide: Boolean = false): String = {
     val r = u(id, 9000 + i)
     val w1 =
       if (r < 0.03) utf8Words(nextInt(id, 9100 + i, utf8Words.length))
-      else if (r < 0.08) (1 + nextInt(id, 9200 + i, 9999)).toString
+      else if (r < 0.08)
+        (1 + nextInt(id, 9200 + i, if (wide) 99999 else 9999)).toString
       else if (r < 0.10) w.toUpperCase
       else if (r < 0.35) w.capitalize
+      else if (wide && r < 0.50)
+        alphaWord(nextInt(id, 9500 + i, 40000))
       else w
     if (u(id, 9300 + i) < 0.12)
       w1 + punctMarks(nextInt(id, 9400 + i, punctMarks.length))
     else w1
+  }
+
+  /** Letters-only synthetic word for the `wide` class (a mixed
+    * alphanumeric string would PRE-TOKENIZE into separate letter and
+    * digit tokens under the BPE word pattern, collapsing the intended
+    * vocabulary). Base-26 over a–z; 40k ids → ≤4 chars.
+    */
+  private def alphaWord(n0: Int): String = {
+    var n = n0
+    val sb = new StringBuilder
+    var more = true
+    while (more) {
+      sb += ('a' + n % 26).toChar
+      n /= 26
+      more = n > 0
+    }
+    sb.result()
   }
 
   /** Base (non-duplicate) text for a doc id: 10–100 vocab words.
@@ -115,7 +136,7 @@ object GenData {
     * decorates words ([[decorate]]); it composes with either draw.
     */
   private def rawWords(id: Long, vocab: Array[String],
-      zipf: Boolean, rich: Boolean): Array[String] = {
+      zipf: Boolean, deco: Int): Array[String] = {
     val n = 10 + nextInt(id, 2, 91)
     Array.tabulate(n) { i =>
       val w =
@@ -123,7 +144,7 @@ object GenData {
           vocab((math.pow(vocab.length.toDouble, u(id, 100 + i)) - 1).toInt
             .min(vocab.length - 1))
         else vocab(nextInt(id, 100 + i, vocab.length))
-      if (rich) decorate(id, i, w) else w
+      if (deco > 0) decorate(id, i, w, deco == 2) else w
     }
   }
 
@@ -133,16 +154,16 @@ object GenData {
     * pairs per 5k docs.
     */
   private def textFor(id: Long, vocab: Array[String],
-      zipf: Boolean, rich: Boolean): String = {
+      zipf: Boolean, deco: Int): String = {
     val r = u(id, 1)
     if (id >= 10 && r < 0.002) {
-      rawWords(id - 1 - (nextInt(id, 4, 8)), vocab, zipf, rich).mkString(" ")
+      rawWords(id - 1 - (nextInt(id, 4, 8)), vocab, zipf, deco).mkString(" ")
     } else if (id >= 10 && r < 0.008) {
-      val w = rawWords(id - 1 - nextInt(id, 5, 8), vocab, zipf, rich)
+      val w = rawWords(id - 1 - nextInt(id, 5, 8), vocab, zipf, deco)
       Array.tabulate(w.length) { i =>
         if (i % 7 == 3) vocab(nextInt(id, 5000 + i, vocab.length)) else w(i)
       }.mkString(" ")
-    } else rawWords(id, vocab, zipf, rich).mkString(" ")
+    } else rawWords(id, vocab, zipf, deco).mkString(" ")
   }
 
   final case class Doc(doc_id: Long, text: String, lang: String,
@@ -199,10 +220,15 @@ object GenData {
     val sf = args(1).toDouble
     // optional flags after <sf>: "zipf" (log-uniform word ranks —
     // real-text df skew) and/or "rich" (mixed-case/punctuation/digit/
-    // UTF-8 decoration — the byte-level tokenizer's test surface)
+    // UTF-8 decoration — the byte-level tokenizer's test surface) or
+    // "wide" (rich + 5-digit tokens + a 40k letters-only synthetic
+    // pool: ~100k distinct words, merge budget ≫ 32768 — the ONLY
+    // class whose vocabulary can sustain the t30 production-size
+    // train without exhausting; rich/zipf corpora stay byte-identical)
     val flags = args.drop(2).toSet
     val zipf = flags.contains("zipf")
-    val rich = flags.contains("rich")
+    val deco = if (flags.contains("wide")) 2
+      else if (flags.contains("rich")) 1 else 0
     val parts = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Tables.configure(
       SparkSession.builder()
@@ -219,7 +245,7 @@ object GenData {
 
     val vocab = vocabFor(nDocs)
     spark.range(0, nDocs, 1, parts).as[Long].map { id =>
-      val text = textFor(id, vocab, zipf, rich)
+      val text = textFor(id, vocab, zipf, deco)
       Doc(id, text, langs(nextInt(id, 6, langs.length)),
         s"src${nextInt(id, 7, 20)}", text.length.toLong)
     }.write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")

@@ -62,6 +62,24 @@ object Probe {
           b.toMap
         }
         println(s"PROBE exnodes $name ${countNodes(plan)}")
+      case "bpeprod" =>
+        // t30 production-train accounting: merges learned vs target,
+        // exhaustion regime, trainer wall-time (dictionary collect +
+        // in-memory loop, isolated from the corpus vocab pass), and
+        // the rank-encode dictionary pass — the SCALE.md numbers
+        Text.bpeVocab(spark, dir).count() // warm the corpus pass
+        val t0 = System.nanoTime()
+        val prod = Text.bpeProdTrain(spark, dir)
+        val trainSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        run(Text.bpeEncodeDictUnder(spark, dir, prod, "ntok_prod"))
+        val encSec = (System.nanoTime() - t1) / 1e9
+        println(f"PROBE bpeprod merges=${prod.merges.length} " +
+          f"target=${Text.bpeProdVocabTarget - 256} " +
+          f"exhausted=${prod.exhausted} " +
+          f"tokens=${prod.tokensInitial}->${prod.tokensAtCheckpoint}" +
+          f"->${prod.tokensFinal} train=$trainSec%.2f s " +
+          f"encodeDict=$encSec%.2f s")
       case "emission" =>
         // d03-dispatch signal: sampled posting-emission pairs/doc
         println(f"PROBE emission $dir " +
