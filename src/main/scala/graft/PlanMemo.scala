@@ -195,7 +195,17 @@ object PlanMemo {
     * written output cannot change any downstream answer.
     */
   def publishedParquet(spark: SparkSession, dir: String, name: String)
-      (build: => DataFrame): DataFrame = {
+      (build: => DataFrame): DataFrame =
+    publishedParquetBy(spark, dir, name, Nil)(build)
+
+  /** [[publishedParquet]] with hive-style partition columns — the
+    * operational layout for artifacts a training run consumes shard-
+    * by-shard (partition pruning on the consumer side reads one
+    * directory, not the corpus). Read-back note: Spark restores
+    * partition columns LAST in the schema — consumers select by name.
+    */
+  def publishedParquetBy(spark: SparkSession, dir: String, name: String,
+      partitionCols: Seq[String])(build: => DataFrame): DataFrame = {
     val pre = sys.env.get("SPARK_GRAFT_ARTIFACTS").flatMap { a =>
       def markerOk(d: java.nio.file.Path): Boolean = {
         val m = d.resolve("GRAFT_DIR.txt")
@@ -220,8 +230,11 @@ object PlanMemo {
         .map("%02x".format(_)).mkString
       val p = publishRoot.resolve(key).resolve(name)
       publishRoot.synchronized {
-        if (!java.nio.file.Files.exists(p))
-          build.write.mode("overwrite").parquet(p.toString)
+        if (!java.nio.file.Files.exists(p)) {
+          val w = build.write.mode("overwrite")
+          (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*)
+           else w).parquet(p.toString)
+        }
       }
       p
     }

@@ -80,6 +80,13 @@ object Probe {
           f"tokens=${prod.tokensInitial}->${prod.tokensAtCheckpoint}" +
           f"->${prod.tokensFinal} train=$trainSec%.2f s " +
           f"encodeDict=$encSec%.2f s")
+      case "e05plan" =>
+        val contents = Pipeline.shardContents(spark, dir)
+        run(contents)
+        val warm = Pipeline.shardContents(spark, dir)
+        run(warm)
+        val p = warm.queryExecution.executedPlan
+        println(p.toString.take(6000))
       case "emission" =>
         // d03-dispatch signal: sampled posting-emission pairs/doc
         println(f"PROBE emission $dir " +

@@ -138,8 +138,15 @@ object Packing {
     */
   val nShards = 16
   private val P = 2147483647L // 2^31 - 1
-  private val shardExpr =
-    s"((doc_id % $P) * 1299709 + 104729) % $P % $nShards"
+
+  /** The closed-form multiplicative shard hash over any non-negative
+    * integer key column — p03 keys it by doc_id, e05's published
+    * manifest by chunk_id; ONE spelling so placements can't drift.
+    */
+  private[graft] def shardExprOn(keyCol: String): String =
+    s"(($keyCol % $P) * 1299709 + 104729) % $P % $nShards"
+
+  private val shardExpr = shardExprOn("doc_id")
 
   def shardManifest(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -162,7 +162,11 @@ object Pipeline {
     * opposite, per-token-row road (unnest every id, GROUP BY its
     * chunk) — an independent algorithm checking the slice arithmetic.
     */
-  def trainingShards(spark: SparkSession, dir: String): DataFrame = {
+  /** The chunk CONTENT frame (lang, chunk_id, n_tokens, ids) e02
+    * digests and e05 publishes — ONE derivation so the gated digest
+    * and the shipped artifact cannot drift.
+    */
+  private[graft] def shardContents(spark: SparkSession, dir: String): DataFrame = {
     val ct = Packing.chunkTokens
     val docs = Tables.documents(spark, dir)
       .join(keptDocs(spark, dir).hint("shuffle_hash"),
@@ -217,11 +221,15 @@ object Pipeline {
         array_sort(collect_list(struct(col("seg_start"), col("seg_ids"))))
           .as("ent"))
       .select(col("lang"), col("chunk_id"), col("n_tokens"),
-        md5(expr("""array_join(transform(
-          flatten(transform(ent, e -> e.seg_ids)),
-          i -> CAST(i AS STRING)), ',')""")).as("ids_md5"))
-      .orderBy("lang", "chunk_id")
+        expr("flatten(transform(ent, e -> e.seg_ids))").as("ids"))
   }
+
+  def trainingShards(spark: SparkSession, dir: String): DataFrame =
+    shardContents(spark, dir)
+      .select(col("lang"), col("chunk_id"), col("n_tokens"),
+        md5(expr("array_join(transform(ids, i -> CAST(i AS STRING)), ',')"))
+          .as("ids_md5"))
+      .orderBy("lang", "chunk_id")
 
   val trainingShardsSql: String =
     s"""WITH RECURSIVE $keptCtesSql,
@@ -265,6 +273,110 @@ object Pipeline {
        |  md5(string_agg(id_s, ',' ORDER BY abspos)) AS ids_md5
        |FROM tok GROUP BY lang, chunk_id
        |ORDER BY lang, chunk_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** e05 — PUBLISH THE SHARDS (round-15 verdict "next" 2): e02 GATES
+    * the chunk contents as digests; e05 makes them an OPERATIONAL
+    * artifact and gates the publication:
+    *
+    *   - `training_shards` — the chunk contents (chunk_id, n_tokens,
+    *     ids) as lang-PARTITIONED parquet through
+    *     [[PlanMemo.publishedParquetBy]]: corpus-fingerprint-keyed
+    *     like e03's frozen base, so a corpus edit re-publishes and a
+    *     training run partition-prunes to the langs it consumes;
+    *   - `training_shards_manifest` — one row per (lang, shard):
+    *     p03's manifest shape over CHUNKS (the same closed-form
+    *     multiplicative hash, keyed by chunk_id —
+    *     [[Packing.shardExprOn]]), carrying chunk/token counts, the
+    *     chunk-id range, and an order-independent `bit_xor` of each
+    *     chunk's 60-bit id-stream fingerprint.
+    *
+    * The gated frame is the manifest DERIVED FROM THE PUBLISHED
+    * PARQUET (not from the in-session plan), so the DuckDB hash
+    * compare proves the artifact ON DISK carries exactly the id
+    * streams the oracle recomputes from raw documents — delivery
+    * verification, the property a manifest exists to give. The
+    * Bench per-rep shape is a manifest parquet read (the artifact
+    * publishes once per corpus, like the shipped classifier).
+    *
+    * Scale posture: id arrays appear in exactly two exchanges
+    * engine-side (t24's per-doc reassembly + the boundary-slice
+    * chunk assembly — PlanAuditSpec pins the count); the manifest
+    * aggregation reduces each chunk to ONE 64-bit fingerprint before
+    * its shard groupBy, and the artifact write itself is the
+    * partitioned sink, no extra shuffle beyond the content plan.
+    */
+  def publishShards(spark: SparkSession, dir: String): DataFrame = {
+    val shards = PlanMemo.publishedParquetBy(spark, dir,
+      "training_shards", Seq("lang"))(shardContents(spark, dir))
+    val manifest = PlanMemo.publishedParquet(spark, dir,
+      "training_shards_manifest") {
+      shards
+        .withColumn("shard", expr(Packing.shardExprOn("chunk_id")))
+        .withColumn("chunk_fp", Text.fp64(
+          expr("array_join(transform(ids, i -> CAST(i AS STRING)), ',')")))
+        .groupBy("lang", "shard")
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum("n_tokens").as("n_tokens"),
+          min("chunk_id").as("min_chunk"),
+          max("chunk_id").as("max_chunk"),
+          expr("bit_xor(chunk_fp)").as("checksum"))
+    }
+    manifest.orderBy("lang", "shard")
+  }
+
+  val publishShardsSql: String =
+    s"""WITH RECURSIVE $keptCtesSql,
+       |${Text.bpeIdDictCtesSql},
+       |docw AS MATERIALIZED (
+       |  SELECT doc_id, unnest(${Text.bpeWordsSql("text")}) AS word,
+       |    generate_subscripts(${Text.bpeWordsSql("text")}, 1) AS pos
+       |  FROM documents JOIN keptf USING (doc_id)
+       |), jw AS MATERIALIZED (
+       |  SELECT d.doc_id, d.pos, w.idstr, w.nids
+       |  FROM docw d JOIN wids w USING (word)
+       |), doctok AS (
+       |  SELECT doc_id, CAST(SUM(nids) AS BIGINT) AS n_tok
+       |  FROM jw GROUP BY doc_id
+       |), base AS (
+       |  SELECT d.lang, d.doc_id, COALESCE(t.n_tok, 0) AS n_tok
+       |  FROM documents d JOIN keptf USING (doc_id)
+       |  LEFT JOIN doctok t USING (doc_id)
+       |), off AS (
+       |  SELECT lang, doc_id,
+       |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS tok_offset
+       |  FROM base
+       |), woff AS (
+       |  SELECT doc_id, pos, idstr,
+       |    CAST(COALESCE(SUM(nids) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS woff
+       |  FROM jw
+       |), tok AS (
+       |  SELECT o.lang,
+       |    o.tok_offset + w.woff
+       |      + generate_subscripts(string_split(w.idstr, ','), 1) - 1 AS abspos,
+       |    unnest(string_split(w.idstr, ',')) AS id_s
+       |  FROM woff w JOIN off o USING (doc_id)
+       |), chunk AS (
+       |  SELECT lang, CAST(abspos // ${Packing.chunkTokens} AS BIGINT)
+       |      AS chunk_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |    ${Text.fp64Sql("string_agg(id_s, ',' ORDER BY abspos)")}
+       |      AS chunk_fp
+       |  FROM tok GROUP BY lang, chunk_id
+       |)
+       |SELECT lang, ${Packing.shardExprOn("chunk_id")} AS shard,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  MIN(chunk_id) AS min_chunk,
+       |  MAX(chunk_id) AS max_chunk,
+       |  BIT_XOR(chunk_fp) AS checksum
+       |FROM chunk GROUP BY lang, shard
+       |ORDER BY lang, shard""".stripMargin
 
   // ---------------------------------------------------------------
   /** e03 — INCREMENTAL PIPELINE APPEND: the operational shape that
@@ -694,13 +806,15 @@ object Pipeline {
     "e01_training_pipeline" -> trainingPipeline _,
     "e02_training_shards" -> trainingShards _,
     "e03_increment_append" -> incrementAppend _,
-    "e04_mixture_plan" -> mixturePlan _
+    "e04_mixture_plan" -> mixturePlan _,
+    "e05_publish_shards" -> publishShards _
   )
 
   def oracles: Map[String, String] = Map(
     "e01_training_pipeline" -> trainingPipelineSql,
     "e02_training_shards" -> trainingShardsSql,
     "e03_increment_append" -> incrementAppendSql,
-    "e04_mixture_plan" -> mixturePlanSql
+    "e04_mixture_plan" -> mixturePlanSql,
+    "e05_publish_shards" -> publishShardsSql
   )
 }

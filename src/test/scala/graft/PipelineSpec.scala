@@ -170,4 +170,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq)
     assert(a.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
   }
+
+  test("e05 published shards carry exactly e02's gated id streams") {
+    import org.apache.spark.sql.functions.{col, expr, md5, sum}
+    // publish (idempotent per corpus fingerprint), then read the DISK
+    // artifact back and recompute e02's digest from the published id
+    // arrays: row-for-row equality proves the parquet on disk is
+    // byte-for-byte the gated content, not a drifted re-derivation
+    Pipeline.publishShards(spark, sfDir).collect()
+    val published = PlanMemo.publishedParquetBy(spark, sfDir,
+      "training_shards", Seq("lang"))(
+      fail("artifact must already be published"))
+    val e02 = Pipeline.trainingShards(spark, sfDir)
+    val pubDig = published.select(col("lang"), col("chunk_id"),
+      col("n_tokens"),
+      md5(expr("array_join(transform(ids, i -> CAST(i AS STRING)), ',')"))
+        .as("ids_md5"))
+    assert(pubDig.count() === e02.count())
+    assert(pubDig.join(e02,
+      Seq("lang", "chunk_id", "n_tokens", "ids_md5")).count() === e02.count())
+    // manifest totals reconcile with the artifact
+    val man = Pipeline.publishShards(spark, sfDir)
+    assert(man.agg(sum("n_chunks")).head().getLong(0) === published.count())
+    assert(man.agg(sum("n_tokens")).head().getLong(0) ===
+      published.agg(sum("n_tokens")).head().getLong(0))
+    // the artifact is genuinely lang-partitioned on disk (hive dirs)
+    val root = published.inputFiles.head
+    assert(root.contains("/lang="), s"not partitioned: $root")
+  }
 }

@@ -280,4 +280,100 @@ class PlanAuditSpec extends AnyFunSuite {
           s"(pushdown/inference trap): ${offenders.map(_.sql).mkString("; ")}")
     }
   }
+
+  /** Count executed shuffle exchanges whose OUTPUT carries an
+    * array-typed column — the scale contract for the shard family:
+    * token-id arrays are the fattest rows in the engine, and every
+    * exchange that ships them at corpus scale is network cost a
+    * count-only spelling avoids.
+    */
+  private def arrayShuffles(
+      plan: org.apache.spark.sql.execution.SparkPlan): Int = {
+    var n = 0
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.output.exists(a =>
+              a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]) =>
+          n += 1
+        case _ =>
+      }
+      p.children.foreach(walk)
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case _ =>
+      }
+    }
+    walk(plan)
+    n
+  }
+
+  test("e05 shard contents: id arrays shuffle ONLY at the boundary-slice step") {
+    // warm (keptSeqs memoized): measured, the content plan moves id
+    // content through exactly ONE exchange — the chunk-assembly
+    // groupBy over boundary-sliced segments — and even there the ids
+    // travel as partial_collect_list BINARY buffers, never as raw
+    // array attributes. The seqs side re-uses the memo's
+    // hashpartitioning(doc_id) (persist preserves partitioning), so
+    // the join shuffles only the scalar placement side; the per-doc
+    // reassembly's array exchanges live inside the memoized seqs
+    // build (charged once per corpus, like the artifact publish).
+    val contents = Pipeline.shardContents(spark, sfDir)
+    contents.write.format("noop").mode("overwrite").save()
+    val warm = Pipeline.shardContents(spark, sfDir)
+    warm.write.format("noop").mode("overwrite").save()
+    val plan = warm.queryExecution.executedPlan
+    assert(arrayShuffles(plan) === 0,
+      "a raw id-array attribute entered an exchange — the packed " +
+        "boundary-slice contract broke")
+    // exactly one exchange fed by a partial object aggregate (the
+    // boundary-slice chunk assembly) — counted over the executed
+    // TREE, not the printed string (the print embeds the memoized
+    // seqs build plan, which has its own collects)
+    var collectExchanges = 0
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.child.isInstanceOf[
+              org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec] =>
+          collectExchanges += 1
+        case _ =>
+      }
+      p.children.foreach(walk)
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case _ =>
+      }
+    }
+    walk(plan)
+    assert(collectExchanges === 1,
+      "expected exactly ONE partial-collect exchange (the " +
+        "boundary-slice chunk assembly) in the warm content tree")
+  }
+
+  test("e05 manifest build: NO id array ever enters an exchange") {
+    // the manifest reduces each chunk to one 64-bit fingerprint
+    // BEFORE its shard groupBy — the shard aggregation must shuffle
+    // scalars only (reading the published parquet is array I/O, but
+    // partition-local)
+    Pipeline.publishShards(spark, sfDir).collect()
+    val published = PlanMemo.publishedParquetBy(spark, sfDir,
+      "training_shards", Seq("lang"))(
+      fail("artifact must already be published"))
+    val man = published
+      .withColumn("shard",
+        org.apache.spark.sql.functions.expr(
+          Packing.shardExprOn("chunk_id")))
+      .withColumn("chunk_fp", Text.fp64(
+        org.apache.spark.sql.functions.expr(
+          "array_join(transform(ids, i -> CAST(i AS STRING)), ',')")))
+      .groupBy("lang", "shard")
+      .agg(org.apache.spark.sql.functions.expr("bit_xor(chunk_fp)")
+        .as("checksum"))
+    man.write.format("noop").mode("overwrite").save()
+    assert(arrayShuffles(man.queryExecution.executedPlan) === 0,
+      "manifest aggregation must shuffle fingerprints, not id arrays")
+  }
 }
