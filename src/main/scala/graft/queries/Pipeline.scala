@@ -379,6 +379,52 @@ object Pipeline {
        |ORDER BY lang, shard""".stripMargin
 
   // ---------------------------------------------------------------
+  /** e06 — STREAMED INGEST, END TO END (round-15 verdict "next" 4):
+    * the w16 admission gate's kept set BECOMES the increment e03
+    * appends, as one gated statement:
+    *
+    *   1. the INCREMENT (doc_id ≥ the d13 split) arrives on a stream
+    *      and drains through w16's stateful admission gate — ONE agg
+    *      keyed by content fingerprint under the frozen classifier
+    *      ([[StreamingQueries.admissionLedger]]);
+    *   2. the admitted ledger is PUBLISHED (corpus-fingerprint-keyed
+    *      parquet, like every frozen-base artifact) — the drain runs
+    *      once per corpus, not per consumer;
+    *   3. the admitted fingerprint set keys the increment doc set,
+    *      and [[incrementAppendFrom]] runs e03's screens + CC dedup +
+    *      continued placement on it.
+    *
+    * Admission equivalence (what makes the shared oracle exact): the
+    * ledger's verdict is s8 > 0 per CONTENT under the frozen weights,
+    * t23's pred is s8 > 0 per DOC, and scores are functions of text
+    * alone (w16's StreamingSpec pins per-doc score equality) —
+    * including the degenerate edges: a zero-token doc is pred = 0
+    * batch-side and ABSENT from the ledger stream-side, excluded
+    * either way. So e06 ≡ e03 row-for-row, and its oracle IS e03's
+    * DuckDB statement — the hash gate proves the whole streamed chain
+    * (state store, drain, publish, append) reproduces the batch
+    * product exactly.
+    */
+  def streamIngest(spark: SparkSession, dir: String): DataFrame = {
+    val sid = Dedup.incrementalSplitId(spark, dir)
+    val admitted = PlanMemo.cached(spark, s"pipeline.streamAdmitted:$dir")(
+      PlanMemo.publishedParquet(spark, dir, "stream_admitted_increment")(
+        StreamingQueries.admissionLedger(spark, dir, sid, "e06adm")
+          .filter(col("admitted"))
+          .select("fingerprint")))
+    val incQ = Tables.documents(spark, dir)
+      .filter(col("doc_id") >= sid)
+      // optimizer_barrier: the semi join infers isnotnull(fingerprint)
+      // and would inline md5(text) into a pre-rebalance Filter (the
+      // d13 discipline, same as e03's exact screen)
+      .select(col("doc_id"),
+        expr("optimizer_barrier(md5(text))").as("fingerprint"))
+      .join(admitted.hint("shuffle_hash"), Seq("fingerprint"), "left_semi")
+      .select("doc_id")
+    incrementAppendFrom(spark, dir, incQ)
+  }
+
+  // ---------------------------------------------------------------
   /** e03 — INCREMENTAL PIPELINE APPEND: the operational shape that
     * makes the pipeline maintainable at 100 TB — a crawl increment
     * (the newest [[Dedup.incrementalFraction]] of doc_ids, d13's
@@ -444,11 +490,22 @@ object Pipeline {
 
   def incrementAppend(spark: SparkSession, dir: String): DataFrame = {
     val sid = Dedup.incrementalSplitId(spark, dir)
-    val docs = Tables.documents(spark, dir)
-    val baseKept = baseKeptDocs(spark, dir)
     val incQ = PlanMemo.publishedParquet(spark, dir,
         "t23_quality_classifier")(Text.qualityClassifier(spark, dir))
       .filter(col("pred") === 1 && col("doc_id") >= sid).select("doc_id")
+    incrementAppendFrom(spark, dir, incQ)
+  }
+
+  /** The append stages 2–5 over an arbitrary quality-admitted
+    * increment doc set — e03 feeds it the batch classifier's
+    * verdicts, e06 the drained streaming-admission ledger's. ONE body
+    * so the batch and streamed ingest paths cannot drift (their
+    * equality is the e06 gate).
+    */
+  private[graft] def incrementAppendFrom(
+      spark: SparkSession, dir: String, incQ: DataFrame): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val baseKept = baseKeptDocs(spark, dir)
     // exact screen: base-KEPT fingerprint set (optimizer_barrier — the
     // d13 discipline: the anti join infers isnotnull(fp) and would
     // otherwise inline md5(text) into a pre-rebalance Filter)
@@ -817,7 +874,8 @@ object Pipeline {
     "e02_training_shards" -> trainingShards _,
     "e03_increment_append" -> incrementAppend _,
     "e04_mixture_plan" -> mixturePlan _,
-    "e05_publish_shards" -> publishShards _
+    "e05_publish_shards" -> publishShards _,
+    "e06_stream_ingest" -> streamIngest _
   )
 
   def oracles: Map[String, String] = Map(
@@ -825,6 +883,9 @@ object Pipeline {
     "e02_training_shards" -> trainingShardsSql,
     "e03_increment_append" -> incrementAppendSql,
     "e04_mixture_plan" -> mixturePlanSql,
-    "e05_publish_shards" -> publishShardsSql
+    "e05_publish_shards" -> publishShardsSql,
+    // e06 ≡ e03 by construction (see streamIngest scaladoc): the
+    // streamed chain must reproduce the batch append exactly
+    "e06_stream_ingest" -> incrementAppendSql
   )
 }

@@ -814,7 +814,20 @@ object StreamingQueries {
     * Zero-token documents never reach the agg (nothing to score at
     * ingest); the oracle's join on `scored` drops them identically.
     */
-  def streamingAdmission(spark: SparkSession, dir: String): DataFrame = {
+  def streamingAdmission(spark: SparkSession, dir: String): DataFrame =
+    admissionLedger(spark, dir, 0L, "w16").orderBy("fingerprint")
+
+  /** The drained admission LEDGER (per content fingerprint: rep doc,
+    * copy count, token count, frozen-classifier score, verdict) over
+    * the stream of documents with doc_id ≥ `minDocId` — w16 presents
+    * it for the whole corpus (minDocId 0); e06 drains the INCREMENT
+    * (minDocId = the d13 split) and feeds the admitted set straight
+    * into the e03 append. The doc_id filter is STATELESS and sits
+    * before the stateful agg, so the state store only ever carries
+    * in-scope fingerprints.
+    */
+  private[graft] def admissionLedger(spark: SparkSession, dir: String,
+      minDocId: Long, name: String): DataFrame = {
     val path = s"$dir/documents.parquet"
     val streamDir = TempArtifacts.scratchDir("graft_stream_adm")
     TempArtifacts.stageTable(streamDir, path)
@@ -823,6 +836,7 @@ object StreamingQueries {
     val toks = balancedStream(
         drainSession(spark)
           .readStream.schema(schema).parquet(streamDir.toString))
+      .filter(col("doc_id") >= minDocId)
       .select(col("doc_id"), md5(col("text")).as("fingerprint"),
         posexplode_outer(Text.tokens(lower(col("text"))))
           .as(Seq("pos", "w")))
@@ -837,12 +851,11 @@ object StreamingQueries {
       sum(when(col("pos") === 0, 1L).otherwise(0L)).as("n_copies"),
       count(lit(1)).as("tok_rows"),
       sum("w8e").as("s8_total"))
-    drainToMemory(spark, agg, "complete", "w16", streamDir)
+    drainToMemory(spark, agg, "complete", name, streamDir)
       .select(col("fingerprint"), col("rep_doc"), col("n_copies"),
         expr("tok_rows div n_copies").as("n_tokens"),
         expr("s8_total div n_copies").as("s8"),
         (expr("s8_total div n_copies") > 0).as("admitted"))
-      .orderBy("fingerprint")
   }
 
   /** Oracle: t23's per-doc scores grouped by content fingerprint —

@@ -408,4 +408,16 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("no parquet parts staged"))
   }
+
+  test("e06 streamed ingest equals batch e03 on the same increment, row-for-row") {
+    // the composition contract: the w16 admission gate's kept set IS
+    // the increment the append consumes — the streamed chain (state
+    // store, drain, published ledger, screens, CC, placement) must
+    // reproduce the batch product exactly, not just hash-equal
+    val a = Pipeline.incrementAppend(spark, sfDir).collect()
+    val b = Pipeline.streamIngest(spark, sfDir).collect()
+    assert(a.length === b.length)
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    assert(a.nonEmpty)
+  }
 }
