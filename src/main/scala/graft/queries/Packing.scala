@@ -30,7 +30,7 @@ object Packing {
   /** Whitespace token count — the same recipe both engines run. */
   private val sparkNTok =
     "size(filter(split(text, ' '), t -> t != ''))"
-  private val duckNTok =
+  private[graft] val duckNTok =
     "len(list_filter(string_split(text, ' '), t -> t <> ''))"
 
   /** p01 — per-document chunk placement: cumulative token offset,
@@ -190,7 +190,14 @@ object Packing {
   // fits a long for any 31-bit doc_id — uniqueness by construction
   val maxChunksPerDoc = 1L << 32
 
-  def ragChunks(spark: SparkSession, dir: String): DataFrame = {
+  def ragChunks(spark: SparkSession, dir: String): DataFrame =
+    chunkFrame(spark, dir).orderBy("doc_id", "chunk_idx")
+
+  /** p04's chunk rows WITHOUT the presentation sort — the composable
+    * form s14's retrieval pipeline consumes (a sort under its joins
+    * would be dead weight even where Catalyst fails to eliminate it).
+    */
+  private[graft] def chunkFrame(spark: SparkSession, dir: String): DataFrame = {
     val n = "greatest(CAST(n_tok AS INT), 1)"
     // chunk starts: 1, 1+stride, … while start <= n - overlap (last
     // chunk may be short but never empty; a short doc yields 1 chunk)
@@ -212,7 +219,6 @@ object Packing {
         col("start_tok").cast("long").as("start_tok"),
         least(col("start_tok") + ragChunkTokens - 1, greatest(col("n_tok"), lit(1L)))
           .cast("long").as("end_tok"))
-      .orderBy("doc_id", "chunk_idx")
   }
 
   val ragChunksSql: String = {

@@ -719,7 +719,207 @@ object Similarity {
        |  AND ${Exact.round4Sql(duckDot("c.embedding", "q_emb") + " / (c.nrm * q_nrm)")} >= $radiusTheta
        |ORDER BY q_id, cosine DESC, vec_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** s14 — RETRIEVAL END-TO-END (round-15 verdict "next" 5): the
+    * whole retrieval pipeline as ONE gated statement — p04's
+    * overlapping chunks, an embed join, IVF cell-probed candidate
+    * generation (s07's recipe), and the coarse-prefix → exact-cosine
+    * re-rank (s12's recipe), top-5 CHUNKS per query:
+    *
+    *   1. EMBED JOIN — each chunk keys into the embedding table via
+    *      the closed-form multiplicative hash over its chunk_key
+    *      (portable arithmetic, any system can recompute the
+    *      placement; stands in for "the chunk was embedded" with real
+    *      vector data while exercising the real docs-scale ⋈
+    *      vecs-scale equi join);
+    *   2. IVF — every embedding is assigned its arg-max cell ONCE
+    *      (vecs-scale, s04's exact-int recipe), each query probes its
+    *      [[nProbe]] best cells; candidates are chunks whose vector
+    *      lives in a probed cell — NEVER query × all-chunks
+    *      (SimilaritySpec pins candidate volume = Σ probed-cell
+    *      chunk occupancy, strictly under the all-pairs product);
+    *   3. RE-RANK — [[prefixDim]]-dim coarse inner product shortlists
+    *      [[retrShortlistK]] chunks per query through the bounded
+    *      [[TopKScoreId]] aggregate (≤ K rows per query per map
+    *      task), then the full 64-dim cosine re-scores the shortlist
+    *      only.
+    *
+    * Everything bounded rides broadcast (8 centroids, queries ×
+    * nProbe probes, queries × K shortlist); everything corpus-scale
+    * streams (the chunk frame twice — candidate pass + shortlist
+    * rejoin — and the embedding table). doc_id re-derives from
+    * chunk_key by integer division, so the shortlist carries one
+    * long per hit.
+    */
+  val retrShortlistK = 20
+
+  /** Every vector's arg-max IVF cell, ONCE (vecs-scale; s04's
+    * exact-int recipe) — chunks inherit cells through the embed join.
+    * Shared by [[retrievalE2e]] and the SimilaritySpec candidate-
+    * volume invariant.
+    */
+  private[graft] def retrAssigned(spark: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(spark, dir)
+    val cents = emb.filter(col("vec_id") < 8).select(
+      col("vec_id").as("cell"), col("embedding").as("c_emb"),
+      col("nrm").as("c_nrm"))
+    val cos4 = floor(
+      expr(sparkDot("embedding", "c_emb")) / (col("nrm") * col("c_nrm"))
+        * 10000 + lit(0.5)).cast("long")
+    emb.crossJoin(broadcast(cents))
+      .withColumn("cos4", cos4)
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos4"), (-col("cell")).as("negcell"))).as("w"),
+        first("embedding").as("embedding"), first("nrm").as("nrm"))
+      .select(col("vec_id"), (-col("w.negcell")).as("cell"),
+        col("embedding"), col("nrm"))
+  }
+
+  /** Each query's [[nProbe]] best cells (bounded: queries × nProbe
+    * rows) — shared by [[retrievalE2e]] and SimilaritySpec.
+    */
+  private[graft] def retrProbes(spark: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(spark, dir)
+    val cents = emb.filter(col("vec_id") < 8).select(
+      col("vec_id").as("cell"), col("embedding").as("c_emb"),
+      col("nrm").as("c_nrm"))
+    val cos4 = floor(
+      expr(sparkDot("embedding", "c_emb")) / (col("nrm") * col("c_nrm"))
+        * 10000 + lit(0.5)).cast("long")
+    emb.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(cents))
+      .withColumn("cos4", cos4)
+      .groupBy(col("vec_id").as("q_id"))
+      .agg(expr(s"topk_score_id(CAST(cos4 AS DOUBLE), cell, $nProbe)").as("tk"),
+        first("embedding").as("q_emb"), first("nrm").as("q_nrm"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        explode(col("tk")).as("probe"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        col("probe.id").as("cell"))
+  }
+
+  /** The embed join: chunk rows keyed into the embedding table. */
+  private[graft] def retrChunks(spark: SparkSession, dir: String): DataFrame = {
+    val nVecs = PlanMemo.cachedValue(spark, s"similarity.nVecs:$dir")(
+      Tables.embeddings(spark, dir).count())
+    Packing.chunkFrame(spark, dir)
+      .select(col("doc_id"), col("chunk_key"),
+        expr(chunkVecExpr(nVecs)).as("vec_id"))
+  }
+
+  def retrievalE2e(spark: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(spark, dir)
+    val assigned = retrAssigned(spark, dir)
+    val probes = retrProbes(spark, dir)
+    val chunks = retrChunks(spark, dir)
+    val cand = chunks.join(assigned.hint("shuffle_hash"), "vec_id")
+    val coarse = cand.join(broadcast(probes), "cell")
+      .withColumn("cosine", Exact.round4(expr(
+        s"dot_product(slice(embedding, 1, $prefixDim), slice(q_emb, 1, $prefixDim))")))
+    val shortlist = coarse.groupBy("q_id")
+      .agg(expr(s"topk_score_id(cosine, chunk_key, $retrShortlistK)").as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("e"))
+      .select(col("q_id"), col("e.id").as("chunk_key"))
+    // shortlist rejoin: chunk frame streams against the broadcast
+    // shortlist, then the tiny survivor set broadcasts against the
+    // embedding scan — no corpus-scale shuffle in stage 2
+    val hits = chunks.join(broadcast(shortlist), "chunk_key")
+      .select("q_id", "chunk_key", "vec_id")
+    val q = emb.filter(col("vec_id") < nQueries).select(
+      col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm"))
+    val rescored = emb.select(col("vec_id"), col("embedding"), col("nrm"))
+      .join(broadcast(hits), "vec_id")
+      .join(broadcast(q), "q_id")
+      .withColumn("cosine", Exact.round4(
+        expr(sparkDot("embedding", "q_emb")) / (col("nrm") * col("q_nrm"))))
+    rescored.groupBy("q_id")
+      .agg(expr("topk_score_id(cosine, chunk_key, 5)").as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("chunk_key"),
+        expr(s"CAST(col.id DIV ${Packing.maxChunksPerDoc} AS BIGINT)")
+          .as("doc_id"),
+        col("col.score").as("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** The chunk→vector placement (closed-form multiplicative hash —
+    * the p03 discipline: portable arithmetic, no engine hash).
+    */
+  private def chunkVecExpr(nVecs: Long): String =
+    s"((chunk_key % 2147483647) * 1299709 + 104729) % 2147483647 % $nVecs"
+
+  val retrievalE2eSql: String = {
+    val n = "GREATEST(CAST(n_tok AS INT), 1)"
+    val prefDot = duckPrefixDot("c.embedding", "q.embedding")
+    s"""WITH t AS (
+       |  SELECT doc_id, ${Packing.duckNTok} AS n_tok FROM documents
+       |), st AS (
+       |  SELECT doc_id,
+       |    unnest(range(0,
+       |      CASE WHEN $n <= ${Packing.ragChunkTokens} THEN 1
+       |      ELSE CAST(ceil(($n - ${Packing.ragChunkTokens})
+       |        / CAST(${Packing.ragChunkStride} AS DOUBLE)) AS INT) + 1
+       |      END)) AS idx
+       |  FROM t
+       |), cvv AS MATERIALIZED (
+       |  SELECT doc_id, doc_id * ${Packing.maxChunksPerDoc} + idx AS chunk_key,
+       |    (((doc_id * ${Packing.maxChunksPerDoc} + idx) % 2147483647)
+       |      * 1299709 + 104729) % 2147483647
+       |      % (SELECT COUNT(*) FROM embeddings) AS vec_id
+       |  FROM st
+       |), nv AS MATERIALIZED (
+       |  SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cell, embedding AS c_emb, nrm AS c_nrm
+       |  FROM nv WHERE vec_id < 8
+       |), cscore AS MATERIALIZED (
+       |  SELECT nv.vec_id, cell,
+       |    CAST(floor(${duckDot("nv.embedding", "c_emb")} / (nv.nrm * c_nrm)
+       |      * 10000 + 0.5) AS BIGINT) AS cos4
+       |  FROM nv CROSS JOIN cents
+       |), assigned AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM cscore
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY cos4 DESC, cell) = 1
+       |), probes AS (
+       |  SELECT vec_id AS q_id, cell FROM cscore WHERE vec_id < $nQueries
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY cos4 DESC, cell) <= $nProbe
+       |), coarse AS (
+       |  SELECT p.q_id, cvv.chunk_key,
+       |    ${Exact.round4Sql(prefDot)} AS coarse
+       |  FROM cvv JOIN assigned a USING (vec_id)
+       |           JOIN probes p ON a.cell = p.cell
+       |           JOIN nv c ON c.vec_id = cvv.vec_id
+       |           JOIN nv q ON q.vec_id = p.q_id
+       |  QUALIFY row_number() OVER (PARTITION BY p.q_id
+       |    ORDER BY ${Exact.round4Sql(prefDot)} DESC, cvv.chunk_key)
+       |    <= $retrShortlistK
+       |), re AS (
+       |  SELECT co.q_id, co.chunk_key,
+       |    ${Exact.round4Sql(
+                duckDot("c.embedding", "q.embedding") + " / (c.nrm * q.nrm)")}
+       |      AS cosine
+       |  FROM coarse co
+       |    JOIN cvv ON cvv.chunk_key = co.chunk_key
+       |    JOIN nv c ON c.vec_id = cvv.vec_id
+       |    JOIN nv q ON q.vec_id = co.q_id
+       |), r AS (
+       |  SELECT q_id, chunk_key, cosine,
+       |    row_number() OVER (PARTITION BY q_id
+       |                       ORDER BY cosine DESC, chunk_key) AS "rank"
+       |  FROM re)
+       |SELECT q_id, "rank", chunk_key,
+       |  CAST(chunk_key // ${Packing.maxChunksPerDoc} AS BIGINT) AS doc_id,
+       |  cosine
+       |FROM r WHERE "rank" <= 5
+       |ORDER BY q_id, "rank"""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_retrieval_e2e" -> retrievalE2e _,
     "s13_radius_search" -> radiusSearch _,
     "s12_coarse_rerank" -> coarseRerank _,
     "s04_ivf_cells" -> ivfCells _,
@@ -733,6 +933,7 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    "s14_retrieval_e2e" -> retrievalE2eSql,
     "s13_radius_search" -> radiusSearchSql,
     "s12_coarse_rerank" -> coarseRerankSql,
     "s04_ivf_cells" -> ivfCellsSql,

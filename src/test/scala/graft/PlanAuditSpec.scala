@@ -111,6 +111,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "q16_dup_check" -> ((1, 0, 0, 0)),
     "q14_quantiles" -> ((8, 4, 5, 1)),
     "s10_pq_search" -> ((2, 2, 1, 1)),
+    // round-16: the retrieval composition. 5 hash = the candidate
+    // join (chunks ⋈ vecs-scale assignment, shuffle_hash by contract)
+    // + the four partial-agg exchanges (cell assignment, probe topk,
+    // shortlist topk, final topk); 6 broadcasts are ALL bounded
+    // sides (centroids ×2, probes, shortlist, hits, queries). A 7th
+    // broadcast or a 6th hash means a corpus-scale frame moved to
+    // the wrong side of a join.
+    "s14_retrieval_e2e" -> ((5, 8, 1, 6)),
     "t15_bigram_quality" -> ((13, 8, 1, 1)),
     "t18_dsir_weights" -> ((13, 9, 1, 2)),
     // round-12: the last two non-streaming top-10 sf0.1 entries

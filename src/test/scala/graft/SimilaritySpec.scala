@@ -202,4 +202,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.nearDupPairsSql.contains(sql))
     assert(Similarity.knnJoinSql.contains(sql))
   }
+
+  test("s14 candidate volume = sum of probed-cell chunk occupancy, never all-pairs") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    // the s08-style occupancy invariant: the coarse stage's candidate
+    // count, measured two structurally different ways — (a) the
+    // pipeline's own candidate join, (b) per-cell chunk occupancy ×
+    // the number of queries probing that cell — must agree, and must
+    // sit strictly under the all-pairs product the IVF probe exists
+    // to avoid
+    val chunks = Similarity.retrChunks(spark, sfDir)
+    val assigned = Similarity.retrAssigned(spark, sfDir)
+      .select("vec_id", "cell")
+    val probes = Similarity.retrProbes(spark, sfDir).select("q_id", "cell")
+    val joinCount = chunks.join(assigned, "vec_id")
+      .join(probes, "cell").count()
+    val occ = chunks.join(assigned, "vec_id")
+      .groupBy("cell").agg(count(lit(1)).as("n_chunks"))
+    val probesPerCell = probes.groupBy("cell")
+      .agg(count(lit(1)).as("n_probes"))
+    val occVolume = occ.join(probesPerCell, "cell")
+      .agg(sum(col("n_chunks") * col("n_probes"))).head().getLong(0)
+    assert(joinCount === occVolume)
+    val allPairs = Similarity.nQueries * chunks.count()
+    assert(occVolume > 0L)
+    assert(occVolume < allPairs,
+      s"candidate volume $occVolume must stay under all-pairs $allPairs")
+    // the final product is exactly top-5 per query
+    val r = Similarity.retrievalE2e(spark, sfDir)
+    assert(r.count() === Similarity.nQueries * 5L)
+  }
 }
