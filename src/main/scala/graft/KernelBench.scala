@@ -52,8 +52,58 @@ object KernelBench {
     spark.stop()
   }
 
+  /** `runMain graft.KernelBench bpeenc` — the t27/t31 dictionary
+    * encode kernel at production rule counts: the rank-ordered FOLD
+    * (per-word cost O(rules), symbol-presence skip) vs the
+    * rank-CURSOR encode (O(|word|²) rank-map probes, rule-count
+    * independent). Pure driver JVM — this is exactly the per-word
+    * cost an executor pays inside the mapPartitions encode. The two
+    * are output-identical (TextBpeSpec fuzz); this suite pins the
+    * SCALE.md claim that the cursor turns the 32k-rule encode from
+    * the job's dominant term into a dictionary-sized flea.
+    */
+  private def bpeEncSuite(): Unit = {
+    val rnd = new scala.util.Random(41)
+    def word(): String = {
+      val r = rnd.nextDouble()
+      if (r < 0.3) (1 + rnd.nextInt(99999)).toString
+      else (1 to (3 + rnd.nextInt(8)))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }
+    val vocabWords = Iterator.continually(word()).take(120000).toSeq.distinct
+    def hexSym(w: String): String =
+      w.getBytes("UTF-8").map("%02X".format(_)).mkString(" ")
+    val dict = vocabWords.map(w => (1L + rnd.nextInt(50), hexSym(w)))
+    for (rounds <- Seq(1000, 32768)) {
+      val t0 = System.nanoTime()
+      val res = Text.bpeTrainDriver(dict, rounds)
+      val trainS = (System.nanoTime() - t0) / 1e9
+      val rules = res.merges.map { case (_, l, r, _) => (l, r) }.toArray
+      val sample = dict.take(20000).map(_._2).toArray
+      def time(name: String)(enc: String => Int): Unit = {
+        var sink = 0
+        sink += sample.map(enc).sum // warm
+        val runs = (1 to 3).map { _ =>
+          val s0 = System.nanoTime()
+          var i = 0
+          while (i < sample.length) { sink += enc(sample(i)); i += 1 }
+          (System.nanoTime() - s0) / 1e9
+        }
+        println(f"  rules=${rules.length}%6d $name%6s  min ${runs.min}%7.3f s" +
+          f" over ${sample.length} words" +
+          f" (${runs.min / sample.length * 1e6}%8.2f us/word, sink=$sink)")
+      }
+      println(f"BPE encode kernel at ${rules.length} learned rules " +
+        f"(trained in $trainS%.2f s):")
+      time("fold")(s => Text.bpeEncodeSymsLargeArr(s, rules).length)
+      val rank = Text.bpeRankOf(rules)
+      time("cursor")(s => Text.bpeEncodeSymsRank(s, rules, rank).length)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("qchash")) { qcHashSuite(); return }
+    if (args.headOption.contains("bpeenc")) { bpeEncSuite(); return }
     val rnd = new scala.util.Random(7)
     val words = Array("alpha", "beta", "gamma", "delta", "eps", "zeta",
       "eta", "theta", "iota", "kappa", "lam", "mu", "nu", "xi",
