@@ -399,8 +399,12 @@ object Pipeline {
     * t23's pred is s8 > 0 per DOC, and scores are functions of text
     * alone (w16's StreamingSpec pins per-doc score equality) —
     * including the degenerate edges: a zero-token doc is pred = 0
-    * batch-side and ABSENT from the ledger stream-side, excluded
-    * either way. So e06 ≡ e03 row-for-row, and its oracle IS e03's
+    * batch-side, and stream-side (posexplode_outer) it yields a
+    * ledger row with NULL s8/admitted that the truthy
+    * filter(col("admitted")) drops — excluded either way. (The row IS
+    * present in the ledger; don't refactor to admitted === false
+    * logic or a non-outer explode assuming absence.) So e06 ≡ e03
+    * row-for-row, and its oracle IS e03's
     * DuckDB statement — the hash gate proves the whole streamed chain
     * (state store, drain, publish, append) reproduces the batch
     * product exactly.

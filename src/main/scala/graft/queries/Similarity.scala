@@ -813,11 +813,14 @@ object Similarity {
     val probes = retrProbes(spark, dir)
     val chunks = retrChunks(spark, dir)
     val cand = chunks.join(assigned.hint("shuffle_hash"), "vec_id")
+    // "coarse", not "cosine": this is the UNNORMALIZED prefix inner
+    // product (no norm division) — same name as the oracle CTE and
+    // the s12 recipe, so nobody downstream mistakes it for a cosine
     val coarse = cand.join(broadcast(probes), "cell")
-      .withColumn("cosine", Exact.round4(expr(
+      .withColumn("coarse", Exact.round4(expr(
         s"dot_product(slice(embedding, 1, $prefixDim), slice(q_emb, 1, $prefixDim))")))
     val shortlist = coarse.groupBy("q_id")
-      .agg(expr(s"topk_score_id(cosine, chunk_key, $retrShortlistK)").as("tk"))
+      .agg(expr(s"topk_score_id(coarse, chunk_key, $retrShortlistK)").as("tk"))
       .select(col("q_id"), explode(col("tk")).as("e"))
       .select(col("q_id"), col("e.id").as("chunk_key"))
     // shortlist rejoin: chunk frame streams against the broadcast

@@ -1947,14 +1947,21 @@ object Text {
     */
   private[graft] def bpeRankOf(rules: Array[(String, String)])
       : scala.collection.mutable.AnyRefMap[String, Array[Int]] = {
-    val m = new scala.collection.mutable.AnyRefMap[String, Array[Int]](
-      rules.length * 2)
+    // accumulate in buffers, convert once: Array ':+' per duplicate
+    // would be O(d²) reallocation per duplicated pair key — this map
+    // is rebuilt per partition against 32k+ rule tables
+    val bufs = new scala.collection.mutable.AnyRefMap[
+      String, scala.collection.mutable.ArrayBuffer[Int]](rules.length * 2)
     var i = 0
     while (i < rules.length) {
       val k = rules(i)._1 + " " + rules(i)._2
-      m(k) = m.getOrElse(k, Array.empty[Int]) :+ i
+      bufs.getOrElseUpdate(
+        k, new scala.collection.mutable.ArrayBuffer[Int](1)) += i
       i += 1
     }
+    val m = new scala.collection.mutable.AnyRefMap[String, Array[Int]](
+      rules.length * 2)
+    bufs.foreach { case (k, b) => m(k) = b.toArray }
     m
   }
 

@@ -296,12 +296,24 @@ class PlanAuditSpec extends AnyFunSuite {
     * count-only spelling avoids.
     */
   private def arrayShuffles(
-      plan: org.apache.spark.sql.execution.SparkPlan): Int = {
+      plan: org.apache.spark.sql.execution.SparkPlan): Int =
+    countExchanges(plan, onlyArrayOutput = true)
+
+  /** Walk a physical tree counting ShuffleExchangeExec nodes,
+    * descending through BOTH AQE wrappers: AdaptiveSparkPlanExec
+    * .executedPlan (un-executed plans) AND QueryStageExec.plan
+    * (executed plans, where AQE wraps materialized exchanges in leaf
+    * stage nodes — without this descent a zero-count assertion on an
+    * executed tree passes vacuously).
+    */
+  private def countExchanges(
+      plan: org.apache.spark.sql.execution.SparkPlan,
+      onlyArrayOutput: Boolean): Int = {
     var n = 0
     def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
       p match {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-            if e.output.exists(a =>
+            if !onlyArrayOutput || e.output.exists(a =>
               a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]) =>
           n += 1
         case _ =>
@@ -310,6 +322,8 @@ class PlanAuditSpec extends AnyFunSuite {
       p match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           walk(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(s.plan)
         case _ =>
       }
     }
@@ -332,13 +346,21 @@ class PlanAuditSpec extends AnyFunSuite {
     val warm = Pipeline.shardContents(spark, sfDir)
     warm.write.format("noop").mode("overwrite").save()
     val plan = warm.queryExecution.executedPlan
+    // non-vacuity guard first: the inspected QueryExecution is not
+    // itself executed (the noop write ran its own), so exchanges are
+    // visible as plain nodes — but if that ever changes (AQE stage
+    // wrapping), countExchanges descends into QueryStageExec.plan and
+    // this total keeps the zero-array assertion below honest
+    assert(countExchanges(plan, onlyArrayOutput = false) > 0,
+      "walker saw no exchanges at all — the plan shape changed and " +
+        "the zero-array-shuffle assertion would pass vacuously")
     assert(arrayShuffles(plan) === 0,
       "a raw id-array attribute entered an exchange — the packed " +
         "boundary-slice contract broke")
     // exactly one exchange fed by a partial object aggregate (the
-    // boundary-slice chunk assembly) — counted over the executed
-    // TREE, not the printed string (the print embeds the memoized
-    // seqs build plan, which has its own collects)
+    // boundary-slice chunk assembly) — counted over the plan TREE,
+    // not the printed string (the print embeds the memoized seqs
+    // build plan, which has its own collects)
     var collectExchanges = 0
     def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
       p match {
@@ -352,6 +374,8 @@ class PlanAuditSpec extends AnyFunSuite {
       p match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           walk(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(s.plan)
         case _ =>
       }
     }
@@ -381,7 +405,11 @@ class PlanAuditSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.expr("bit_xor(chunk_fp)")
         .as("checksum"))
     man.write.format("noop").mode("overwrite").save()
-    assert(arrayShuffles(man.queryExecution.executedPlan) === 0,
+    val manPlan = man.queryExecution.executedPlan
+    assert(countExchanges(manPlan, onlyArrayOutput = false) > 0,
+      "walker saw no exchanges at all — the zero-array assertion " +
+        "below would pass vacuously")
+    assert(arrayShuffles(manPlan) === 0,
       "manifest aggregation must shuffle fingerprints, not id arrays")
   }
 }
