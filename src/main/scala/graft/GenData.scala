@@ -93,7 +93,8 @@ object GenData {
     * scripts hit distinct byte symbols).
     */
   private def decorate(id: Long, i: Int, w: String,
-      wide: Boolean = false): String = {
+      level: Int = 1): String = {
+    val wide = level >= 2
     val r = u(id, 9000 + i)
     val w1 =
       if (r < 0.03) utf8Words(nextInt(id, 9100 + i, utf8Words.length))
@@ -101,6 +102,14 @@ object GenData {
         (1 + nextInt(id, 9200 + i, if (wide) 99999 else 9999)).toString
       else if (r < 0.10) w.toUpperCase
       else if (r < 0.35) w.capitalize
+      else if (level == 3 && r < 0.95)
+        // `vstress`: 85% of draws land in a 50M-id letters pool —
+        // nearly every instance is corpus-unique, so the distinct-word
+        // dictionary grows ~linearly with the corpus (≥5M distinct at
+        // sf3). This is the BPE trainer's driver-collect stress
+        // surface; `bpeMinFreq` pruning must collapse it back to the
+        // repeated-word core.
+        alphaWord(nextInt(id, 9500 + i, 50000000))
       else if (wide && r < 0.50)
         alphaWord(nextInt(id, 9500 + i, 40000))
       else w
@@ -112,7 +121,8 @@ object GenData {
   /** Letters-only synthetic word for the `wide` class (a mixed
     * alphanumeric string would PRE-TOKENIZE into separate letter and
     * digit tokens under the BPE word pattern, collapsing the intended
-    * vocabulary). Base-26 over a–z; 40k ids → ≤4 chars.
+    * vocabulary). Base-26 over a–z; 40k ids → ≤4 chars (`wide`),
+    * 50M ids → ≤6 chars (`vstress`).
     */
   private def alphaWord(n0: Int): String = {
     var n = n0
@@ -144,7 +154,7 @@ object GenData {
           vocab((math.pow(vocab.length.toDouble, u(id, 100 + i)) - 1).toInt
             .min(vocab.length - 1))
         else vocab(nextInt(id, 100 + i, vocab.length))
-      if (deco > 0) decorate(id, i, w, deco == 2) else w
+      if (deco > 0) decorate(id, i, w, deco) else w
     }
   }
 
@@ -225,9 +235,14 @@ object GenData {
     // pool: ~100k distinct words, merge budget ≫ 32768 — the ONLY
     // class whose vocabulary can sustain the t30 production-size
     // train without exhausting; rich/zipf corpora stay byte-identical)
+    // or "vstress" (wide with 85% of draws from a 50M-id letters
+    // pool: the distinct-word dictionary grows ~linearly with the
+    // corpus — ≥5M distinct words at sf3 — the BPE trainer's
+    // driver-collect vocabulary-stress surface)
     val flags = args.drop(2).toSet
     val zipf = flags.contains("zipf")
-    val deco = if (flags.contains("wide")) 2
+    val deco = if (flags.contains("vstress")) 3
+      else if (flags.contains("wide")) 2
       else if (flags.contains("rich")) 1 else 0
     val parts = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Tables.configure(

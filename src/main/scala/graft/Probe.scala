@@ -369,6 +369,62 @@ object Probe {
         val n = Tables.documents(spark, dir).count()
         val c = Dedup.lshCandidates(spark, dir).count()
         println(s"PROBE docs $n cands $c per_doc ${c.toDouble / n}")
+      case "vstress" =>
+        // Vocabulary-stress measurement of the BPE trainer's one
+        // driver-growth path (round-16 verdict "next" 1): the
+        // (freq, sym) dictionary collect is corpus-FLAT but
+        // vocabulary-SIZED, and `spark.graft.bpeMinFreq` df-pruning
+        // is the documented relief valve. Run against a GenData
+        // `vstress` corpus (≥5M distinct words at sf3); prints, per
+        // minFreq ∈ {1, 2, 3}: dictionary rows collected, collect
+        // wall + retained driver heap, 32k-train wall + peak heap,
+        // merges learned, and the full-dictionary rank-cursor encode
+        // wall — the numbers SCALE.md banks.
+        import java.lang.management.{ManagementFactory, MemoryType}
+        import scala.jdk.CollectionConverters._
+        def heapUsed(): Long = {
+          System.gc(); System.gc(); Thread.sleep(300)
+          val r = Runtime.getRuntime; r.totalMemory - r.freeMemory
+        }
+        def resetPeaks(): Unit = ManagementFactory.getMemoryPoolMXBeans
+          .asScala.foreach(_.resetPeakUsage())
+        def peakHeap(): Long = ManagementFactory.getMemoryPoolMXBeans
+          .asScala.filter(_.getType == MemoryType.HEAP)
+          .map(_.getPeakUsage.getUsed).sum
+        import org.apache.spark.sql.functions.col
+        val vocab = Text.bpeVocab(spark, dir)
+        vocab.write.format("noop").mode("overwrite").save() // warm memo
+        val nDict = vocab.count()
+        val nTok = vocab.selectExpr("sum(freq)").first().getLong(0)
+        println(s"PROBE dict_rows_total $nDict corpus_tokens $nTok")
+        for (mf <- Seq(1L, 2L, 3L)) {
+          val h0 = heapUsed()
+          var t0 = System.nanoTime()
+          val dict = vocab.filter(col("freq") >= mf)
+            .select("freq", "sym").collect()
+            .map(r => (r.getLong(0), r.getString(1))).toSeq
+          val collectSec = (System.nanoTime() - t0) / 1e9
+          val hDict = heapUsed() - h0
+          resetPeaks()
+          t0 = System.nanoTime()
+          val res = Text.bpeTrainDriver(dict,
+            Text.bpeProdVocabTarget - 256,
+            checkpointRound = Text.bpeLargeVocabTarget - 256)
+          val trainSec = (System.nanoTime() - t0) / 1e9
+          val peakGb = peakHeap() / 1e9
+          println(f"PROBE mf$mf rows ${dict.size} collect $collectSec%.2f" +
+            f" s dict_heap ${hDict / 1e9}%.2f GB train $trainSec%.2f s" +
+            f" peak_heap $peakGb%.2f GB merges ${res.merges.length}" +
+            f" exhausted ${res.exhausted} tokens_final ${res.tokensFinal}")
+          // the rank-cursor encode over the FULL (unpruned) dictionary
+          // under this table — the serving-side cost of a pruned train
+          t0 = System.nanoTime()
+          val enc = Text.bpeIdsDictUnder(spark, dir, res)
+            .selectExpr("sum(n)", "sum(CAST(rt_ok AS INT))")
+            .first()
+          println(f"PROBE mf$mf encode ${(System.nanoTime() - t0) / 1e9}%.2f" +
+            s" s tokens ${enc.getLong(0)} rt_ok ${enc.getLong(1)} of $nDict")
+        }
       case other =>
         System.err.println(s"unknown probe set: $other")
     }

@@ -306,7 +306,14 @@ object Pipeline {
     * its shard groupBy, and the artifact write itself is the
     * partitioned sink, no extra shuffle beyond the content plan.
     */
-  def publishShards(spark: SparkSession, dir: String): DataFrame = {
+  /** The published shard artifact pair — (chunk contents partitioned
+    * by lang, per-(lang, shard) manifest) — built on first request,
+    * read back from parquet after (see [[publishShards]] for the
+    * contract). e05 gates the publish side; e07 ([[consumeShards]])
+    * mounts it the way a trainer does.
+    */
+  private[graft] def shardArtifacts(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val shards = PlanMemo.publishedParquetBy(spark, dir,
       "training_shards", Seq("lang"))(shardContents(spark, dir))
     val manifest = PlanMemo.publishedParquet(spark, dir,
@@ -323,8 +330,11 @@ object Pipeline {
           max("chunk_id").as("max_chunk"),
           expr("bit_xor(chunk_fp)").as("checksum"))
     }
-    manifest.orderBy("lang", "shard")
+    (shards, manifest)
   }
+
+  def publishShards(spark: SparkSession, dir: String): DataFrame =
+    shardArtifacts(spark, dir)._2.orderBy("lang", "shard")
 
   val publishShardsSql: String =
     s"""WITH RECURSIVE $keptCtesSql,
@@ -377,6 +387,144 @@ object Pipeline {
        |  BIT_XOR(chunk_fp) AS checksum
        |FROM chunk GROUP BY lang, shard
        |ORDER BY lang, shard""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** e07 — CONSUME THE SHARDS (round-16 verdict "next" 2): the
+    * trainer-side contract over e05's published artifact. e05 proves
+    * the artifact was DELIVERED correctly; e07 is the read path a
+    * training run executes against it:
+    *
+    *   1. MOUNT by manifest: the consumed lang (lexicographically
+    *     first) and the resume offset (half the lang's max shard id —
+    *     a mid-stream mount, the restart shape) are resolved from the
+    *     manifest alone — a bounded driver read, O(langs × 16) rows;
+    *   2. PARTITION-PRUNE: the chunk scan filters on the literal
+    *     lang, so the columnar read touches ONE `lang=` directory of
+    *     the published parquet, not the corpus (PlanAuditSpec pins
+    *     the scan-level partition filter and that no other lang's
+    *     files are selected);
+    *   3. VERIFY AT READ TIME: each consumed shard's `bit_xor`
+    *     checksum, chunk/token counts and chunk-id range are
+    *     recomputed from the chunk payloads actually read and
+    *     compared against the manifest row (checksum_ok / tokens_ok /
+    *     range_ok), and every chunk's declared n_tokens is checked
+    *     against its own ids payload (payload_ok) — token
+    *     conservation against the same digests e02 gates.
+    *
+    * The DuckDB oracle recomputes the consumed shard rows from RAW
+    * documents (the e05 chain filtered to the mounted lang and
+    * resumed shard range), so the hash gate proves the bytes the
+    * consumer read off disk reproduce the oracle's id streams — and
+    * the booleans are engine-EARNED comparisons against the manifest,
+    * constant-TRUE only because delivery actually verifies.
+    *
+    * Scale posture: the manifest side is broadcast (≤ 16 rows per
+    * lang); the chunk scan is partition-pruned parquet I/O; the only
+    * shuffle is the per-shard recompute groupBy, whose rows are one
+    * 64-bit fingerprint + scalars per chunk — id arrays never leave
+    * the map side.
+    */
+  def consumeShards(spark: SparkSession, dir: String): DataFrame = {
+    val (shards, manifest) = shardArtifacts(spark, dir)
+    val mount = manifest.agg(min("lang").as("lang")).first().getString(0)
+    val maxShard = manifest.filter(col("lang") === mount)
+      .agg(max("shard")).first().getLong(0)
+    val resume = maxShard / 2
+    val rt = shards.filter(col("lang") === lit(mount))
+      .withColumn("shard", expr(Packing.shardExprOn("chunk_id")))
+      .filter(col("shard") >= lit(resume))
+      .withColumn("chunk_fp", Text.fp64(
+        expr("array_join(transform(ids, i -> CAST(i AS STRING)), ',')")))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum("n_tokens").as("n_tokens"),
+        min("chunk_id").as("min_chunk"),
+        max("chunk_id").as("max_chunk"),
+        expr("bit_xor(chunk_fp)").as("checksum"),
+        expr("bool_and(n_tokens = size(ids))").as("payload_ok"))
+    val man = manifest
+      .filter(col("lang") === lit(mount) && col("shard") >= lit(resume))
+      .select(col("shard"),
+        col("n_chunks").as("m_chunks"), col("n_tokens").as("m_tokens"),
+        col("min_chunk").as("m_min"), col("max_chunk").as("m_max"),
+        col("checksum").as("m_checksum"))
+    rt.join(broadcast(man), Seq("shard"))
+      .select(lit(mount).as("lang"), col("shard"),
+        col("n_chunks"), col("n_tokens"),
+        col("min_chunk"), col("max_chunk"), col("checksum"),
+        (col("checksum") === col("m_checksum")).as("checksum_ok"),
+        (col("n_tokens") === col("m_tokens") &&
+          col("n_chunks") === col("m_chunks")).as("tokens_ok"),
+        (col("min_chunk") === col("m_min") &&
+          col("max_chunk") === col("m_max")).as("range_ok"),
+        col("payload_ok"))
+      .orderBy("shard")
+  }
+
+  val consumeShardsSql: String =
+    s"""WITH RECURSIVE $keptCtesSql,
+       |${Text.bpeIdDictCtesSql},
+       |docw AS MATERIALIZED (
+       |  SELECT doc_id, unnest(${Text.bpeWordsSql("text")}) AS word,
+       |    generate_subscripts(${Text.bpeWordsSql("text")}, 1) AS pos
+       |  FROM documents JOIN keptf USING (doc_id)
+       |), jw AS MATERIALIZED (
+       |  SELECT d.doc_id, d.pos, w.idstr, w.nids
+       |  FROM docw d JOIN wids w USING (word)
+       |), doctok AS (
+       |  SELECT doc_id, CAST(SUM(nids) AS BIGINT) AS n_tok
+       |  FROM jw GROUP BY doc_id
+       |), base AS (
+       |  SELECT d.lang, d.doc_id, COALESCE(t.n_tok, 0) AS n_tok
+       |  FROM documents d JOIN keptf USING (doc_id)
+       |  LEFT JOIN doctok t USING (doc_id)
+       |), off AS (
+       |  SELECT lang, doc_id,
+       |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS tok_offset
+       |  FROM base
+       |), woff AS (
+       |  SELECT doc_id, pos, idstr,
+       |    CAST(COALESCE(SUM(nids) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS woff
+       |  FROM jw
+       |), tok AS (
+       |  SELECT o.lang,
+       |    o.tok_offset + w.woff
+       |      + generate_subscripts(string_split(w.idstr, ','), 1) - 1 AS abspos,
+       |    unnest(string_split(w.idstr, ',')) AS id_s
+       |  FROM woff w JOIN off o USING (doc_id)
+       |), chunk AS (
+       |  SELECT lang, CAST(abspos // ${Packing.chunkTokens} AS BIGINT)
+       |      AS chunk_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |    ${Text.fp64Sql("string_agg(id_s, ',' ORDER BY abspos)")}
+       |      AS chunk_fp
+       |  FROM tok GROUP BY lang, chunk_id
+       |), shardrow AS MATERIALIZED (
+       |  SELECT lang, ${Packing.shardExprOn("chunk_id")} AS shard,
+       |    chunk_id, n_tokens, chunk_fp
+       |  FROM chunk
+       |), mount AS (SELECT MIN(lang) AS lang FROM shardrow),
+       |res AS (
+       |  SELECT CAST(MAX(s.shard) // 2 AS BIGINT) AS r
+       |  FROM shardrow s JOIN mount m ON s.lang = m.lang
+       |)
+       |SELECT s.lang, s.shard,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(s.n_tokens) AS BIGINT) AS n_tokens,
+       |  MIN(s.chunk_id) AS min_chunk,
+       |  MAX(s.chunk_id) AS max_chunk,
+       |  BIT_XOR(s.chunk_fp) AS checksum,
+       |  TRUE AS checksum_ok, TRUE AS tokens_ok, TRUE AS range_ok,
+       |  TRUE AS payload_ok
+       |FROM shardrow s JOIN mount m ON s.lang = m.lang, res
+       |WHERE s.shard >= res.r
+       |GROUP BY s.lang, s.shard
+       |ORDER BY shard""".stripMargin
 
   // ---------------------------------------------------------------
   /** e06 — STREAMED INGEST, END TO END (round-15 verdict "next" 4):
@@ -879,7 +1027,8 @@ object Pipeline {
     "e03_increment_append" -> incrementAppend _,
     "e04_mixture_plan" -> mixturePlan _,
     "e05_publish_shards" -> publishShards _,
-    "e06_stream_ingest" -> streamIngest _
+    "e06_stream_ingest" -> streamIngest _,
+    "e07_consume_shards" -> consumeShards _
   )
 
   def oracles: Map[String, String] = Map(
@@ -890,6 +1039,7 @@ object Pipeline {
     "e05_publish_shards" -> publishShardsSql,
     // e06 ≡ e03 by construction (see streamIngest scaladoc): the
     // streamed chain must reproduce the batch append exactly
-    "e06_stream_ingest" -> incrementAppendSql
+    "e06_stream_ingest" -> incrementAppendSql,
+    "e07_consume_shards" -> consumeShardsSql
   )
 }
