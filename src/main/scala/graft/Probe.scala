@@ -418,12 +418,17 @@ object Probe {
             f" exhausted ${res.exhausted} tokens_final ${res.tokensFinal}")
           // the rank-cursor encode over the FULL (unpruned) dictionary
           // under this table — the serving-side cost of a pruned train
+          // — and the CORPUS-weighted token total (Σ freq·n), the
+          // fertility a pruned vocabulary actually costs at serve time
           t0 = System.nanoTime()
           val enc = Text.bpeIdsDictUnder(spark, dir, res)
-            .selectExpr("sum(n)", "sum(CAST(rt_ok AS INT))")
+            .join(vocab.select("word", "freq"), "word")
+            .selectExpr("sum(n)", "sum(CAST(rt_ok AS INT))",
+              "sum(freq * n)")
             .first()
           println(f"PROBE mf$mf encode ${(System.nanoTime() - t0) / 1e9}%.2f" +
-            s" s tokens ${enc.getLong(0)} rt_ok ${enc.getLong(1)} of $nDict")
+            s" s tokens ${enc.getLong(0)} rt_ok ${enc.getLong(1)} of" +
+            s" $nDict corpus_tokens ${enc.getLong(2)}")
         }
       case other =>
         System.err.println(s"unknown probe set: $other")

@@ -744,14 +744,32 @@ object Similarity {
     *      task), then the full 64-dim cosine re-scores the shortlist
     *      only.
     *
-    * Everything bounded rides broadcast (8 centroids, queries ×
-    * nProbe probes, queries × K shortlist); everything corpus-scale
-    * streams (the chunk frame twice — candidate pass + shortlist
-    * rejoin — and the embedding table). doc_id re-derives from
-    * chunk_key by integer division, so the shortlist carries one
-    * long per hit.
+    * Everything bounded rides broadcast (⌊√N⌋ centroids — the FAISS
+    * sizing, see [[retrCellsFor]]; queries × ⌈√cells⌉ probes; queries
+    * × K shortlist); everything corpus-scale streams (the chunk frame
+    * twice — candidate pass + shortlist rejoin — and the embedding
+    * table). doc_id re-derives from chunk_key by integer division, so
+    * the shortlist carries one long per hit. s15 gates the recall
+    * this cell/probe sizing actually buys against the exact top-5.
     */
   val retrShortlistK = 20
+
+  /** FAISS-convention IVF sizing (round-16 verdict "next" 4): cells ≈
+    * ⌊√N⌋ (min 8 — the fixture floor), probes ≈ ⌈√cells⌉ (min 2), so
+    * candidate volume per query ≈ N/cells·probes ≈ N/√cells stays
+    * SUBLINEAR as the corpus grows, and the centroid broadcast stays
+    * bounded (√N × dim floats — ~360 KB at 2M vectors). The oracle
+    * computes the identical sizes from COUNT(*), so the gate holds at
+    * every scale factor without a per-SF constant.
+    */
+  private[graft] def retrCellsFor(nVecs: Long): Int =
+    math.max(8, math.floor(math.sqrt(nVecs.toDouble)).toInt)
+  private[graft] def retrProbeFor(cells: Int): Int =
+    math.max(2, math.ceil(math.sqrt(cells.toDouble)).toInt)
+
+  private[graft] def retrNVecs(spark: SparkSession, dir: String): Long =
+    PlanMemo.cachedValue(spark, s"similarity.nVecs:$dir")(
+      Tables.embeddings(spark, dir).count())
 
   /** Every vector's arg-max IVF cell, ONCE (vecs-scale; s04's
     * exact-int recipe) — chunks inherit cells through the embed join.
@@ -760,7 +778,8 @@ object Similarity {
     */
   private[graft] def retrAssigned(spark: SparkSession, dir: String): DataFrame = {
     val emb = withNorm(spark, dir)
-    val cents = emb.filter(col("vec_id") < 8).select(
+    val nCells = retrCellsFor(retrNVecs(spark, dir))
+    val cents = emb.filter(col("vec_id") < nCells).select(
       col("vec_id").as("cell"), col("embedding").as("c_emb"),
       col("nrm").as("c_nrm"))
     val cos4 = floor(
@@ -780,7 +799,9 @@ object Similarity {
     */
   private[graft] def retrProbes(spark: SparkSession, dir: String): DataFrame = {
     val emb = withNorm(spark, dir)
-    val cents = emb.filter(col("vec_id") < 8).select(
+    val nCells = retrCellsFor(retrNVecs(spark, dir))
+    val nPr = retrProbeFor(nCells)
+    val cents = emb.filter(col("vec_id") < nCells).select(
       col("vec_id").as("cell"), col("embedding").as("c_emb"),
       col("nrm").as("c_nrm"))
     val cos4 = floor(
@@ -790,7 +811,7 @@ object Similarity {
       .crossJoin(broadcast(cents))
       .withColumn("cos4", cos4)
       .groupBy(col("vec_id").as("q_id"))
-      .agg(expr(s"topk_score_id(CAST(cos4 AS DOUBLE), cell, $nProbe)").as("tk"),
+      .agg(expr(s"topk_score_id(CAST(cos4 AS DOUBLE), cell, $nPr)").as("tk"),
         first("embedding").as("q_emb"), first("nrm").as("q_nrm"))
       .select(col("q_id"), col("q_emb"), col("q_nrm"),
         explode(col("tk")).as("probe"))
@@ -800,8 +821,7 @@ object Similarity {
 
   /** The embed join: chunk rows keyed into the embedding table. */
   private[graft] def retrChunks(spark: SparkSession, dir: String): DataFrame = {
-    val nVecs = PlanMemo.cachedValue(spark, s"similarity.nVecs:$dir")(
-      Tables.embeddings(spark, dir).count())
+    val nVecs = retrNVecs(spark, dir)
     Packing.chunkFrame(spark, dir)
       .select(col("doc_id"), col("chunk_key"),
         expr(chunkVecExpr(nVecs)).as("vec_id"))
@@ -853,10 +873,15 @@ object Similarity {
   private def chunkVecExpr(nVecs: Long): String =
     s"((chunk_key % 2147483647) * 1299709 + 104729) % 2147483647 % $nVecs"
 
-  val retrievalE2eSql: String = {
+  /** The shared DuckDB CTE chain of the retrieval composition (chunks
+    * → embed join → IVF sizing/assign/probe → coarse shortlist →
+    * exact re-rank to `r`) — s14 selects its top-5, s15 additionally
+    * recomputes the exact top-5 and intersects.
+    */
+  private def retrievalCtesSql: String = {
     val n = "GREATEST(CAST(n_tok AS INT), 1)"
     val prefDot = duckPrefixDot("c.embedding", "q.embedding")
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id, ${Packing.duckNTok} AS n_tok FROM documents
        |), st AS (
        |  SELECT doc_id,
@@ -874,9 +899,14 @@ object Similarity {
        |  FROM st
        |), nv AS MATERIALIZED (
        |  SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings
+       |), sz AS (
+       |  SELECT GREATEST(8, CAST(floor(sqrt(COUNT(*))) AS BIGINT)) AS ncells,
+       |    GREATEST(2, CAST(ceil(sqrt(GREATEST(8,
+       |      CAST(floor(sqrt(COUNT(*))) AS BIGINT)))) AS BIGINT)) AS nprobe
+       |  FROM embeddings
        |), cents AS (
        |  SELECT vec_id AS cell, embedding AS c_emb, nrm AS c_nrm
-       |  FROM nv WHERE vec_id < 8
+       |  FROM nv WHERE vec_id < (SELECT ncells FROM sz)
        |), cscore AS MATERIALIZED (
        |  SELECT nv.vec_id, cell,
        |    CAST(floor(${duckDot("nv.embedding", "c_emb")} / (nv.nrm * c_nrm)
@@ -889,7 +919,8 @@ object Similarity {
        |), probes AS (
        |  SELECT vec_id AS q_id, cell FROM cscore WHERE vec_id < $nQueries
        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-       |                             ORDER BY cos4 DESC, cell) <= $nProbe
+       |                             ORDER BY cos4 DESC, cell)
+       |    <= (SELECT nprobe FROM sz)
        |), coarse AS (
        |  SELECT p.q_id, cvv.chunk_key,
        |    ${Exact.round4Sql(prefDot)} AS coarse
@@ -913,16 +944,91 @@ object Similarity {
        |  SELECT q_id, chunk_key, cosine,
        |    row_number() OVER (PARTITION BY q_id
        |                       ORDER BY cosine DESC, chunk_key) AS "rank"
-       |  FROM re)
+       |  FROM re)""".stripMargin
+  }
+
+  val retrievalE2eSql: String =
+    s"""WITH $retrievalCtesSql
        |SELECT q_id, "rank", chunk_key,
        |  CAST(chunk_key // ${Packing.maxChunksPerDoc} AS BIGINT) AS doc_id,
        |  cosine
        |FROM r WHERE "rank" <= 5
        |ORDER BY q_id, "rank"""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** s15 — RETRIEVAL RECALL vs EXACT (round-16 verdict "next" 4): the
+    * measurable tradeoff the √N IVF sizing buys. Per query, the EXACT
+    * full-dim top-5 over ALL chunks (brute force at chunk grain —
+    * corpus chunk stream ⋈ embedding table, the bounded query set
+    * broadcast, TopKScoreId per query: the s01 baseline shape) is
+    * intersected with s14's IVF top-5; the gated frame carries hit
+    * count and recall per query. Hash-gated — the DuckDB oracle
+    * recomputes BOTH retrievals, so the recall VALUES are pinned
+    * cross-engine at every scale factor, not banded constant-TRUE;
+    * the floor itself is pinned in SimilaritySpec and the per-SF
+    * recalls are banked in SCALE.md as the cells grow with N.
+    *
+    * Scale posture: the exact side is one linear pass (chunks ⋈ vecs
+    * shuffle_hash, × |queries| broadcast, map-side bounded top-k);
+    * the IVF side is s14's plan; the intersection joins two
+    * (queries × 5)-row frames — broadcast by construction.
+    */
+  def retrievalRecall(spark: SparkSession, dir: String): DataFrame = {
+    val ivf = retrievalE2e(spark, dir)
+      .select(col("q_id"), col("chunk_key"), lit(1).as("hit"))
+    val emb = withNorm(spark, dir)
+    val chunks = retrChunks(spark, dir)
+    val q = emb.filter(col("vec_id") < nQueries).select(
+      col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm"))
+    val exact = chunks.join(emb.hint("shuffle_hash"), "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", Exact.round4(
+        expr(sparkDot("embedding", "q_emb")) / (col("nrm") * col("q_nrm"))))
+      .groupBy("q_id")
+      .agg(expr("topk_score_id(cosine, chunk_key, 5)").as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("e"))
+      .select(col("q_id"), col("e.id").as("chunk_key"))
+    exact.join(broadcast(ivf), Seq("q_id", "chunk_key"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("q_id"), col("n_exact"), col("n_hit"),
+        Exact.round4(col("n_hit").cast("double") / col("n_exact"))
+          .as("recall"))
+      .orderBy("q_id")
   }
+
+  val retrievalRecallSql: String =
+    s"""WITH $retrievalCtesSql, ivf AS (
+       |  SELECT q_id, chunk_key FROM r WHERE "rank" <= 5
+       |), ex AS (
+       |  SELECT q.vec_id AS q_id, cvv.chunk_key,
+       |    ${Exact.round4Sql(
+              duckDot("c.embedding", "q.embedding") + " / (c.nrm * q.nrm)")}
+       |      AS cosine
+       |  FROM cvv
+       |    JOIN nv c ON c.vec_id = cvv.vec_id
+       |    CROSS JOIN (SELECT * FROM nv WHERE vec_id < $nQueries) q
+       |), etop AS (
+       |  SELECT q_id, chunk_key FROM ex
+       |  QUALIFY row_number() OVER (PARTITION BY q_id
+       |                             ORDER BY cosine DESC, chunk_key) <= 5
+       |)
+       |SELECT e.q_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |  CAST(SUM(CASE WHEN i.chunk_key IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hit,
+       |  ${Exact.round4Sql(
+            "CAST(SUM(CASE WHEN i.chunk_key IS NOT NULL THEN 1 ELSE 0 END) " +
+              "AS DOUBLE) / COUNT(*)")} AS recall
+       |FROM etop e LEFT JOIN ivf i
+       |  ON e.q_id = i.q_id AND e.chunk_key = i.chunk_key
+       |GROUP BY e.q_id
+       |ORDER BY e.q_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s14_retrieval_e2e" -> retrievalE2e _,
+    "s15_retrieval_recall" -> retrievalRecall _,
     "s13_radius_search" -> radiusSearch _,
     "s12_coarse_rerank" -> coarseRerank _,
     "s04_ivf_cells" -> ivfCells _,
@@ -937,6 +1043,7 @@ object Similarity {
 
   def oracles: Map[String, String] = Map(
     "s14_retrieval_e2e" -> retrievalE2eSql,
+    "s15_retrieval_recall" -> retrievalRecallSql,
     "s13_radius_search" -> radiusSearchSql,
     "s12_coarse_rerank" -> coarseRerankSql,
     "s04_ivf_cells" -> ivfCellsSql,

@@ -832,10 +832,24 @@ object StreamingQueries {
     val streamDir = TempArtifacts.scratchDir("graft_stream_adm")
     TempArtifacts.stageTable(streamDir, path)
     val schema = spark.read.parquet(path).schema
+    val agg = admissionAggOn(spark, dir,
+      drainSession(spark)
+        .readStream.schema(schema).parquet(streamDir.toString),
+      minDocId)
+    admissionVerdict(drainToMemory(spark, agg, "complete", name, streamDir))
+  }
+
+  /** The admission chain's STATEFUL half on an arbitrary streaming
+    * source of (doc_id, text, …) rows: stateless doc_id screen →
+    * map-side token scoring under the frozen classifier → ONE agg
+    * keyed by content fingerprint. Factored out of [[admissionLedger]]
+    * so StreamingSpec can drive the same chain through a DURABLE
+    * checkpoint with a mid-stream kill (the e06 restart property).
+    */
+  private[graft] def admissionAggOn(spark: SparkSession, dir: String,
+      stream: DataFrame, minDocId: Long): DataFrame = {
     val (weights, defW8) = Text.qcFrozenWeights(spark, dir)
-    val toks = balancedStream(
-        drainSession(spark)
-          .readStream.schema(schema).parquet(streamDir.toString))
+    val toks = balancedStream(stream)
       .filter(col("doc_id") >= minDocId)
       .select(col("doc_id"), md5(col("text")).as("fingerprint"),
         posexplode_outer(Text.tokens(lower(col("text"))))
@@ -846,17 +860,23 @@ object StreamingQueries {
       .join(broadcast(weights), Seq("f"), "left")
       .select(col("fingerprint"), col("doc_id"), col("pos"),
         coalesce(col("w8"), lit(defW8)).as("w8e"))
-    val agg = toks.groupBy("fingerprint").agg(
+    toks.groupBy("fingerprint").agg(
       min("doc_id").as("rep_doc"),
       sum(when(col("pos") === 0, 1L).otherwise(0L)).as("n_copies"),
       count(lit(1)).as("tok_rows"),
       sum("w8e").as("s8_total"))
-    drainToMemory(spark, agg, "complete", name, streamDir)
+  }
+
+  /** Per-copy recovery + verdict over a drained admission agg (see
+    * [[streamingAdmission]]'s scaladoc for why the integer divisions
+    * are exact).
+    */
+  private[graft] def admissionVerdict(drained: DataFrame): DataFrame =
+    drained
       .select(col("fingerprint"), col("rep_doc"), col("n_copies"),
         expr("tok_rows div n_copies").as("n_tokens"),
         expr("s8_total div n_copies").as("s8"),
         (expr("s8_total div n_copies") > 0).as("admitted"))
-  }
 
   /** Oracle: t23's per-doc scores grouped by content fingerprint —
     * copies of one content collapse to one admission row.

@@ -1855,15 +1855,92 @@ object Text {
     */
   val bpeProdVocabTarget: Int = 256 + 32768
 
-  /** The memoized production-vocabulary (32k-merge-target) training
-    * result — t30's bands and t31/t32's encodes all consume it; the
-    * compression checkpoint sits at the 1k boundary so the band set
-    * compares the production artifact against [[bpeLargeTrain]]'s.
+  /** The production-vocabulary (32k-merge-target) training result —
+    * t30's bands and t31/t32's encodes all consume it; the compression
+    * checkpoint sits at the 1k boundary so the band set compares the
+    * production artifact against [[bpeLargeTrain]]'s.
+    *
+    * PUBLISHED as a versioned disk artifact (round-17: the 32k train
+    * is minutes at vocabulary stress — a real pipeline trains once and
+    * SHIPS the table, it never retrains per session): the
+    * `bpe_merges_prod[_mfN]` parquet carries the v2 config payload
+    * (version, word pattern, vocab target, alphabet) PLUS the training
+    * `min_freq` and the train's token accounting, and
+    * [[bpeProdArtifactDecode]] REFUSES any drift — including an
+    * artifact trained under a DIFFERENT pruning regime, which would
+    * otherwise silently change every fertility band downstream. The
+    * artifact name itself is minFreq-suffixed so two pruning regimes
+    * of one corpus never collide on disk.
     */
   private[graft] def bpeProdTrain(
-      spark: SparkSession, dir: String): BpeDriverTrain =
-    bpeTrainAt(spark, dir, bpeProdVocabTarget - 256,
-      bpeLargeVocabTarget - 256)
+      spark: SparkSession, dir: String): BpeDriverTrain = {
+    val minFreq = spark.conf.get("spark.graft.bpeMinFreq", "1").toLong
+    PlanMemo.cachedValue(spark,
+      s"text.bpeProdArtifact:$dir:${PlanMemo.corpusFingerprint(dir)}" +
+        s":$minFreq") {
+      val name = if (minFreq == 1L) "bpe_merges_prod"
+        else s"bpe_merges_prod_mf$minFreq"
+      val df = PlanMemo.publishedParquet(spark, dir, name) {
+        val res = bpeTrainAt(spark, dir, bpeProdVocabTarget - 256,
+          bpeLargeVocabTarget - 256)
+        import spark.implicits._
+        res.merges.toDF("round", "lhs", "rhs", "cnt")
+          .withColumn("fmt_version", lit(bpeFormatVersion))
+          .withColumn("word_pattern", lit(bpeWordPattern))
+          .withColumn("vocab_target", lit(bpeProdVocabTarget))
+          .withColumn("alphabet", lit(bpeAlphabet))
+          .withColumn("min_freq", lit(minFreq))
+          .withColumn("exhausted", lit(res.exhausted))
+          .withColumn("tokens_initial", lit(res.tokensInitial))
+          .withColumn("tokens_checkpoint", lit(res.tokensAtCheckpoint))
+          .withColumn("tokens_final", lit(res.tokensFinal))
+      }
+      bpeProdArtifactDecode(df, minFreq).getOrElse {
+        // stale or config-mismatched artifact (a pre-upgrade table or
+        // one trained under a different pruning regime staged via
+        // SPARK_GRAFT_ARTIFACTS): refuse it and train fresh — the
+        // bpeMerges discipline at the production scale
+        bpeTrainAt(spark, dir, bpeProdVocabTarget - 256,
+          bpeLargeVocabTarget - 256)
+      }
+    }
+  }
+
+  /** Decode + VALIDATE a published `bpe_merges_prod` artifact. `None`
+    * when the table lacks the config payload or any row's (version,
+    * word pattern, vocab target, alphabet, min_freq) differs from
+    * this build's configuration and the requested pruning regime —
+    * the caller must then RE-TRAIN rather than encode under a drifted
+    * tokenizer (the [[bpeArtifactDecode]] contract, extended with the
+    * training-time pruning knob).
+    */
+  private[graft] def bpeProdArtifactDecode(
+      df: DataFrame, minFreq: Long): Option[BpeDriverTrain] = {
+    val need = Set("round", "lhs", "rhs", "cnt",
+      "fmt_version", "word_pattern", "vocab_target", "alphabet",
+      "min_freq", "exhausted", "tokens_initial", "tokens_checkpoint",
+      "tokens_final")
+    if (!need.subsetOf(df.columns.toSet)) return None
+    val rows = df.orderBy("round").collect()
+    val configOk = rows.nonEmpty && rows.forall { r =>
+      r.getAs[Int]("fmt_version") == bpeFormatVersion &&
+        r.getAs[String]("word_pattern") == bpeWordPattern &&
+        r.getAs[Int]("vocab_target") == bpeProdVocabTarget &&
+        r.getAs[String]("alphabet") == bpeAlphabet &&
+        r.getAs[Long]("min_freq") == minFreq
+    }
+    if (!configOk) None
+    else {
+      val h = rows.head
+      Some(BpeDriverTrain(
+        rows.map(r => (r.getAs[Int]("round"), r.getAs[String]("lhs"),
+          r.getAs[String]("rhs"), r.getAs[Long]("cnt"))).toList,
+        h.getAs[Boolean]("exhausted"),
+        h.getAs[Long]("tokens_initial"),
+        h.getAs[Long]("tokens_checkpoint"),
+        h.getAs[Long]("tokens_final")))
+    }
+  }
 
   def bpeTrainLarge(spark: SparkSession, dir: String): DataFrame = {
     val rounds = bpeLargeVocabTarget - 256

@@ -420,4 +420,79 @@ class StreamingSpec extends AnyFunSuite {
     assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
     assert(a.nonEmpty)
   }
+
+  test("e06 restart: admission drain killed mid-stream + restarted yields " +
+      "the identical ledger and the identical append") {
+    // the w07 exactly-once property for e06's OWN drain (round-16
+    // verdict "next" 5): the admission agg's state store, recovered
+    // from a durable checkpoint after a mid-stream kill, must finish
+    // to exactly the ledger e06 published — and therefore to exactly
+    // the same append
+    val root = java.nio.file.Files.createTempDirectory("graft_e06ck").toString
+    try {
+      val src = s"$root/src"; val ckpt = s"$root/ckpt"
+      val sid = Dedup.incrementalSplitId(spark, sfDir)
+      // full corpus staged as 4 one-file micro-batches; the chain's
+      // stateless doc_id >= sid screen scopes the state, like e06's
+      Tables.documents(spark, sfDir).select("doc_id", "text")
+        .repartition(4).write.parquet(src)
+      val schema = spark.read.parquet(src).schema
+      def start(name: String, availableNow: Boolean) = {
+        val agg = StreamingQueries.admissionAggOn(spark, sfDir,
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src), sid)
+        val w = agg.writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckpt).outputMode("complete")
+        (if (availableNow)
+          w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        else w).start()
+      }
+      // leg 1: kill once >= 1 micro-batch committed (mid-stream)
+      val q1 = start("e06ck1", availableNow = false)
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while ((q1.lastProgress == null ||
+          q1.lastProgress.numInputRows == 0) &&
+          System.nanoTime() < deadline && q1.isActive)
+        Thread.sleep(50)
+      q1.stop(); q1.awaitTermination()
+      val batchesAtKill = spark.table("e06ck1").count()
+      spark.catalog.dropTempView("e06ck1")
+      // leg 2: recover from the SAME checkpoint, drain what's left
+      val q2 = start("e06ck2", availableNow = true)
+      q2.awaitTermination(120000)
+      val recovered = StreamingQueries.admissionVerdict(
+        spark.table("e06ck2")).localCheckpoint()
+      spark.catalog.dropTempView("e06ck2")
+      // identical LEDGER: the recovered admitted set equals the one
+      // e06 published (which the e06≡e03 test above already ties to
+      // the batch oracle)
+      Pipeline.streamIngest(spark, sfDir).collect()
+      val published = PlanMemo.publishedParquet(spark, sfDir,
+        "stream_admitted_increment")(
+        fail("e06 must already have published the admitted ledger"))
+      val rec = recovered.filter(col("admitted")).select("fingerprint")
+      assert(rec.exceptAll(published).count() === 0)
+      assert(published.exceptAll(rec).count() === 0)
+      assert(rec.count() > 0)
+      // identical APPEND: e06's own composition run on the recovered
+      // ledger reproduces its gated frame row-for-row
+      val incQ = Tables.documents(spark, sfDir)
+        .filter(col("doc_id") >= sid)
+        .select(col("doc_id"),
+          org.apache.spark.sql.functions.expr(
+            "optimizer_barrier(md5(text))").as("fingerprint"))
+        .join(rec.hint("shuffle_hash"), Seq("fingerprint"), "left_semi")
+        .select("doc_id")
+      val a = Pipeline.incrementAppendFrom(spark, sfDir, incQ).collect()
+      val b = Pipeline.streamIngest(spark, sfDir).collect()
+      assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq,
+        s"append diverged after restart (kill landed at " +
+          s"$batchesAtKill state rows)")
+    } finally {
+      val d = java.nio.file.Paths.get(root)
+      java.nio.file.Files.walk(d)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
 }
