@@ -336,8 +336,13 @@ object Pipeline {
   def publishShards(spark: SparkSession, dir: String): DataFrame =
     shardArtifacts(spark, dir)._2.orderBy("lang", "shard")
 
-  val publishShardsSql: String =
-    s"""WITH RECURSIVE $keptCtesSql,
+  /** The shared DuckDB chain from raw documents to the PACKED chunk
+    * rows (lang, chunk_id, n_tokens, chunk_fp) — the e05 publication
+    * recomputation. Callers open with `WITH RECURSIVE` (keptCtes runs
+    * the CC fixpoint) and append their own consuming CTEs/select.
+    */
+  private[graft] val shardChunkCtesSql: String =
+    s"""$keptCtesSql,
        |${Text.bpeIdDictCtesSql},
        |docw AS MATERIALIZED (
        |  SELECT doc_id, unnest(${Text.bpeWordsSql("text")}) AS word,
@@ -378,7 +383,10 @@ object Pipeline {
        |    ${Text.fp64Sql("string_agg(id_s, ',' ORDER BY abspos)")}
        |      AS chunk_fp
        |  FROM tok GROUP BY lang, chunk_id
-       |)
+       |)""".stripMargin
+
+  val publishShardsSql: String =
+    s"""WITH RECURSIVE $shardChunkCtesSql
        |SELECT lang, ${Packing.shardExprOn("chunk_id")} AS shard,
        |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
@@ -463,48 +471,7 @@ object Pipeline {
   }
 
   val consumeShardsSql: String =
-    s"""WITH RECURSIVE $keptCtesSql,
-       |${Text.bpeIdDictCtesSql},
-       |docw AS MATERIALIZED (
-       |  SELECT doc_id, unnest(${Text.bpeWordsSql("text")}) AS word,
-       |    generate_subscripts(${Text.bpeWordsSql("text")}, 1) AS pos
-       |  FROM documents JOIN keptf USING (doc_id)
-       |), jw AS MATERIALIZED (
-       |  SELECT d.doc_id, d.pos, w.idstr, w.nids
-       |  FROM docw d JOIN wids w USING (word)
-       |), doctok AS (
-       |  SELECT doc_id, CAST(SUM(nids) AS BIGINT) AS n_tok
-       |  FROM jw GROUP BY doc_id
-       |), base AS (
-       |  SELECT d.lang, d.doc_id, COALESCE(t.n_tok, 0) AS n_tok
-       |  FROM documents d JOIN keptf USING (doc_id)
-       |  LEFT JOIN doctok t USING (doc_id)
-       |), off AS (
-       |  SELECT lang, doc_id,
-       |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-       |      AS tok_offset
-       |  FROM base
-       |), woff AS (
-       |  SELECT doc_id, pos, idstr,
-       |    CAST(COALESCE(SUM(nids) OVER (PARTITION BY doc_id ORDER BY pos
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-       |      AS woff
-       |  FROM jw
-       |), tok AS (
-       |  SELECT o.lang,
-       |    o.tok_offset + w.woff
-       |      + generate_subscripts(string_split(w.idstr, ','), 1) - 1 AS abspos,
-       |    unnest(string_split(w.idstr, ',')) AS id_s
-       |  FROM woff w JOIN off o USING (doc_id)
-       |), chunk AS (
-       |  SELECT lang, CAST(abspos // ${Packing.chunkTokens} AS BIGINT)
-       |      AS chunk_id,
-       |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       |    ${Text.fp64Sql("string_agg(id_s, ',' ORDER BY abspos)")}
-       |      AS chunk_fp
-       |  FROM tok GROUP BY lang, chunk_id
-       |), shardrow AS MATERIALIZED (
+    s"""WITH RECURSIVE $shardChunkCtesSql, shardrow AS MATERIALIZED (
        |  SELECT lang, ${Packing.shardExprOn("chunk_id")} AS shard,
        |    chunk_id, n_tokens, chunk_fp
        |  FROM chunk

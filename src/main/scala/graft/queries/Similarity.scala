@@ -827,11 +827,18 @@ object Similarity {
         expr(chunkVecExpr(nVecs)).as("vec_id"))
   }
 
-  def retrievalE2e(spark: SparkSession, dir: String): DataFrame = {
+  /** The IVF retrieval composition over an ARBITRARY chunk relation
+    * (`key`, vec_id): probed-cell candidates, coarse prefix shortlist,
+    * exact re-rank, top-5 per query. s14 feeds the RAG chunk frame
+    * (key = chunk_key); s16 feeds the PUBLISHED training shards' chunk
+    * set (key = chunk_id) — one spelling, like the oracle's
+    * [[ivfRankCtesSql]].
+    */
+  private[graft] def retrievalOverChunks(spark: SparkSession, dir: String,
+      chunks: DataFrame, key: String): DataFrame = {
     val emb = withNorm(spark, dir)
     val assigned = retrAssigned(spark, dir)
     val probes = retrProbes(spark, dir)
-    val chunks = retrChunks(spark, dir)
     val cand = chunks.join(assigned.hint("shuffle_hash"), "vec_id")
     // "coarse", not "cosine": this is the UNNORMALIZED prefix inner
     // product (no norm division) — same name as the oracle CTE and
@@ -840,14 +847,14 @@ object Similarity {
       .withColumn("coarse", Exact.round4(expr(
         s"dot_product(slice(embedding, 1, $prefixDim), slice(q_emb, 1, $prefixDim))")))
     val shortlist = coarse.groupBy("q_id")
-      .agg(expr(s"topk_score_id(coarse, chunk_key, $retrShortlistK)").as("tk"))
+      .agg(expr(s"topk_score_id(coarse, $key, $retrShortlistK)").as("tk"))
       .select(col("q_id"), explode(col("tk")).as("e"))
-      .select(col("q_id"), col("e.id").as("chunk_key"))
+      .select(col("q_id"), col("e.id").as(key))
     // shortlist rejoin: chunk frame streams against the broadcast
     // shortlist, then the tiny survivor set broadcasts against the
     // embedding scan — no corpus-scale shuffle in stage 2
-    val hits = chunks.join(broadcast(shortlist), "chunk_key")
-      .select("q_id", "chunk_key", "vec_id")
+    val hits = chunks.join(broadcast(shortlist), key)
+      .select("q_id", key, "vec_id")
     val q = emb.filter(col("vec_id") < nQueries).select(
       col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       col("nrm").as("q_nrm"))
@@ -857,47 +864,44 @@ object Similarity {
       .withColumn("cosine", Exact.round4(
         expr(sparkDot("embedding", "q_emb")) / (col("nrm") * col("q_nrm"))))
     rescored.groupBy("q_id")
-      .agg(expr("topk_score_id(cosine, chunk_key, 5)").as("tk"))
+      .agg(expr(s"topk_score_id(cosine, $key, 5)").as("tk"))
       .select(col("q_id"), posexplode(col("tk")))
       .select(col("q_id"), (col("pos") + 1).as("rank"),
-        col("col.id").as("chunk_key"),
-        expr(s"CAST(col.id DIV ${Packing.maxChunksPerDoc} AS BIGINT)")
-          .as("doc_id"),
+        col("col.id").as(key),
         col("col.score").as("cosine"))
       .orderBy("q_id", "rank")
   }
 
+  def retrievalE2e(spark: SparkSession, dir: String): DataFrame =
+    retrievalOverChunks(spark, dir, retrChunks(spark, dir), "chunk_key")
+      .select(col("q_id"), col("rank"), col("chunk_key"),
+        expr(s"CAST(chunk_key DIV ${Packing.maxChunksPerDoc} AS BIGINT)")
+          .as("doc_id"),
+        col("cosine"))
+      .orderBy("q_id", "rank")
+
   /** The chunk→vector placement (closed-form multiplicative hash —
     * the p03 discipline: portable arithmetic, no engine hash).
     */
+  private def chunkVecExprOn(key: String, nVecs: Long): String =
+    s"(($key % 2147483647) * 1299709 + 104729) % 2147483647 % $nVecs"
   private def chunkVecExpr(nVecs: Long): String =
-    s"((chunk_key % 2147483647) * 1299709 + 104729) % 2147483647 % $nVecs"
+    chunkVecExprOn("chunk_key", nVecs)
 
   /** The shared DuckDB CTE chain of the retrieval composition (chunks
     * → embed join → IVF sizing/assign/probe → coarse shortlist →
     * exact re-rank to `r`) — s14 selects its top-5, s15 additionally
     * recomputes the exact top-5 and intersects.
     */
-  private def retrievalCtesSql: String = {
-    val n = "GREATEST(CAST(n_tok AS INT), 1)"
+  /** The IVF + re-rank CTE block over a caller-provided `cvv`
+    * (`$key`, vec_id) chunk relation — parameterized by the chunk key
+    * column so s14 (RAG `chunk_key`) and s16 (published `chunk_id`)
+    * share one spelling, exactly like the engine side
+    * ([[retrievalOverChunks]]).
+    */
+  private def ivfRankCtesSql(key: String): String = {
     val prefDot = duckPrefixDot("c.embedding", "q.embedding")
-    s"""t AS (
-       |  SELECT doc_id, ${Packing.duckNTok} AS n_tok FROM documents
-       |), st AS (
-       |  SELECT doc_id,
-       |    unnest(range(0,
-       |      CASE WHEN $n <= ${Packing.ragChunkTokens} THEN 1
-       |      ELSE CAST(ceil(($n - ${Packing.ragChunkTokens})
-       |        / CAST(${Packing.ragChunkStride} AS DOUBLE)) AS INT) + 1
-       |      END)) AS idx
-       |  FROM t
-       |), cvv AS MATERIALIZED (
-       |  SELECT doc_id, doc_id * ${Packing.maxChunksPerDoc} + idx AS chunk_key,
-       |    (((doc_id * ${Packing.maxChunksPerDoc} + idx) % 2147483647)
-       |      * 1299709 + 104729) % 2147483647
-       |      % (SELECT COUNT(*) FROM embeddings) AS vec_id
-       |  FROM st
-       |), nv AS MATERIALIZED (
+    s"""nv AS MATERIALIZED (
        |  SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings
        |), sz AS (
        |  SELECT GREATEST(8, CAST(floor(sqrt(COUNT(*))) AS BIGINT)) AS ncells,
@@ -922,29 +926,50 @@ object Similarity {
        |                             ORDER BY cos4 DESC, cell)
        |    <= (SELECT nprobe FROM sz)
        |), coarse AS (
-       |  SELECT p.q_id, cvv.chunk_key,
+       |  SELECT p.q_id, cvv.$key,
        |    ${Exact.round4Sql(prefDot)} AS coarse
        |  FROM cvv JOIN assigned a USING (vec_id)
        |           JOIN probes p ON a.cell = p.cell
        |           JOIN nv c ON c.vec_id = cvv.vec_id
        |           JOIN nv q ON q.vec_id = p.q_id
        |  QUALIFY row_number() OVER (PARTITION BY p.q_id
-       |    ORDER BY ${Exact.round4Sql(prefDot)} DESC, cvv.chunk_key)
+       |    ORDER BY ${Exact.round4Sql(prefDot)} DESC, cvv.$key)
        |    <= $retrShortlistK
        |), re AS (
-       |  SELECT co.q_id, co.chunk_key,
+       |  SELECT co.q_id, co.$key,
        |    ${Exact.round4Sql(
                 duckDot("c.embedding", "q.embedding") + " / (c.nrm * q.nrm)")}
        |      AS cosine
        |  FROM coarse co
-       |    JOIN cvv ON cvv.chunk_key = co.chunk_key
+       |    JOIN cvv ON cvv.$key = co.$key
        |    JOIN nv c ON c.vec_id = cvv.vec_id
        |    JOIN nv q ON q.vec_id = co.q_id
        |), r AS (
-       |  SELECT q_id, chunk_key, cosine,
+       |  SELECT q_id, $key, cosine,
        |    row_number() OVER (PARTITION BY q_id
-       |                       ORDER BY cosine DESC, chunk_key) AS "rank"
+       |                       ORDER BY cosine DESC, $key) AS "rank"
        |  FROM re)""".stripMargin
+  }
+
+  private def retrievalCtesSql: String = {
+    val n = "GREATEST(CAST(n_tok AS INT), 1)"
+    s"""t AS (
+       |  SELECT doc_id, ${Packing.duckNTok} AS n_tok FROM documents
+       |), st AS (
+       |  SELECT doc_id,
+       |    unnest(range(0,
+       |      CASE WHEN $n <= ${Packing.ragChunkTokens} THEN 1
+       |      ELSE CAST(ceil(($n - ${Packing.ragChunkTokens})
+       |        / CAST(${Packing.ragChunkStride} AS DOUBLE)) AS INT) + 1
+       |      END)) AS idx
+       |  FROM t
+       |), cvv AS MATERIALIZED (
+       |  SELECT doc_id, doc_id * ${Packing.maxChunksPerDoc} + idx AS chunk_key,
+       |    (((doc_id * ${Packing.maxChunksPerDoc} + idx) % 2147483647)
+       |      * 1299709 + 104729) % 2147483647
+       |      % (SELECT COUNT(*) FROM embeddings) AS vec_id
+       |  FROM st
+       |), ${ivfRankCtesSql("chunk_key")}"""
   }
 
   val retrievalE2eSql: String =
@@ -1026,8 +1051,58 @@ object Similarity {
        |GROUP BY e.q_id
        |ORDER BY e.q_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** s16 — RETRIEVAL OVER THE PUBLISHED SHARDS (round-16 verdict
+    * "next" 6): the loop between the training ARTIFACT and the
+    * serving path. The retrieval corpus is not a recomputed chunk
+    * plan but the chunks a trainer actually mounts: e05's published
+    * `training_shards` parquet, partition-pruned to the e07 mount
+    * lang (lexicographically first), each chunk placed into the
+    * embedding table by the same closed-form hash over its chunk_id.
+    * The IVF composition is s14's, verbatim ([[retrievalOverChunks]]).
+    *
+    * Gates: the DuckDB oracle recomputes the consumed chunk set from
+    * RAW documents (the e05 chain) and runs the identical IVF — so
+    * the hash compare proves retrieval over the DISK artifact equals
+    * retrieval over ground truth; SimilaritySpec additionally pins
+    * s16-over-artifact ≡ s16-over-plan (the in-session
+    * [[Pipeline.shardContents]] recomputation) row-for-row.
+    */
+  def retrievalArtifact(spark: SparkSession, dir: String): DataFrame = {
+    val (_, manifest) = Pipeline.shardArtifacts(spark, dir)
+    val mount = manifest.agg(min("lang").as("lang")).first().getString(0)
+    retrievalOverChunks(spark, dir,
+      artifactChunks(spark, dir, mount), "chunk_id")
+  }
+
+  /** The mounted lang's chunk set off the PUBLISHED artifact, placed
+    * into the embedding table ([[chunkVecExprOn]]).
+    */
+  private[graft] def artifactChunks(
+      spark: SparkSession, dir: String, mount: String): DataFrame = {
+    val nVecs = retrNVecs(spark, dir)
+    Pipeline.shardArtifacts(spark, dir)._1
+      .filter(col("lang") === lit(mount))
+      .select(col("chunk_id"),
+        expr(chunkVecExprOn("chunk_id", nVecs)).as("vec_id"))
+  }
+
+  val retrievalArtifactSql: String =
+    s"""WITH RECURSIVE ${Pipeline.shardChunkCtesSql},
+       |mount AS (SELECT MIN(lang) AS lang FROM chunk),
+       |cvv AS MATERIALIZED (
+       |  SELECT c.chunk_id,
+       |    ((c.chunk_id % 2147483647) * 1299709 + 104729) % 2147483647
+       |      % (SELECT COUNT(*) FROM embeddings) AS vec_id
+       |  FROM chunk c JOIN mount m ON c.lang = m.lang
+       |), ${ivfRankCtesSql("chunk_id")}
+       |SELECT q_id, "rank", chunk_id, cosine
+       |FROM r WHERE "rank" <= 5
+       |ORDER BY q_id, "rank"""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s14_retrieval_e2e" -> retrievalE2e _,
+    "s16_retrieval_artifact" -> retrievalArtifact _,
     "s15_retrieval_recall" -> retrievalRecall _,
     "s13_radius_search" -> radiusSearch _,
     "s12_coarse_rerank" -> coarseRerank _,
@@ -1043,6 +1118,7 @@ object Similarity {
 
   def oracles: Map[String, String] = Map(
     "s14_retrieval_e2e" -> retrievalE2eSql,
+    "s16_retrieval_artifact" -> retrievalArtifactSql,
     "s15_retrieval_recall" -> retrievalRecallSql,
     "s13_radius_search" -> radiusSearchSql,
     "s12_coarse_rerank" -> coarseRerankSql,

@@ -270,4 +270,27 @@ class SimilaritySpec extends AnyFunSuite {
       .agg(avg(col("recall"))).head().getDouble(0)
     assert(mean >= 0.5, f"mean recall $mean%.2f fell under the 0.5 floor")
   }
+
+  test("s16 over the published artifact equals s16 over the in-session plan") {
+    import org.apache.spark.sql.functions.{col, expr, lit, min}
+    // the artifact-vs-truth closure: retrieval over the chunks READ
+    // OFF DISK (e05's published parquet) must be row-identical to the
+    // same composition over the in-session shardContents recomputation
+    // — a stale, truncated, or re-keyed artifact diverges here even if
+    // both sides are internally consistent
+    val fromArtifact = Similarity.retrievalArtifact(spark, sfDir).collect()
+    val (_, manifest) = Pipeline.shardArtifacts(spark, sfDir)
+    val mount = manifest.agg(min("lang").as("lang")).first().getString(0)
+    val nVecs = Tables.embeddings(spark, sfDir).count()
+    val planChunks = Pipeline.shardContents(spark, sfDir)
+      .filter(col("lang") === lit(mount))
+      .select(col("chunk_id"),
+        expr(s"((chunk_id % 2147483647) * 1299709 + 104729) % 2147483647" +
+          s" % $nVecs").as("vec_id"))
+    val fromPlan = Similarity.retrievalOverChunks(
+      spark, sfDir, planChunks, "chunk_id").collect()
+    assert(fromArtifact.nonEmpty)
+    assert(fromArtifact.map(_.toString).toSeq ===
+      fromPlan.map(_.toString).toSeq)
+  }
 }
