@@ -1707,6 +1707,44 @@ object Text {
     buf.toArray
   }
 
+  /** Growable primitive int bag for the trainer's pair→words posting
+    * lists (round-17, after the vstress measurement): the boxed
+    * `mutable.Set[Int]` spelling dominated the 32k train's cost at
+    * vocabulary stress (~28 GB peak heap / 588 s over 6.2M words —
+    * SCALE.md). A bag is enough because the merge loop ALREADY
+    * tolerates stale members (a word whose pair was destroyed rewrites
+    * to itself) and duplicates collapse in [[drainSortedDistinct]], so
+    * membership semantics are unchanged: appends on (+1) scans, no
+    * removal on (−1) scans (removal was only an optimization), and the
+    * bag resets when its pair is drained — the rescan of residual
+    * holders re-appends exactly the current members.
+    */
+  private final class IntBag(initialCap: Int) {
+    private var a = new Array[Int](math.max(4, initialCap))
+    private var n = 0
+    def add(v: Int): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, a.length << 1)
+      a(n) = v
+      n += 1
+    }
+    /** Sorted distinct snapshot, then reset — ascending order, the
+      * same iteration the set spelling's `.toArray.sorted` produced.
+      */
+    def drainSortedDistinct(): Array[Int] = {
+      val s = java.util.Arrays.copyOf(a, n)
+      java.util.Arrays.sort(s)
+      var w = 0
+      var i = 0
+      while (i < s.length) {
+        if (w == 0 || s(w - 1) != s(i)) { s(w) = s(i); w += 1 }
+        i += 1
+      }
+      n = 0
+      if (a.length > 64) a = new Array[Int](16)
+      if (w == s.length) s else java.util.Arrays.copyOf(s, w)
+    }
+  }
+
   private[graft] def bpeTrainDriver(
       vocab: Seq[(Long, String)], rounds: Int,
       checkpointRound: Int = 0): BpeDriverTrain = {
@@ -1714,7 +1752,7 @@ object Text {
     val freqs = vocab.map(_._1).toArray
     val words = vocab.map(_._2.split(" ")).toArray
     val cnt = mutable.HashMap.empty[String, Long]
-    val where = mutable.HashMap.empty[String, mutable.Set[Int]]
+    val where = mutable.HashMap.empty[String, IntBag]
     val queue = mutable.TreeSet.empty[(Long, String)](
       Ordering.by { case (c, p) => (-c, p) })
     def bump(p: String, delta: Long): Unit = {
@@ -1730,8 +1768,9 @@ object Text {
       while (i < w.length - 1) {
         val p = w(i) + " " + w(i + 1)
         bump(p, f)
-        if (sign > 0) where.getOrElseUpdate(p, mutable.Set.empty) += wi
-        else where.get(p).foreach(_ -= wi)
+        // posting membership: append-only (see IntBag — (−1) removal
+        // was an optimization the stale-tolerant loop never needed)
+        if (sign > 0) where.getOrElseUpdate(p, new IntBag(4)).add(wi)
         i += 1
       }
     }
@@ -1756,9 +1795,14 @@ object Text {
         val sep = p.indexOf(' ')
         val (l, r) = (p.substring(0, sep), p.substring(sep + 1))
         out += ((round, l, r, c))
-        // affected = words that contained the pair when last scanned;
-        // a stale member (pair since destroyed) rewrites to itself
-        val affected = where.get(p).map(_.toArray.sorted)
+        // affected = words that held the pair at some point since this
+        // pair's bag was last drained (a SUPERSET of current holders);
+        // a stale member (pair since destroyed) rewrites to itself.
+        // Draining resets the bag — the rescans below re-append the
+        // residual holders (alternate-occurrence replace can leave the
+        // same pair standing), so a later round's drain sees exactly
+        // the live members plus whatever went stale in between.
+        val affected = where.get(p).map(_.drainSortedDistinct())
           .getOrElse(Array.empty[Int])
         var k = 0
         while (k < affected.length) {
