@@ -63,6 +63,26 @@ class PlanAuditSpec extends AnyFunSuite {
     */
   private val exchangePins = Map(
     //                      (hash, roundrobin, range, broadcast)
+    // round-17: the new consumer/retrieval entries. e07's plan is the
+    // pruned artifact scan + the per-shard recompute groupBy + the
+    // bounded manifest broadcast; s15 is s14's composition + the
+    // linear exact side (queries broadcast, bounded top-k); s16 is
+    // s14's IVF over the published chunk set (mount lang pruned).
+    // e07 warm: pruned artifact scan → ONE per-shard recompute hash
+    // exchange + the presentation sort; 1 broadcast = the ≤16-row
+    // manifest slice. A second hash or broadcast means the consumer
+    // started shuffling chunk payloads or broadcasting the corpus.
+    "e07_consume_shards" -> ((1, 0, 1, 1)),
+    // s15 = s14's composition + the linear exact side: +2 hash (the
+    // exact candidate join + its per-query topk partial agg) + the
+    // final recall agg; broadcasts stay bounded (queries, ivf top-5,
+    // + s14's six). 11 roundrobin = the reader rebalances across both
+    // sides' printed memo builds.
+    "s15_retrieval_recall" -> ((8, 11, 1, 8)),
+    // s16 = s14's IVF over the published chunk set (mount-lang pruned
+    // artifact scan replaces the chunk-frame recompute): same 5 hash,
+    // 6 bounded broadcasts as s14.
+    "s16_retrieval_artifact" -> ((5, 6, 1, 6)),
     // broadcast counts here are BOUNDED sides only (1-row stats,
     // query sets, centroids): every corpus-scale side is pinned to a
     // shuffle join — a regression that re-broadcasts a docs-scale
