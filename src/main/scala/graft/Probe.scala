@@ -397,7 +397,10 @@ object Probe {
         val nDict = vocab.count()
         val nTok = vocab.selectExpr("sum(freq)").first().getLong(0)
         println(s"PROBE dict_rows_total $nDict corpus_tokens $nTok")
-        for (mf <- Seq(1L, 2L, 3L)) {
+        val mfs = sys.env.get("SPARK_GRAFT_PROBE_MF")
+          .map(_.split(",").toSeq.map(_.trim.toLong))
+          .getOrElse(Seq(1L, 2L, 3L))
+        for (mf <- mfs) {
           val h0 = heapUsed()
           var t0 = System.nanoTime()
           val dict = vocab.filter(col("freq") >= mf)
