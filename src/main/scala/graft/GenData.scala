@@ -103,7 +103,7 @@ object GenData {
       else if (r < 0.10) w.toUpperCase
       else if (r < 0.35) w.capitalize
       else if (level == 3 && r < 0.95)
-        // `vstress`: 85% of draws land in a 50M-id letters pool —
+        // `vstress`: 60% of draws (r in [0.35,0.95)) land in a 50M-id letters pool —
         // nearly every instance is corpus-unique, so the distinct-word
         // dictionary grows ~linearly with the corpus (≥5M distinct at
         // sf3). This is the BPE trainer's driver-collect stress
@@ -235,7 +235,7 @@ object GenData {
     // pool: ~100k distinct words, merge budget ≫ 32768 — the ONLY
     // class whose vocabulary can sustain the t30 production-size
     // train without exhausting; rich/zipf corpora stay byte-identical)
-    // or "vstress" (wide with 85% of draws from a 50M-id letters
+    // or "vstress" (wide with 60% of draws from a 50M-id letters
     // pool: the distinct-word dictionary grows ~linearly with the
     // corpus — ≥5M distinct words at sf3 — the BPE trainer's
     // driver-collect vocabulary-stress surface)

@@ -206,7 +206,28 @@ object PlanMemo {
     */
   def publishedParquetBy(spark: SparkSession, dir: String, name: String,
       partitionCols: Seq[String])(build: => DataFrame): DataFrame = {
-    val pre = sys.env.get("SPARK_GRAFT_ARTIFACTS").flatMap { a =>
+    val path = stagedArtifact(dir, name).getOrElse {
+      val p = tempArtifactPath(dir, name)
+      publishRoot.synchronized {
+        if (!java.nio.file.Files.exists(p)) {
+          val w = build.write.mode("overwrite")
+          (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*)
+           else w).parquet(p.toString)
+        }
+      }
+      p
+    }
+    spark.read.parquet(path.toString)
+  }
+
+  /** A hand-staged artifact mount for (dir, name) under
+    * `SPARK_GRAFT_ARTIFACTS`, when one exists and its `GRAFT_DIR.txt`
+    * marker binds it to this exact corpus. Staged mounts are treated
+    * as read-only — [[republishParquet]] never overwrites one.
+    */
+  private[graft] def stagedArtifact(
+      dir: String, name: String): Option[java.nio.file.Path] =
+    sys.env.get("SPARK_GRAFT_ARTIFACTS").flatMap { a =>
       def markerOk(d: java.nio.file.Path): Boolean = {
         val m = d.resolve("GRAFT_DIR.txt")
         !java.nio.file.Files.exists(m) ||
@@ -224,22 +245,30 @@ object PlanMemo {
           java.nio.file.Files.readString(flatMarker).trim == dir) Some(flat)
       else None
     }
-    val path = pre.getOrElse {
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$dir|${corpusFingerprint(dir)}".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      val p = publishRoot.resolve(key).resolve(name)
-      publishRoot.synchronized {
-        if (!java.nio.file.Files.exists(p)) {
-          val w = build.write.mode("overwrite")
-          (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*)
-           else w).parquet(p.toString)
-        }
-      }
-      p
-    }
-    spark.read.parquet(path.toString)
+
+  private def tempArtifactPath(
+      dir: String, name: String): java.nio.file.Path = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|${corpusFingerprint(dir)}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    publishRoot.resolve(key).resolve(name)
   }
+
+  /** Force-overwrite the JVM-lifetime temp artifact for (dir, name).
+    * The repair path when a consumer REFUSES a published artifact
+    * (stale format, drifted pruning regime): without the overwrite the
+    * invalid table persists and every later session silently re-pays
+    * the full rebuild while appearing to consume a shipped artifact.
+    * A staged `SPARK_GRAFT_ARTIFACTS` mount shadows the temp path and
+    * is never written — callers log the refusal instead so the
+    * operator sees the stale mount.
+    */
+  private[graft] def republishParquet(spark: SparkSession, dir: String,
+      name: String)(build: => DataFrame): Unit =
+    publishRoot.synchronized {
+      build.write.mode("overwrite")
+        .parquet(tempArtifactPath(dir, name).toString)
+    }
 
   private def hookEviction(spark: SparkSession): Unit =
     hooked.getOrElseUpdate(spark, {

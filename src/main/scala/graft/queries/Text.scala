@@ -1924,9 +1924,7 @@ object Text {
         s":$minFreq") {
       val name = if (minFreq == 1L) "bpe_merges_prod"
         else s"bpe_merges_prod_mf$minFreq"
-      val df = PlanMemo.publishedParquet(spark, dir, name) {
-        val res = bpeTrainAt(spark, dir, bpeProdVocabTarget - 256,
-          bpeLargeVocabTarget - 256)
+      def payload(res: BpeDriverTrain): DataFrame = {
         import spark.implicits._
         res.merges.toDF("round", "lhs", "rhs", "cnt")
           .withColumn("fmt_version", lit(bpeFormatVersion))
@@ -1939,13 +1937,28 @@ object Text {
           .withColumn("tokens_checkpoint", lit(res.tokensAtCheckpoint))
           .withColumn("tokens_final", lit(res.tokensFinal))
       }
+      def freshTrain(): BpeDriverTrain =
+        bpeTrainAt(spark, dir, bpeProdVocabTarget - 256,
+          bpeLargeVocabTarget - 256)
+      val df = PlanMemo.publishedParquet(spark, dir, name)(
+        payload(freshTrain()))
       bpeProdArtifactDecode(df, minFreq).getOrElse {
         // stale or config-mismatched artifact (a pre-upgrade table or
         // one trained under a different pruning regime staged via
-        // SPARK_GRAFT_ARTIFACTS): refuse it and train fresh — the
-        // bpeMerges discipline at the production scale
-        bpeTrainAt(spark, dir, bpeProdVocabTarget - 256,
-          bpeLargeVocabTarget - 256)
+        // SPARK_GRAFT_ARTIFACTS): refuse it, train fresh, and REPAIR
+        // the published table so later sessions don't silently re-pay
+        // the full train behind what looks like a shipped artifact. A
+        // read-only staged mount can't be repaired — log so the
+        // operator sees the stale mount.
+        val res = freshTrain()
+        if (PlanMemo.stagedArtifact(dir, name).isEmpty)
+          PlanMemo.republishParquet(spark, dir, name)(payload(res))
+        else
+          org.slf4j.LoggerFactory.getLogger("graft.Text").warn(
+            s"graft: refusing staged BPE artifact '$name' for $dir " +
+              "(format/pruning-regime drift); trained fresh — repair " +
+              "or remove the SPARK_GRAFT_ARTIFACTS mount")
+        res
       }
     }
   }
@@ -1960,11 +1973,22 @@ object Text {
     */
   private[graft] def bpeProdArtifactDecode(
       df: DataFrame, minFreq: Long): Option[BpeDriverTrain] = {
-    val need = Set("round", "lhs", "rhs", "cnt",
-      "fmt_version", "word_pattern", "vocab_target", "alphabet",
-      "min_freq", "exhausted", "tokens_initial", "tokens_checkpoint",
-      "tokens_final")
-    if (!need.subsetOf(df.columns.toSet)) return None
+    // names AND types: a hand-staged artifact whose metadata columns
+    // drifted (fmt_version stored as BIGINT, cnt as INT, ...) must
+    // refuse like any other drift, not throw ClassCastException out
+    // of the typed getters below — schema drift IS the stale-artifact
+    // case this decoder exists to handle.
+    import org.apache.spark.sql.types._
+    val need: Map[String, DataType] = Map(
+      "round" -> IntegerType, "lhs" -> StringType, "rhs" -> StringType,
+      "cnt" -> LongType, "fmt_version" -> IntegerType,
+      "word_pattern" -> StringType, "vocab_target" -> IntegerType,
+      "alphabet" -> StringType, "min_freq" -> LongType,
+      "exhausted" -> BooleanType, "tokens_initial" -> LongType,
+      "tokens_checkpoint" -> LongType, "tokens_final" -> LongType)
+    val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    if (!need.forall { case (n, t) => have.get(n).contains(t) })
+      return None
     val rows = df.orderBy("round").collect()
     val configOk = rows.nonEmpty && rows.forall { r =>
       r.getAs[Int]("fmt_version") == bpeFormatVersion &&

@@ -431,11 +431,30 @@ class StreamingSpec extends AnyFunSuite {
     val root = java.nio.file.Files.createTempDirectory("graft_e06ck").toString
     try {
       val src = s"$root/src"; val ckpt = s"$root/ckpt"
+      val hold = s"$root/hold"
       val sid = Dedup.incrementalSplitId(spark, sfDir)
-      // full corpus staged as 4 one-file micro-batches; the chain's
-      // stateless doc_id >= sid screen scopes the state, like e06's
+      // full corpus as 4 one-file micro-batches — but leg 1 only ever
+      // SEES the first two: the other two land in `src` after the
+      // kill, so the kill is mid-stream BY CONSTRUCTION (not
+      // probabilistically, as the first spelling was — a fast run
+      // could commit all 4 batches before stop() and make leg 2's
+      // recovery vacuous). The chain's stateless doc_id >= sid screen
+      // scopes the state, like e06's.
       Tables.documents(spark, sfDir).select("doc_id", "text")
-        .repartition(4).write.parquet(src)
+        .repartition(4).write.parquet(hold)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+      val parts = {
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get(hold))
+        try s.filter(_.toString.endsWith(".parquet"))
+          .sorted().toArray.map(_.asInstanceOf[java.nio.file.Path])
+        finally s.close()
+      }
+      assert(parts.length === 4)
+      def stage(ps: Seq[java.nio.file.Path]): Unit = ps.foreach { p =>
+        java.nio.file.Files.move(p,
+          java.nio.file.Paths.get(src, p.getFileName.toString))
+      }
+      stage(parts.take(2))
       val schema = spark.read.parquet(src).schema
       def start(name: String, availableNow: Boolean) = {
         val agg = StreamingQueries.admissionAggOn(spark, sfDir,
@@ -447,19 +466,29 @@ class StreamingSpec extends AnyFunSuite {
           w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         else w).start()
       }
-      // leg 1: kill once >= 1 micro-batch committed (mid-stream)
+      // leg 1: kill once BOTH staged micro-batches committed (the
+      // progress log shows batchId >= 1 with rows) — the kill then
+      // provably lands mid-stream: batches 2-3's files don't exist yet
       val q1 = start("e06ck1", availableNow = false)
       val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-      while ((q1.lastProgress == null ||
-          q1.lastProgress.numInputRows == 0) &&
+      while (!q1.recentProgress.exists(p =>
+          p.batchId >= 1L && p.numInputRows > 0) &&
           System.nanoTime() < deadline && q1.isActive)
         Thread.sleep(50)
       q1.stop(); q1.awaitTermination()
-      val batchesAtKill = spark.table("e06ck1").count()
+      val committedAtKill = q1.recentProgress
+        .filter(_.numInputRows > 0).map(_.batchId)
+      assert(committedAtKill.nonEmpty && committedAtKill.max >= 1L &&
+        committedAtKill.max < 3L,
+        s"kill must land mid-stream (committed: ${committedAtKill.toSeq})")
       spark.catalog.dropTempView("e06ck1")
-      // leg 2: recover from the SAME checkpoint, drain what's left
+      // leg 2: the remaining two files appear, recover from the SAME
+      // checkpoint, drain what's left
+      stage(parts.drop(2))
       val q2 = start("e06ck2", availableNow = true)
       q2.awaitTermination(120000)
+      assert(q2.recentProgress.exists(_.numInputRows > 0),
+        "leg 2 must drain the post-kill files — recovery was vacuous")
       val recovered = StreamingQueries.admissionVerdict(
         spark.table("e06ck2")).localCheckpoint()
       spark.catalog.dropTempView("e06ck2")
@@ -487,7 +516,7 @@ class StreamingSpec extends AnyFunSuite {
       val b = Pipeline.streamIngest(spark, sfDir).collect()
       assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq,
         s"append diverged after restart (kill landed at " +
-          s"$batchesAtKill state rows)")
+          s"batch ${committedAtKill.max})")
     } finally {
       val d = java.nio.file.Paths.get(root)
       java.nio.file.Files.walk(d)

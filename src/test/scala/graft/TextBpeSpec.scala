@@ -303,6 +303,46 @@ class TextBpeSpec extends AnyFunSuite {
     assert(Text.bpeArtifactDecode(good).get === Text.bpeMerges(spark, sfDir))
   }
 
+  test("a type-drifted artifact is refused (None), not a ClassCastException") {
+    val s = spark
+    import s.implicits._
+    // all the right column NAMES, wrong TYPES (fmt_version/
+    // vocab_target as BIGINT, cnt as INT — the shape a hand-staged
+    // table rewritten through a sloppy engine ends up with): the
+    // decoder must refuse like any other drift rather than throw out
+    // of its typed getters — schema drift IS the stale-artifact case
+    // it exists to handle
+    val drifted = Seq((1, "61", "62", 5, Text.bpeFormatVersion.toLong,
+      Text.bpeWordPattern, Text.bpeProdVocabTarget.toLong,
+      Text.bpeAlphabet, 1L, false, 10L, 8L, 6L))
+      .toDF("round", "lhs", "rhs", "cnt", "fmt_version", "word_pattern",
+        "vocab_target", "alphabet", "min_freq", "exhausted",
+        "tokens_initial", "tokens_checkpoint", "tokens_final")
+    assert(Text.bpeProdArtifactDecode(drifted, minFreq = 1L).isEmpty)
+  }
+
+  test("republishParquet repairs a refused temp-path artifact in place") {
+    val s = spark
+    import s.implicits._
+    // the refusal path's repair contract: without the overwrite, an
+    // invalid published table persists and every later session
+    // re-pays the full train behind what looks like a shipped artifact
+    val name = "spec_republish_probe"
+    val v1 = Seq((1, "stale")).toDF("k", "v")
+    assert(PlanMemo.publishedParquet(spark, sfDir, name)(v1)
+      .select("v").head().getString(0) === "stale")
+    // exists-skip: a second publish does NOT rewrite
+    assert(PlanMemo.publishedParquet(spark, sfDir, name)(
+      Seq((1, "ignored")).toDF("k", "v"))
+      .select("v").head().getString(0) === "stale")
+    // the repair path DOES
+    PlanMemo.republishParquet(spark, sfDir, name)(
+      Seq((1, "repaired")).toDF("k", "v"))
+    assert(PlanMemo.publishedParquet(spark, sfDir, name)(
+      fail("must read the republished artifact"))
+      .select("v").head().getString(0) === "repaired")
+  }
+
   test("map-side ntok expression equals the dictionary over the full vocabulary") {
     // w15 applies the frozen tokenizer per occurrence via
     // bpeNtokExpr; t22 joins the dictionary built by bpeEncodeDict.
