@@ -1719,7 +1719,7 @@ object Text {
     * bag resets when its pair is drained — the rescan of residual
     * holders re-appends exactly the current members.
     */
-  private final class IntBag(initialCap: Int) {
+  private[graft] final class IntBag(initialCap: Int) {
     private var a = new Array[Int](math.max(4, initialCap))
     private var n = 0
     def add(v: Int): Unit = {
@@ -1870,18 +1870,45 @@ object Text {
     * what makes the prefix bands exact: training to N merges and
     * training to M > N merges agree on the first N rules.
     */
+  /** Driver dictionary budget (rows) for the in-memory trainer. The
+    * default keeps the largest MEASURED-viable vocabulary-stress point
+    * driver-side (SCALE.md: 14.05M distinct words trained exact at
+    * 46.3 GB peak heap on a 128 GiB driver) with headroom; a pruned
+    * dictionary above it — the 1e8-word web-vocabulary shape the
+    * round-17 measurement declared driver-non-viable — delegates to
+    * the executor-side trainer ([[BpeDist.train]]), which is pinned
+    * bit-identical and keeps driver state O(distinct pairs). Same
+    * size-gate pattern as the connected-components driver cut
+    * (`Dedup.scala` `ccDriverMaxEdges`). Override with
+    * `spark.graft.bpeMaxDriverDictRows` (0 forces delegation — how
+    * the specs and the t33 gate exercise the distributed path on
+    * small corpora).
+    */
+  val bpeMaxDriverDictRows: Long = 16000000L
+
   private[graft] def bpeTrainAt(
       spark: SparkSession, dir: String,
       rounds: Int, checkpointRound: Int): BpeDriverTrain = {
     val minFreq = spark.conf.get("spark.graft.bpeMinFreq", "1").toLong
+    val budget = spark.conf.get("spark.graft.bpeMaxDriverDictRows",
+      bpeMaxDriverDictRows.toString).toLong
     PlanMemo.cachedValue(spark,
       s"text.bpeLarge:$dir:${PlanMemo.corpusFingerprint(dir)}:$minFreq" +
         s":$rounds:$checkpointRound") {
-      val dict = bpeVocab(spark, dir)
+      val pruned = bpeVocab(spark, dir)
         .filter(col("freq") >= minFreq)
-        .select("freq", "sym").collect()
-        .map(r => (r.getLong(0), r.getString(1))).toSeq
-      bpeTrainDriver(dict, rounds, checkpointRound = checkpointRound)
+        .select("freq", "sym")
+      // one cheap count decides the path; the memoized result is
+      // bit-identical either way (TextBpeSpec + t33 pin it), so the
+      // memo key deliberately omits the budget
+      if (pruned.count() <= budget) {
+        val dict = pruned.collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        bpeTrainDriver(dict, rounds, checkpointRound = checkpointRound)
+      } else {
+        BpeDist.train(spark, pruned, rounds,
+          checkpointRound = checkpointRound)
+      }
     }
   }
 
@@ -3110,7 +3137,66 @@ object Text {
        |FROM labels l LEFT JOIN scored USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Merge-rounds target for the t33 distributed-trainer gate — deep
+    * enough to exercise multi-step batching, delta re-election, the
+    * mid-run checkpoint boundary and the bound refresh, shallow
+    * enough to stay a bench-friendly entry (FULL-depth equivalence is
+    * pinned by TextBpeSpec's 300-merge fixture and the vstress bank
+    * in SCALE.md). Override with `spark.graft.bpeDistGateRounds`.
+    */
+  val bpeDistGateRounds: Int = 64
+
+  /** t33 — EXECUTOR-SIDE BPE TRAINING (the above-driver-budget path,
+    * round-18 — see [[BpeDist]]): train with the dictionary sharded
+    * on executors and driver state O(distinct pairs), and gate it
+    * BIT-IDENTICAL against [[bpeTrainDriver]] on the same pruned
+    * dictionary:
+    *   - band_merges_identical: the full merge table (round numbers,
+    *     pairs, winning counts) is EQUAL;
+    *   - band_accounting_identical: exhaustion flag + token totals
+    *     (initial / checkpoint / final) are EQUAL — the checkpoint
+    *     sits mid-run, so the distributed batch capper must land a
+    *     step boundary exactly on it;
+    *   - band_nonempty: the corpus actually trained ≥1 merge.
+    * The oracle is the constant-TRUE band (precedent: t29–t32 — a
+    * merge chain has no writable SQL twin), earned by the
+    * engine-verified equality above plus TextBpeSpec's fuzz,
+    * duplicate-pair, exhaustion and forced-delegation pins.
+    */
+  def bpeTrainDist(spark: SparkSession, dir: String): DataFrame = {
+    val rounds = spark.conf.get("spark.graft.bpeDistGateRounds",
+      bpeDistGateRounds.toString).toInt
+    val ck = math.min(12, rounds)
+    val minFreq = spark.conf.get("spark.graft.bpeMinFreq", "1").toLong
+    val (dist, drv) = PlanMemo.cachedValue(spark,
+      s"text.bpeDistGate:$dir:${PlanMemo.corpusFingerprint(dir)}" +
+        s":$minFreq:$rounds") {
+      val pruned = bpeVocab(spark, dir)
+        .filter(col("freq") >= minFreq).select("freq", "sym")
+      val d = BpeDist.train(spark, pruned, rounds, checkpointRound = ck)
+      val dict = pruned.collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      (d, bpeTrainDriver(dict, rounds, checkpointRound = ck))
+    }
+    import spark.implicits._
+    Seq((
+      dist.merges == drv.merges,
+      dist.exhausted == drv.exhausted &&
+        dist.tokensInitial == drv.tokensInitial &&
+        dist.tokensAtCheckpoint == drv.tokensAtCheckpoint &&
+        dist.tokensFinal == drv.tokensFinal,
+      dist.merges.nonEmpty))
+      .toDF("band_merges_identical", "band_accounting_identical",
+        "band_nonempty")
+  }
+
+  val bpeTrainDistSql: String =
+    """SELECT TRUE AS band_merges_identical,
+      |  TRUE AS band_accounting_identical,
+      |  TRUE AS band_nonempty""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t33_bpe_train_dist" -> bpeTrainDist _,
     "t32_bpe_ids_prod" -> bpeIdsProd _,
     "t31_bpe_encode_prod" -> bpeEncodeProd _,
     "t30_bpe_train_prod" -> bpeTrainProd _,
@@ -3146,6 +3232,7 @@ object Text {
   )
 
   def oracles: Map[String, String] = Map(
+    "t33_bpe_train_dist" -> bpeTrainDistSql,
     "t32_bpe_ids_prod" -> bpeIdsProdSql,
     "t31_bpe_encode_prod" -> bpeEncodeProdSql,
     "t30_bpe_train_prod" -> bpeTrainProdSql,

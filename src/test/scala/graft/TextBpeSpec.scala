@@ -674,4 +674,85 @@ class TextBpeSpec extends AnyFunSuite {
     }
     assert(totB < totS)
   }
+
+  // ----- round-18: executor-side trainer above the driver budget -----
+
+  test("distributed trainer: random vocabularies bit-identical to the driver trainer") {
+    // the whole BpeDriverTrain — merge table with counts, exhaustion,
+    // token accounting — must be EQUAL, over the same collision-heavy
+    // {a,b,c} space that pins the driver trainer to refBpe. Small
+    // vocabularies maximize the nasty paths: one-pair queues, batch
+    // size 1, duplicate pair wins across steps, alias stops.
+    val rnd = new scala.util.Random(101)
+    var checked = 0
+    var attempts = 0
+    while (checked < 8 && attempts < 40) {
+      attempts += 1
+      val words = Seq.fill(3 + rnd.nextInt(8)) {
+        (1 to (1 + rnd.nextInt(7)))
+          .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }.distinct
+      val fixed = words.map(w => (1L + rnd.nextInt(9), w.toSeq.mkString(" ")))
+      val rounds = 1 + rnd.nextInt(10)
+      val ck = rnd.nextInt(rounds + 1)
+      val drv = Text.bpeTrainDriver(fixed, rounds, checkpointRound = ck)
+      val dist = BpeDist.train(spark, vocab(fixed: _*), rounds,
+        checkpointRound = ck)
+      assert(dist === drv,
+        s"divergence on vocab ${fixed.mkString("[", ", ", "]")} " +
+          s"rounds=$rounds ck=$ck")
+      checked += 1
+    }
+    assert(checked === 8)
+  }
+
+  test("distributed trainer: duplicate pair wins and exhaustion match the driver") {
+    // "a a a a": (a,a) wins rounds 1 AND 2 (residual occurrence after
+    // the alternate-occurrence replace) — the distributed queue must
+    // re-elect the same pair from its deltas; then train PAST
+    // exhaustion and compare the flag and final totals
+    for (rounds <- Seq(2, 3, 10)) {
+      val drv = Text.bpeTrainDriver(Seq((1L, "a a a a")), rounds)
+      val dist = BpeDist.train(spark, vocab((1L, "a a a a")), rounds)
+      assert(dist === drv, s"rounds=$rounds")
+    }
+    assert(BpeDist.train(spark, vocab((1L, "a a a a")), 10).exhausted)
+  }
+
+  test("distributed trainer: 300-merge run bit-identical with checkpoint accounting") {
+    // a dictionary rich enough for hundreds of rounds on a tight
+    // alphabet (batches stay short — the adversarial pacing path)
+    // with the checkpoint INSIDE the run, so the batch capper must
+    // land a step boundary exactly on it
+    val rnd = new scala.util.Random(181)
+    val words = Seq.fill(500) {
+      (1 to (4 + rnd.nextInt(9)))
+        .map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+    }.distinct
+    val fixed = words.map(w => (1L + rnd.nextInt(50), w.toSeq.mkString(" ")))
+    val drv = Text.bpeTrainDriver(fixed, 300, checkpointRound = 37)
+    val dist = BpeDist.train(spark, vocab(fixed: _*), 300,
+      checkpointRound = 37)
+    assert(dist === drv)
+    assert(dist.tokensFinal < dist.tokensAtCheckpoint)
+    assert(dist.tokensAtCheckpoint < dist.tokensInitial)
+  }
+
+  test("bpeTrainAt delegates above the driver dictionary budget") {
+    // force the gate (budget 0) on the real sf0.001 corpus with a
+    // (rounds, checkpoint) pair no other path memoizes, and pin the
+    // delegated result equal to the in-memory trainer on the same
+    // pruned dictionary
+    val key = "spark.graft.bpeMaxDriverDictRows"
+    spark.conf.set(key, "0")
+    try {
+      val got = Text.bpeTrainAt(spark, sfDir, rounds = 13,
+        checkpointRound = 5)
+      val dict = Text.bpeVocab(spark, sfDir)
+        .select("freq", "sym").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      val drv = Text.bpeTrainDriver(dict, 13, checkpointRound = 5)
+      assert(got === drv)
+    } finally spark.conf.set(key, Text.bpeMaxDriverDictRows.toString)
+  }
 }
