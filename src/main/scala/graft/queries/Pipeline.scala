@@ -622,21 +622,70 @@ object Pipeline {
     * equality is the e06 gate).
     */
   private[graft] def incrementAppendFrom(
-      spark: SparkSession, dir: String, incQ: DataFrame): DataFrame = {
+      spark: SparkSession, dir: String, incQ: DataFrame): DataFrame =
+    appendAgainst(spark, dir, baseKeptDocs(spark, dir),
+      baseFpsArtifact(spark, dir), baseTotalsArtifact(spark, dir), incQ)
+
+  /** Published artifact: the base-kept fingerprint set is one of the
+    * compact artifacts a pipeline KEEPS between increments (d13's
+    * layer, see the baseKeptDocs scaladoc).
+    */
+  private[graft] def baseFpsArtifact(
+      spark: SparkSession, dir: String): DataFrame =
+    PlanMemo.cached(spark, s"pipeline.baseFps:$dir")(
+      PlanMemo.publishedParquet(spark, dir, "pipeline_base_fps")(
+        Tables.documents(spark, dir)
+          .join(baseKeptDocs(spark, dir).hint("shuffle_hash"),
+            Seq("doc_id"), "left_semi")
+          .select(expr("optimizer_barrier(md5(text))").as("fp"))
+          .distinct()))
+
+  /** Per-lang base-kept token totals (under the frozen TOKENIZER —
+    * the same accounting the shipped shards used). TOTALS need only
+    * the t22 dictionary ACCOUNTING (Σ cnt·ntok — spec-pinned equal
+    * to size(ids)), not the id reassembly bpeTokenIdSeqsOn pays; and
+    * the lang-sized result is the OTHER artifact a pipeline keeps
+    * between increments, so it memoizes alongside baseFps.
+    */
+  private[graft] def baseTotalsArtifact(
+      spark: SparkSession, dir: String): DataFrame =
+    PlanMemo.cached(spark, s"pipeline.baseTotals:$dir")(
+      PlanMemo.publishedParquet(spark, dir, "pipeline_base_totals") {
+        val dict = Text.bpeEncodeDict(
+          Text.bpeMerges(spark, dir), Text.bpeVocab(spark, dir))
+        Tables.documents(spark, dir)
+          .join(baseKeptDocs(spark, dir).hint("shuffle_hash"),
+            Seq("doc_id"), "left_semi")
+          .select(col("lang"), explode_outer(Text.bpeWords(col("text")))
+            .as("word"))
+          .filter(col("word").isNotNull)
+          .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+          .join(dict.hint("shuffle_hash"), "word")
+          .groupBy("lang")
+          .agg(sum(col("cnt") * col("ntok")).cast("long").as("base_tok"))
+      })
+
+  /** Append stages 2–5 against an ARBITRARY shipped state — (kept doc
+    * set, kept-content fingerprint set, per-lang token totals) — not
+    * just the frozen base: this is the seam the multi-increment chain
+    * (e08) turns weekly, feeding each append the state the PREVIOUS
+    * append produced. e03/e06 pass the published frozen-base
+    * artifacts. The screens touch the state only through doc_id/fp
+    * equi joins and the lang-sized totals broadcast — never
+    * state × increment content comparison — so the shape is identical
+    * at any number of accumulated increments.
+    */
+  private[graft] def appendAgainst(
+      spark: SparkSession, dir: String, kept: DataFrame, fps: DataFrame,
+      totals: DataFrame, incQ: DataFrame): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val baseKept = baseKeptDocs(spark, dir)
-    // exact screen: base-KEPT fingerprint set (optimizer_barrier — the
+    val baseKept = kept
+    val baseFps = fps
+    val baseTotals = totals
+    // exact screen: shipped fingerprint set (optimizer_barrier — the
     // d13 discipline: the anti join infers isnotnull(fp) and would
     // otherwise inline md5(text) into a pre-rebalance Filter)
     val fp = expr("optimizer_barrier(md5(text))")
-    // published artifact: the base-kept fingerprint set is one of the
-    // compact artifacts a pipeline KEEPS between increments (d13's
-    // layer, see the baseKeptDocs scaladoc)
-    val baseFps = PlanMemo.cached(spark, s"pipeline.baseFps:$dir")(
-      PlanMemo.publishedParquet(spark, dir, "pipeline_base_fps")(
-        docs
-          .join(baseKept.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
-          .select(fp.as("fp")).distinct()))
     val incNoExact = docs
       .join(incQ.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), fp.as("fp"))
@@ -685,28 +734,10 @@ object Pipeline {
       .select(col("node").as("doc_id"))
     val admitted = incScreened
       .join(incLosers.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
-    // append placement: per-lang base-kept token totals (under the
-    // frozen TOKENIZER — the same accounting the shipped shards
-    // used), then the increment's prefix sum continues each lang's
-    // stream. TOTALS need only the t22 dictionary ACCOUNTING
-    // (Σ cnt·ntok — spec-pinned equal to size(ids)), not the id
-    // reassembly bpeTokenIdSeqsOn pays; and the lang-sized result is
-    // the OTHER artifact a pipeline keeps between increments, so it
-    // memoizes alongside baseFps
+    // append placement: the increment's prefix sum continues each
+    // lang's stream from the shipped per-lang token totals
     val dict = Text.bpeEncodeDict(
       Text.bpeMerges(spark, dir), Text.bpeVocab(spark, dir))
-    val baseDocs = docs.join(baseKept.hint("shuffle_hash"),
-      Seq("doc_id"), "left_semi")
-    val baseTotals = PlanMemo.cached(spark, s"pipeline.baseTotals:$dir")(
-      PlanMemo.publishedParquet(spark, dir, "pipeline_base_totals")(
-        baseDocs
-          .select(col("lang"), explode_outer(Text.bpeWords(col("text")))
-            .as("word"))
-          .filter(col("word").isNotNull)
-          .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
-          .join(dict.hint("shuffle_hash"), "word")
-          .groupBy("lang")
-          .agg(sum(col("cnt") * col("ntok")).cast("long").as("base_tok"))))
     val incDocs = docs.join(admitted.hint("shuffle_hash"),
       Seq("doc_id"), "left_semi")
     // increment counts: the same accounting shape per doc (the
@@ -879,6 +910,270 @@ object Pipeline {
   }
 
   // ---------------------------------------------------------------
+  /** The two-increment chain split: sid1 is d13's standard increment
+    * boundary ([[Dedup.incrementalSplitId]]); sid2 halves the
+    * increment window by doc_id with INTEGER floor division, so both
+    * engines compute the same boundary exactly.
+    */
+  private[graft] def chainSplitIds(
+      spark: SparkSession, dir: String): (Long, Long) = {
+    val maxId = Tables.documents(spark, dir)
+      .agg(max("doc_id")).head().getLong(0)
+    val sid1 = math.ceil((maxId + 1) * (1.0 - Dedup.incrementalFraction))
+      .toLong
+    (sid1, sid1 + (maxId + 1 - sid1) / 2)
+  }
+
+  /** e08 — MULTI-INCREMENT APPEND CHAIN (round-18, VERDICT "next" 2):
+    * the contract an operations team actually runs weekly — e03's
+    * increment window split into TWO consecutive crawls, appended in
+    * sequence, each against the state the previous append shipped:
+    *
+    *   1. inc1 = doc_ids in [sid1, sid2) appends against the frozen
+    *      BASE artifacts (kept set, fingerprint set, per-lang token
+    *      totals) — exactly e03's stages 2–5 ([[appendAgainst]], ONE
+    *      body with e03/e06 so the chain cannot drift);
+    *   2. the shipped state ROLLS FORWARD: kept₁ = base ∪ admitted₁,
+    *      fps₁ = fps ∪ md5(admitted₁ texts), totals₁ = totals +
+    *      per-lang Σ n_tok of inc1's placements (the same dictionary
+    *      accounting, so the addition is exact);
+    *   3. inc2 = doc_ids ≥ sid2 appends against kept₁/fps₁/totals₁ —
+    *      its exact screen sees inc1's admitted contents, its near
+    *      screen drops docs pairing with inc1 admits, and its chunk
+    *      ids CONTINUE from the base+inc1 high-water mark per lang
+    *      (placement continuity across appends).
+    *
+    * The full two-append placement table is hash-gated against a
+    * DuckDB twin replaying both passes. Chained-vs-combined
+    * ASSOCIATIVITY is deliberately NOT asserted as equality: under
+    * per-increment CC with min-id keeps, a doc connected to an inc1
+    * component only through a DROPPED inc1 doc survives the chain but
+    * not the combined run (transitive bridge), and a shingle-less
+    * exact duplicate of an inc1 admit is fp-screened by the chain but
+    * only CC-screened combined — PipelineSpec pins both the equality
+    * of every NON-divergent doc and the divergence classes themselves.
+    *
+    * Scale shape: identical to e03 per append — every screen is an
+    * equi join of the increment against an O(shipped) artifact, the
+    * CC fixpoints run on increment-internal pair slivers, and the
+    * only broadcast is the lang-sized totals frame. State rollforward
+    * is a union + a lang-sized aggregate, so a 52-increment year is
+    * 52 × (increment cost), never a base recompute.
+    */
+  def incrementAppendChain(spark: SparkSession, dir: String): DataFrame = {
+    val (sid1, sid2) = chainSplitIds(spark, dir)
+    val qc = PlanMemo.publishedParquet(spark, dir,
+        "t23_quality_classifier")(Text.qualityClassifier(spark, dir))
+      .filter(col("pred") === 1)
+    val inc1Q = qc
+      .filter(col("doc_id") >= sid1 && col("doc_id") < sid2)
+      .select("doc_id")
+    val inc2Q = qc.filter(col("doc_id") >= sid2).select("doc_id")
+    val docs = Tables.documents(spark, dir)
+    val baseKept = baseKeptDocs(spark, dir)
+    // localCheckpoint (eager): inc1's placements feed FOUR consumers
+    // (kept₁, fps₁, totals₁, the output union) — without it the whole
+    // first append would re-execute per consumer. Increment-sized.
+    val p1 = appendAgainst(spark, dir, baseKept,
+      baseFpsArtifact(spark, dir), baseTotalsArtifact(spark, dir), inc1Q)
+      .localCheckpoint()
+    val kept1 = baseKept.select("doc_id").union(p1.select("doc_id"))
+    val fps1 = baseFpsArtifact(spark, dir)
+      .union(docs
+        .join(p1.select("doc_id").hint("shuffle_hash"),
+          Seq("doc_id"), "left_semi")
+        .select(expr("optimizer_barrier(md5(text))").as("fp")))
+      .distinct()
+    val totals1 = baseTotalsArtifact(spark, dir).as("b")
+      .join(p1.groupBy("lang")
+        .agg(sum("n_tok").cast("long").as("inc_tok")).as("i"),
+        Seq("lang"), "full")
+      .select(col("lang"),
+        (coalesce(col("base_tok"), lit(0L)) +
+          coalesce(col("inc_tok"), lit(0L))).as("base_tok"))
+    val p2 = appendAgainst(spark, dir, kept1, fps1, totals1, inc2Q)
+    p1.withColumn("inc", lit(1))
+      .unionByName(p2.withColumn("inc", lit(2)))
+      .orderBy("lang", "doc_id")
+  }
+
+  /** One append pass of the e08 oracle — the e03 oracle's screen +
+    * CC + placement blocks parameterized by CTE prefix, quality
+    * window, and the shipped-state CTE names it screens against.
+    */
+  private def chainAppendCtesSql(
+      p: String, qPred: String, kept: String, fpc: String): String =
+    s"""${p}q AS MATERIALIZED (
+       |  SELECT doc_id FROM qkept WHERE $qPred
+       |),
+       |${p}noex AS MATERIALIZED (
+       |  SELECT d.doc_id FROM documents d JOIN ${p}q USING (doc_id)
+       |  WHERE md5(d.text) NOT IN (SELECT fp FROM $fpc)
+       |),
+       |${p}xlose AS MATERIALIZED (
+       |  SELECT p.d2 AS doc_id FROM pairs p JOIN $kept k ON k.doc_id = p.d1
+       |  UNION
+       |  SELECT p.d1 FROM pairs p JOIN $kept k ON k.doc_id = p.d2
+       |),
+       |${p}scr AS MATERIALIZED (
+       |  SELECT doc_id FROM ${p}noex
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM ${p}xlose)
+       |),
+       |${p}pairs AS MATERIALIZED (
+       |  SELECT p.d1, p.d2 FROM pairs p
+       |  JOIN ${p}scr ia ON ia.doc_id = p.d1
+       |  JOIN ${p}scr ib ON ib.doc_id = p.d2
+       |),
+       |${p}edges AS (
+       |  SELECT d1 AS a, d2 AS b FROM ${p}pairs
+       |  UNION ALL SELECT d2, d1 FROM ${p}pairs
+       |),
+       |${p}reach AS (
+       |  SELECT a AS node, a AS lbl FROM ${p}edges
+       |  UNION
+       |  SELECT e.b, r.lbl FROM ${p}reach r JOIN ${p}edges e ON e.a = r.node
+       |),
+       |${p}cc AS MATERIALIZED (
+       |  SELECT node, MIN(lbl) AS cluster_id FROM ${p}reach GROUP BY node
+       |),
+       |${p}adm AS MATERIALIZED (
+       |  SELECT doc_id FROM ${p}scr
+       |  WHERE doc_id NOT IN (SELECT node FROM ${p}cc WHERE node <> cluster_id)
+       |),
+       |${p}docw AS (
+       |  SELECT doc_id, word, COUNT(*) AS cnt FROM (
+       |    SELECT doc_id, unnest(${Text.bpeWordsSql("text")}) AS word
+       |    FROM documents JOIN ${p}adm USING (doc_id)) t
+       |  GROUP BY doc_id, word
+       |),
+       |${p}enc AS (
+       |  SELECT doc_id, CAST(SUM(cnt * ntok) AS BIGINT) AS n_tok
+       |  FROM ${p}docw JOIN dict USING (word) GROUP BY doc_id
+       |),
+       |${p}base AS (
+       |  SELECT d.lang, d.doc_id, CAST(COALESCE(e.n_tok, 0) AS BIGINT) AS n_tok
+       |  FROM documents d JOIN ${p}adm USING (doc_id)
+       |  LEFT JOIN ${p}enc e USING (doc_id)
+       |),
+       |${p}o AS (
+       |  SELECT lang, doc_id, n_tok,
+       |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS inc_off
+       |  FROM ${p}base
+       |)""".stripMargin
+
+  /** The placement projection of one append's output rows against its
+    * totals CTE, tagged with the increment number.
+    */
+  private def chainSelectSql(p: String, tot: String, inc: Int): String = {
+    val off = s"(o.inc_off + COALESCE(bt.base_tok, 0))"
+    val ct = Packing.chunkTokens
+    s"""SELECT o.lang, o.doc_id, o.n_tok,
+       |  CAST($off AS BIGINT) AS tok_offset,
+       |  CAST($off // $ct AS BIGINT) AS first_chunk,
+       |  CAST(($off + GREATEST(o.n_tok, 1) - 1) // $ct AS BIGINT)
+       |    AS last_chunk,
+       |  CAST(($off + GREATEST(o.n_tok, 1) - 1) // $ct
+       |    - $off // $ct + 1 AS BIGINT) AS spans,
+       |  $inc AS inc
+       |FROM ${p}o o LEFT JOIN $tot bt USING (lang)""".stripMargin
+  }
+
+  /** e08's oracle replays the base derivation once, then BOTH append
+    * passes with the state rollforward between them — the same CTE
+    * machinery as e03's oracle, emitted twice by
+    * [[chainAppendCtesSql]] with the second pass pointed at the
+    * rolled-forward kept/fps/totals CTEs.
+    */
+  val incrementAppendChainSql: String = {
+    val frac = 1.0 - Dedup.incrementalFraction
+    s"""WITH RECURSIVE ${Text.qcCtesSql},
+       |qkept AS MATERIALIZED (
+       |  SELECT l.doc_id FROM labels l LEFT JOIN scored USING (doc_id)
+       |  WHERE COALESCE(s8, 0) > 0
+       |),
+       |isplit AS (
+       |  SELECT CAST(CEIL((MAX(doc_id) + 1) * $frac) AS BIGINT) AS sid,
+       |    MAX(doc_id) AS mx
+       |  FROM documents
+       |),
+       |isplit2 AS (
+       |  SELECT sid, sid + (mx + 1 - sid) // 2 AS sid2 FROM isplit
+       |),
+       |${Dedup.jaccardPairsCteSql},
+       |bq AS MATERIALIZED (
+       |  SELECT doc_id FROM qkept WHERE doc_id < (SELECT sid FROM isplit)
+       |),
+       |bpairs AS MATERIALIZED (
+       |  SELECT p.d1, p.d2 FROM pairs p
+       |  JOIN bq ba ON ba.doc_id = p.d1
+       |  JOIN bq bb ON bb.doc_id = p.d2
+       |),
+       |bedges AS (
+       |  SELECT d1 AS a, d2 AS b FROM bpairs
+       |  UNION ALL SELECT d2, d1 FROM bpairs
+       |),
+       |breach AS (
+       |  SELECT a AS node, a AS lbl FROM bedges
+       |  UNION
+       |  SELECT e.b, r.lbl FROM breach r JOIN bedges e ON e.a = r.node
+       |),
+       |bcc AS MATERIALIZED (
+       |  SELECT node, MIN(lbl) AS cluster_id FROM breach GROUP BY node
+       |),
+       |bkept AS MATERIALIZED (
+       |  SELECT doc_id FROM bq
+       |  WHERE doc_id NOT IN (SELECT node FROM bcc WHERE node <> cluster_id)
+       |),
+       |bfp AS MATERIALIZED (
+       |  SELECT DISTINCT md5(text) AS fp
+       |  FROM documents JOIN bkept USING (doc_id)
+       |),
+       |${Text.bpeDictCteSql},
+       |bdocw AS MATERIALIZED (
+       |  SELECT doc_id, word, COUNT(*) AS cnt FROM (
+       |    SELECT doc_id, unnest(${Text.bpeWordsSql("text")}) AS word
+       |    FROM documents JOIN bkept USING (doc_id)) t
+       |  GROUP BY doc_id, word
+       |),
+       |btot AS MATERIALIZED (
+       |  SELECT d.lang, CAST(SUM(w.cnt * dict.ntok) AS BIGINT) AS base_tok
+       |  FROM bdocw w JOIN dict USING (word)
+       |  JOIN documents d USING (doc_id)
+       |  GROUP BY d.lang
+       |),
+       |${chainAppendCtesSql("i1",
+           "doc_id >= (SELECT sid FROM isplit2) " +
+             "AND doc_id < (SELECT sid2 FROM isplit2)",
+           "bkept", "bfp")},
+       |akept1 AS MATERIALIZED (
+       |  SELECT doc_id FROM bkept UNION ALL SELECT doc_id FROM i1adm
+       |),
+       |afp1 AS MATERIALIZED (
+       |  SELECT DISTINCT fp FROM (
+       |    SELECT fp FROM bfp
+       |    UNION ALL
+       |    SELECT md5(text) AS fp FROM documents JOIN i1adm USING (doc_id)) u
+       |),
+       |atot1 AS MATERIALIZED (
+       |  SELECT COALESCE(b.lang, i.lang) AS lang,
+       |    CAST(COALESCE(b.base_tok, 0) + COALESCE(i.t, 0) AS BIGINT)
+       |      AS base_tok
+       |  FROM btot b FULL JOIN (
+       |    SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS t
+       |    FROM i1base GROUP BY lang) i
+       |  ON b.lang = i.lang
+       |),
+       |${chainAppendCtesSql("i2",
+           "doc_id >= (SELECT sid2 FROM isplit2)", "akept1", "afp1")}
+       |${chainSelectSql("i1", "btot", 1)}
+       |UNION ALL
+       |${chainSelectSql("i2", "atot1", 2)}
+       |ORDER BY lang, doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   /** Token-budget factor for e04: the run trains on budget = factor ×
     * the pipeline's total shipped tokens (multi-epoch training over
     * the mixed corpus — the published mixture tables train 1–5 epochs
@@ -995,7 +1290,8 @@ object Pipeline {
     "e04_mixture_plan" -> mixturePlan _,
     "e05_publish_shards" -> publishShards _,
     "e06_stream_ingest" -> streamIngest _,
-    "e07_consume_shards" -> consumeShards _
+    "e07_consume_shards" -> consumeShards _,
+    "e08_increment_chain" -> incrementAppendChain _
   )
 
   def oracles: Map[String, String] = Map(
@@ -1007,6 +1303,7 @@ object Pipeline {
     // e06 ≡ e03 by construction (see streamIngest scaladoc): the
     // streamed chain must reproduce the batch append exactly
     "e06_stream_ingest" -> incrementAppendSql,
-    "e07_consume_shards" -> consumeShardsSql
+    "e07_consume_shards" -> consumeShardsSql,
+    "e08_increment_chain" -> incrementAppendChainSql
   )
 }

@@ -198,4 +198,149 @@ class PipelineSpec extends AnyFunSuite {
     val root = published.inputFiles.head
     assert(root.contains("/lang="), s"not partitioned: $root")
   }
+
+  // ----- round-18: multi-increment append chain (e08) -----
+
+  test("e08 chain: one continuous per-lang token stream across both appends") {
+    // the whole point of the rollforward: within each lang, ordered
+    // by doc_id (inc1 ids < sid2 ≤ inc2 ids, so id order IS append
+    // order), offsets form ONE prefix sum that starts at the
+    // base-kept total and crosses the inc1→inc2 boundary without a
+    // seam — the chunk ids a year of weekly appends would keep
+    // extending
+    val out = Pipeline.incrementAppendChain(spark, sfDir)
+      .select("lang", "doc_id", "n_tok", "tok_offset", "inc").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    assert(out.nonEmpty)
+    assert(out.exists(_._5 == 1) && out.exists(_._5 == 2),
+      "chain did not exercise both increments")
+    val baseTotals = Pipeline.baseTotalsArtifact(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      val seq = rows.sortBy(_._2)
+      assert(seq.head._4 === baseTotals.getOrElse(lang, 0L),
+        s"lang $lang does not start at the base total")
+      seq.zip(seq.tail).foreach { case (a, b) =>
+        assert(b._4 === a._4 + a._3,
+          s"lang $lang stream breaks at doc ${b._2} (prev ${a._2})")
+      }
+    }
+  }
+
+  test("e08 chained vs e03 combined: equal up to the documented divergence classes") {
+    val chain = Pipeline.incrementAppendChain(spark, sfDir)
+    val comb = Pipeline.incrementAppend(spark, sfDir)
+    val chainIds = chain.select("doc_id").collect().map(_.getLong(0)).toSet
+    val combIds = comb.select("doc_id").collect().map(_.getLong(0)).toSet
+    val docs = Tables.documents(spark, sfDir)
+    val (sid1, sid2) = Pipeline.chainSplitIds(spark, sfDir)
+    val inc1Adm = chainIds.filter(id => id >= sid1 && id < sid2)
+    // chained-only docs must be transitive bridges: paired with some
+    // increment doc, but with NO admitted-inc1 doc (their bridge was
+    // a CC loser), and dropped combined only as a CC loser (they pass
+    // both screens identically in the two runs)
+    val pairs = Dedup.jaccardPairs(spark, sfDir).select("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val chainOnly = chainIds -- combIds
+    chainOnly.foreach { id =>
+      val partners = pairs.collect {
+        case (a, b) if a == id => b
+        case (a, b) if b == id => a
+      }.toSet
+      assert(partners.nonEmpty && !partners.exists(inc1Adm.contains),
+        s"chained-only doc $id is not a transitive bridge")
+    }
+    // combined-only docs must be shingle-less exact duplicates of an
+    // inc1-admitted content (fp-screened by the chain, invisible to
+    // the combined run's pair graph)
+    val combOnly = combIds -- chainIds
+    if (combOnly.nonEmpty) {
+      val fpOf = docs
+        .filter(col("doc_id").isin((combOnly ++ inc1Adm).toSeq: _*))
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      val inc1Fps = inc1Adm.map(fpOf)
+      combOnly.foreach { id =>
+        assert(inc1Fps.contains(fpOf(id)),
+          s"combined-only doc $id is not an exact dup of an inc1 admit")
+        assert(!pairs.exists(p => p._1 == id || p._2 == id),
+          s"combined-only doc $id has pairs — should have been CC-screened")
+      }
+    }
+    // and where neither class fires, the two runs agree row-for-row
+    if (chainOnly.isEmpty && combOnly.isEmpty) {
+      val a = chain.drop("inc").collect().map(_.toSeq)
+      val b = comb.collect().map(_.toSeq)
+      assert(a.toSeq === b.toSeq,
+        "identical admitted sets but diverging placements")
+    }
+  }
+
+  test("append chain divergence classes are real: bridge kept, shingle-less dup screened") {
+    // hand-built corpus exhibiting BOTH documented divergences, driven
+    // through the real appendAgainst machinery (screens, pair graph,
+    // CC, placement) with a handed base state:
+    //   doc 0  base       "unrelated"        (shipped base)
+    //   doc 10 inc1  a =  tok01..tok12  ┐ J(a,x)=8/12 ≥ 0.5
+    //   doc 11 inc1  x =  tok03..tok14  ┘┐ J(x,y)=8/12 ≥ 0.5
+    //   doc 12 inc1  s =  "hello there"  │   (shingle-less, admitted)
+    //   doc 20 inc2  y =  tok05..tok16  ─┘ J(a,y)=6/14 < 0.5
+    //   doc 21 inc2  dup of s's text        (shingle-less)
+    // chained:  inc1 admits {10,12} (x loses CC to a); inc2 admits
+    //           {20} (y's only pair partner 11 was dropped, so no
+    //           screen fires) and fp-screens 21 against s.
+    // combined: CC sees the a–x–y chain as ONE component (keep 10),
+    //           21 has no pairs and no shipped fp match → admitted.
+    // divergence = {20} chained-only (transitive bridge), {21}
+    // combined-only (shingle-less dup) — exactly the classes the e08
+    // scaladoc documents.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_chain").toString
+    val toks = (1 to 16).map(i => f"tok$i%02d")
+    def span(a: Int, b: Int) = toks.slice(a - 1, b).mkString(" ")
+    Seq(
+      (0L, "zebra yak xylophone wombat vulture unicorn tapir", "en", "web"),
+      (10L, span(1, 12), "en", "web"),
+      (11L, span(3, 14), "en", "web"),
+      (12L, "hello there", "en", "web"),
+      (20L, span(5, 16), "en", "web"),
+      (21L, "hello there", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val docs = Tables.documents(spark, dir)
+    val kept0 = Seq(0L).toDF("doc_id")
+    val fps0 = docs.filter(col("doc_id") === 0L)
+      .select(md5(col("text")).as("fp"))
+    val totals0 = Seq.empty[(String, Long)].toDF("lang", "base_tok")
+    def admitted(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // chained
+    val p1 = Pipeline.appendAgainst(spark, dir, kept0, fps0, totals0,
+      Seq(10L, 11L, 12L).toDF("doc_id")).localCheckpoint()
+    assert(admitted(p1) === Set(10L, 12L), "inc1 admission")
+    val kept1 = kept0.union(p1.select("doc_id"))
+    val fps1 = fps0.union(docs
+        .join(p1.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select(md5(col("text")).as("fp")))
+      .distinct()
+    val totals1 = p1.groupBy("lang")
+      .agg(sum("n_tok").cast("long").as("base_tok"))
+    val p2 = Pipeline.appendAgainst(spark, dir, kept1, fps1, totals1,
+      Seq(20L, 21L).toDF("doc_id"))
+    assert(admitted(p2) === Set(20L),
+      "inc2 must keep the bridge doc and fp-screen the dup")
+    // combined
+    val comb = Pipeline.appendAgainst(spark, dir, kept0, fps0, totals0,
+      Seq(10L, 11L, 12L, 20L, 21L).toDF("doc_id"))
+    assert(admitted(comb) === Set(10L, 12L, 21L),
+      "combined must CC-drop the bridge and keep the shingle-less dup")
+    // the pair graph is exactly the a–x, x–y chain the classes rely on
+    val pairSet = Dedup.jaccardPairs(spark, dir).select("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet === Set((10L, 11L), (11L, 20L)))
+  }
 }
