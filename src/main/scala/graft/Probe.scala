@@ -369,6 +369,57 @@ object Probe {
         val n = Tables.documents(spark, dir).count()
         val c = Dedup.lshCandidates(spark, dir).count()
         println(s"PROBE docs $n cands $c per_doc ${c.toDouble / n}")
+      case "retrcurve" =>
+        // recall-vs-candidate-volume curve for the IVF retrieval
+        // (round-18 "next" 3): sweep nprobe at the default shortlist,
+        // then shortlist K at full probing — separates cell-miss loss
+        // (recovered by probes) from coarse-shortlist loss (recovered
+        // by K). Each point prints mean recall@5 over the query set
+        // and the mean per-query candidate volume (Σ probed-cell
+        // chunk occupancy — the cost the probes actually buy).
+        // SCALE.md banks the rows; s17 gates the chosen ≥0.9 point.
+        import org.apache.spark.sql.functions._
+        val nVecs = Similarity.retrNVecs(spark, dir)
+        val cells = Similarity.retrCellsFor(nVecs)
+        val def_ = Similarity.retrProbeFor(cells)
+        val chunks = Similarity.retrChunks(spark, dir)
+        val occ = chunks
+          .join(Similarity.retrAssigned(spark, dir), "vec_id")
+          .groupBy("cell").agg(count(lit(1)).as("occ"))
+        println(s"PROBE retrcurve nvecs $nVecs cells $cells nprobe_def $def_")
+        def point(nPr: Int, k: Int): Unit = {
+          val rec = Similarity.retrievalRecallAt(spark, dir, nPr, k)
+            .agg(avg("recall"), count(lit(1))).first()
+          val cand = Similarity.retrProbesAt(spark, dir, nPr)
+            .join(occ, "cell")
+            .agg((sum("occ") / countDistinct("q_id")).cast("double"))
+            .first().getDouble(0)
+          println(f"PROBE retrcurve nprobe $nPr K $k " +
+            f"mean_recall ${rec.getDouble(0)}%.4f " +
+            f"queries ${rec.getLong(1)} cand_per_q $cand%.1f")
+        }
+        def flatPoint(nPr: Int): Unit = {
+          val top = Similarity.retrievalFlatTop5(spark, dir,
+            chunks, "chunk_key", nPr)
+          val rec = Similarity.recallAgainstExact(spark, dir, top)
+            .agg(avg("recall"), count(lit(1))).first()
+          val cand = Similarity.retrProbesAt(spark, dir, nPr)
+            .join(occ, "cell")
+            .agg((sum("occ") / countDistinct("q_id")).cast("double"))
+            .first().getDouble(0)
+          println(f"PROBE retrcurve FLAT nprobe $nPr " +
+            f"mean_recall ${rec.getDouble(0)}%.4f " +
+            f"queries ${rec.getLong(1)} cand_per_q $cand%.1f")
+        }
+        val sweep = Seq(def_, 2 * def_, 4 * def_, cells)
+          .map(math.min(_, cells)).distinct
+        for (p <- sweep) point(p, Similarity.retrShortlistK)
+        for (k <- Seq(40, 80, 160)) point(cells, k)
+        for (k <- Seq(40, 80)) point(math.min(4 * def_, cells), k)
+        // the s17 path: full-dim scoring — recall loss is cell misses
+        // only, nprobe is the whole lever
+        for (p <- sweep) flatPoint(p)
+
       case "vstress" =>
         // Vocabulary-stress measurement of the BPE trainer's one
         // driver-growth path (round-16 verdict "next" 1): the

@@ -797,10 +797,19 @@ object Similarity {
   /** Each query's [[nProbe]] best cells (bounded: queries × nProbe
     * rows) — shared by [[retrievalE2e]] and SimilaritySpec.
     */
-  private[graft] def retrProbes(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def retrProbes(spark: SparkSession, dir: String): DataFrame =
+    retrProbesAt(spark, dir,
+      retrProbeFor(retrCellsFor(retrNVecs(spark, dir))))
+
+  /** The probes frame at an EXPLICIT probe count — the recall lever
+    * (round-18): nprobe is the dial every IVF deployment turns to buy
+    * recall with candidate volume; [[retrievalRecallHi]] gates the
+    * high-recall setting, Probe's `retrcurve` banks the curve.
+    */
+  private[graft] def retrProbesAt(
+      spark: SparkSession, dir: String, nPr: Int): DataFrame = {
     val emb = withNorm(spark, dir)
     val nCells = retrCellsFor(retrNVecs(spark, dir))
-    val nPr = retrProbeFor(nCells)
     val cents = emb.filter(col("vec_id") < nCells).select(
       col("vec_id").as("cell"), col("embedding").as("c_emb"),
       col("nrm").as("c_nrm"))
@@ -835,10 +844,19 @@ object Similarity {
     * [[ivfRankCtesSql]].
     */
   private[graft] def retrievalOverChunks(spark: SparkSession, dir: String,
-      chunks: DataFrame, key: String): DataFrame = {
+      chunks: DataFrame, key: String): DataFrame =
+    retrievalOverChunksAt(spark, dir, chunks, key,
+      retrProbeFor(retrCellsFor(retrNVecs(spark, dir))), retrShortlistK)
+
+  /** [[retrievalOverChunks]] at EXPLICIT (nprobe, shortlist K) — the
+    * two recall levers. Identical plan shape at any setting: probes
+    * stay queries × nPr (bounded), the shortlist stays queries × K.
+    */
+  private[graft] def retrievalOverChunksAt(spark: SparkSession, dir: String,
+      chunks: DataFrame, key: String, nPr: Int, shortK: Int): DataFrame = {
     val emb = withNorm(spark, dir)
     val assigned = retrAssigned(spark, dir)
-    val probes = retrProbes(spark, dir)
+    val probes = retrProbesAt(spark, dir, nPr)
     val cand = chunks.join(assigned.hint("shuffle_hash"), "vec_id")
     // "coarse", not "cosine": this is the UNNORMALIZED prefix inner
     // product (no norm division) — same name as the oracle CTE and
@@ -847,7 +865,7 @@ object Similarity {
       .withColumn("coarse", Exact.round4(expr(
         s"dot_product(slice(embedding, 1, $prefixDim), slice(q_emb, 1, $prefixDim))")))
     val shortlist = coarse.groupBy("q_id")
-      .agg(expr(s"topk_score_id(coarse, $key, $retrShortlistK)").as("tk"))
+      .agg(expr(s"topk_score_id(coarse, $key, $shortK)").as("tk"))
       .select(col("q_id"), explode(col("tk")).as("e"))
       .select(col("q_id"), col("e.id").as(key))
     // shortlist rejoin: chunk frame streams against the broadcast
@@ -899,8 +917,12 @@ object Similarity {
     * share one spelling, exactly like the engine side
     * ([[retrievalOverChunks]]).
     */
-  private def ivfRankCtesSql(key: String): String = {
-    val prefDot = duckPrefixDot("c.embedding", "q.embedding")
+  /** The key-independent IVF front half (norms, √N sizing, centroid
+    * scores, arg-max assignment, per-query probe list) — shared by
+    * the coarse-rerank tail (s14/s15/s16) and the flat tail (s17).
+    */
+  private def ivfHeaderCtesSql(
+      nprobeSql: String = "(SELECT nprobe FROM sz)"): String =
     s"""nv AS MATERIALIZED (
        |  SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings
        |), sz AS (
@@ -924,8 +946,35 @@ object Similarity {
        |  SELECT vec_id AS q_id, cell FROM cscore WHERE vec_id < $nQueries
        |  QUALIFY row_number() OVER (PARTITION BY vec_id
        |                             ORDER BY cos4 DESC, cell)
-       |    <= (SELECT nprobe FROM sz)
-       |), coarse AS (
+       |    <= $nprobeSql
+       |)""".stripMargin
+
+  /** IVF-FLAT ranking tail (s17): full-dim exact cosine on every
+    * probed-cell candidate, ranked directly — no coarse stage, so the
+    * only recall loss is cell misses and nprobe is the whole lever.
+    * Probes at the s17 operating point: min(cells, 2·nprobe) — the
+    * SQL twin of [[retrProbeHiFor]].
+    */
+  private def ivfFlatCtesSql(key: String): String =
+    s"""${ivfHeaderCtesSql(
+          "(SELECT LEAST(ncells, 2 * nprobe) FROM sz)")}, rf AS (
+       |  SELECT p.q_id, cvv.$key,
+       |    ${Exact.round4Sql(
+              duckDot("c.embedding", "q.embedding") + " / (c.nrm * q.nrm)")}
+       |      AS cosine
+       |  FROM cvv JOIN assigned a USING (vec_id)
+       |           JOIN probes p ON a.cell = p.cell
+       |           JOIN nv c ON c.vec_id = cvv.vec_id
+       |           JOIN nv q ON q.vec_id = p.q_id
+       |), r AS (
+       |  SELECT q_id, $key, cosine,
+       |    row_number() OVER (PARTITION BY q_id
+       |                       ORDER BY cosine DESC, $key) AS "rank"
+       |  FROM rf)""".stripMargin
+
+  private def ivfRankCtesSql(key: String): String = {
+    val prefDot = duckPrefixDot("c.embedding", "q.embedding")
+    s"""${ivfHeaderCtesSql()}, coarse AS (
        |  SELECT p.q_id, cvv.$key,
        |    ${Exact.round4Sql(prefDot)} AS coarse
        |  FROM cvv JOIN assigned a USING (vec_id)
@@ -951,7 +1000,10 @@ object Similarity {
        |  FROM re)""".stripMargin
   }
 
-  private def retrievalCtesSql: String = {
+  /** The RAG chunk CTEs (t → st → cvv) shared by every chunk_key
+    * retrieval oracle.
+    */
+  private def ragChunkCtesSql: String = {
     val n = "GREATEST(CAST(n_tok AS INT), 1)"
     s"""t AS (
        |  SELECT doc_id, ${Packing.duckNTok} AS n_tok FROM documents
@@ -969,8 +1021,14 @@ object Similarity {
        |      * 1299709 + 104729) % 2147483647
        |      % (SELECT COUNT(*) FROM embeddings) AS vec_id
        |  FROM st
-       |), ${ivfRankCtesSql("chunk_key")}"""
+       |)"""
   }
+
+  private def retrievalCtesSql: String =
+    s"""$ragChunkCtesSql, ${ivfRankCtesSql("chunk_key")}"""
+
+  private def retrievalFlatCtesSql: String =
+    s"""$ragChunkCtesSql, ${ivfFlatCtesSql("chunk_key")}"""
 
   val retrievalE2eSql: String =
     s"""WITH $retrievalCtesSql
@@ -998,9 +1056,76 @@ object Similarity {
     * the IVF side is s14's plan; the intersection joins two
     * (queries × 5)-row frames — broadcast by construction.
     */
-  def retrievalRecall(spark: SparkSession, dir: String): DataFrame = {
-    val ivf = retrievalE2e(spark, dir)
-      .select(col("q_id"), col("chunk_key"), lit(1).as("hit"))
+  def retrievalRecall(spark: SparkSession, dir: String): DataFrame =
+    retrievalRecallAt(spark, dir,
+      retrProbeFor(retrCellsFor(retrNVecs(spark, dir))), retrShortlistK)
+
+  /** The recall gate at EXPLICIT (nprobe, shortlist K) — shared by
+    * s15 (the default operating point) and Probe's `retrcurve` sweep.
+    */
+  private[graft] def retrievalRecallAt(
+      spark: SparkSession, dir: String, nPr: Int, shortK: Int): DataFrame =
+    recallAgainstExact(spark, dir,
+      retrievalOverChunksAt(spark, dir, retrChunks(spark, dir),
+        "chunk_key", nPr, shortK))
+
+  /** IVF-FLAT top-5 over probed cells (round-18 "next" 3 — the ≥0.9
+    * operating point): full-dim exact cosine on every probed-cell
+    * candidate, top-5 per query directly. The retrcurve measurement
+    * showed s14's recall ceiling is the [[prefixDim]]-dim coarse
+    * shortlist, NOT cell misses (probing ALL cells at K=20 left
+    * recall at 0.68–0.76; K=160 at full probing reached 0.92–0.98) —
+    * so the high-recall path scores candidates at full dimension,
+    * the FAISS IVFFlat shape, where the only loss is cell misses and
+    * nprobe is the whole lever. Cost vs s14: ~2× flops on the
+    * candidate pass (64-dim vs 32-dim dots), no shortlist rejoin
+    * stage; candidate volume is IDENTICAL (same probes frame — the
+    * SimilaritySpec occupancy invariant pins it on this path too).
+    */
+  private[graft] def retrievalFlatTop5(spark: SparkSession, dir: String,
+      chunks: DataFrame, key: String, nPr: Int): DataFrame = {
+    val assigned = retrAssigned(spark, dir)
+    val probes = retrProbesAt(spark, dir, nPr)
+    chunks.join(assigned.hint("shuffle_hash"), "vec_id")
+      .join(broadcast(probes), "cell")
+      .withColumn("cosine", Exact.round4(
+        expr(sparkDot("embedding", "q_emb")) / (col("nrm") * col("q_nrm"))))
+      .groupBy("q_id")
+      .agg(expr(s"topk_score_id(cosine, $key, 5)").as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("e"))
+      .select(col("q_id"), col("e.id").as(key))
+  }
+
+  /** s17 — HIGH-RECALL RETRIEVAL GATE: [[retrievalFlatTop5]] at
+    * [[retrProbeHiFor]] = min(cells, 2·⌈√cells⌉) probes, intersected
+    * with the exact top-5 exactly like s15 — hash-gated, recall
+    * VALUES pinned cross-engine. Measured (retrcurve): flat at 1×
+    * √cells probes is 0.90 at sf0.01 and 1.00 at sf0.1+; the 2×
+    * point (0.94 / 1.00) buys margin over the ≥0.9 floor
+    * SimilaritySpec asserts, at 2× the (still N/√cells-sublinear)
+    * candidate volume. SCALE.md banks the full curve (probes sweep ×
+    * shortlist sweep × flat) that picked this point.
+    */
+  def retrievalRecallHi(spark: SparkSession, dir: String): DataFrame = {
+    val cells = retrCellsFor(retrNVecs(spark, dir))
+    recallAgainstExact(spark, dir,
+      retrievalFlatTop5(spark, dir, retrChunks(spark, dir), "chunk_key",
+        retrProbeHiFor(cells)))
+  }
+
+  /** The s17 operating point: twice the FAISS-default probe count,
+    * capped at the cell count.
+    */
+  private[graft] def retrProbeHiFor(cells: Int): Int =
+    math.min(cells, 2 * retrProbeFor(cells))
+
+  /** Per-query recall of an arbitrary (q_id, chunk_key) retrieval
+    * against the exact full-dim top-5 — s15/s17's shared back half.
+    */
+  private[graft] def recallAgainstExact(
+      spark: SparkSession, dir: String, ivfTop: DataFrame): DataFrame = {
+    val ivf = ivfTop.select(col("q_id"), col("chunk_key"),
+      lit(1).as("hit"))
     val emb = withNorm(spark, dir)
     val chunks = retrChunks(spark, dir)
     val q = emb.filter(col("vec_id") < nQueries).select(
@@ -1024,8 +1149,18 @@ object Similarity {
       .orderBy("q_id")
   }
 
-  val retrievalRecallSql: String =
-    s"""WITH $retrievalCtesSql, ivf AS (
+  val retrievalRecallSql: String = recallOracleSql(retrievalCtesSql)
+
+  /** s17's oracle — the identical recall tail over the IVF-FLAT
+    * ranking CTEs.
+    */
+  val retrievalRecallHiSql: String = recallOracleSql(retrievalFlatCtesSql)
+
+  /** The shared recall-oracle spelling: intersect a ranked retrieval
+    * (`r`) with the recomputed exact top-5 (s15/s17's back half).
+    */
+  private def recallOracleSql(ctes: String): String =
+    s"""WITH $ctes, ivf AS (
        |  SELECT q_id, chunk_key FROM r WHERE "rank" <= 5
        |), ex AS (
        |  SELECT q.vec_id AS q_id, cvv.chunk_key,
@@ -1104,6 +1239,7 @@ object Similarity {
     "s14_retrieval_e2e" -> retrievalE2e _,
     "s16_retrieval_artifact" -> retrievalArtifact _,
     "s15_retrieval_recall" -> retrievalRecall _,
+    "s17_retrieval_recall_hi" -> retrievalRecallHi _,
     "s13_radius_search" -> radiusSearch _,
     "s12_coarse_rerank" -> coarseRerank _,
     "s04_ivf_cells" -> ivfCells _,
@@ -1120,6 +1256,7 @@ object Similarity {
     "s14_retrieval_e2e" -> retrievalE2eSql,
     "s16_retrieval_artifact" -> retrievalArtifactSql,
     "s15_retrieval_recall" -> retrievalRecallSql,
+    "s17_retrieval_recall_hi" -> retrievalRecallHiSql,
     "s13_radius_search" -> radiusSearchSql,
     "s12_coarse_rerank" -> coarseRerankSql,
     "s04_ivf_cells" -> ivfCellsSql,

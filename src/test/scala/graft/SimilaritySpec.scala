@@ -293,4 +293,61 @@ class SimilaritySpec extends AnyFunSuite {
     assert(fromArtifact.map(_.toString).toSeq ===
       fromPlan.map(_.toString).toSeq)
   }
+
+  // ----- round-18: the measured recall lever (s17) -----
+
+  test("s17 high-recall gate: ≥0.9 floor at the 2×√cells flat operating point") {
+    import org.apache.spark.sql.functions.{avg, col}
+    // the retrcurve measurement located s14's recall ceiling in the
+    // 32-dim coarse shortlist (full probing at K=20 left recall at
+    // 0.68–0.76), so the high-recall path scores probed candidates at
+    // FULL dimension (IVFFlat) where cell misses are the only loss;
+    // at 2×⌈√cells⌉ probes the measured floor clears 0.9 with margin
+    // (0.94 sf0.01 / 1.00 sf0.1 — banked in SCALE.md). Values are
+    // hash-gated cross-engine; this pins the structure + the floor.
+    val r = Similarity.retrievalRecallHi(spark, sfDir).collect()
+    assert(r.length === Similarity.nQueries)
+    r.foreach { row =>
+      assert(row.getLong(1) === 5L)
+      assert(row.getLong(2) >= 0L && row.getLong(2) <= 5L)
+    }
+    val mean = Similarity.retrievalRecallHi(spark, sfDir)
+      .agg(avg(col("recall"))).head().getDouble(0)
+    assert(mean >= 0.9, f"mean recall $mean%.2f fell under the 0.9 floor")
+    // and it strictly dominates (or ties) the default operating point
+    val meanDefault = Similarity.retrievalRecall(spark, sfDir)
+      .agg(avg(col("recall"))).head().getDouble(0)
+    assert(mean >= meanDefault,
+      f"high-recall point $mean%.2f under default $meanDefault%.2f")
+  }
+
+  test("s17 operating point: probe function pinned, candidate volume still cell-bounded") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    // the probe-count function: exactly 2× the FAISS default, capped
+    // at the cell count — a silent constant regression fails by name
+    assert(Similarity.retrProbeHiFor(8) === 6)
+    assert(Similarity.retrProbeHiFor(22) === 10)
+    assert(Similarity.retrProbeHiFor(447) === 44)
+    assert(Similarity.retrProbeHiFor(3) === 3) // cap engages
+    // occupancy invariant on the FLAT path: its candidate join count
+    // equals Σ probed-cell chunk occupancy under the hi probes frame,
+    // and stays under all-pairs
+    val chunks = Similarity.retrChunks(spark, sfDir)
+    val assigned = Similarity.retrAssigned(spark, sfDir)
+      .select("vec_id", "cell")
+    val nVecs = Tables.embeddings(spark, sfDir).count()
+    val hiPr = Similarity.retrProbeHiFor(Similarity.retrCellsFor(nVecs))
+    val probes = Similarity.retrProbesAt(spark, sfDir, hiPr)
+      .select("q_id", "cell")
+    val joinCount = chunks.join(assigned, "vec_id")
+      .join(probes, "cell").count()
+    val occVolume = chunks.join(assigned, "vec_id")
+      .groupBy("cell").agg(count(lit(1)).as("n_chunks"))
+      .join(probes.groupBy("cell").agg(count(lit(1)).as("n_probes")), "cell")
+      .agg(sum(col("n_chunks") * col("n_probes"))).head().getLong(0)
+    assert(joinCount === occVolume)
+    assert(occVolume > 0L)
+    assert(occVolume < Similarity.nQueries * chunks.count(),
+      "flat candidate volume must stay under all-pairs")
+  }
 }
