@@ -205,15 +205,22 @@ object Clustering {
       includeQe: Boolean = true): String = {
     val p = prefix
     val sb = new StringBuilder
+    // AS MATERIALIZED throughout the round chain (round-18, the d14
+    // de-special-casing): DuckDB's default per-reference CTE inlining
+    // re-executes c{t-1} once for the round-t assignment AND once for
+    // the round-t carry join, so the expansion doubles per round —
+    // the whole unrolled train re-ran ~2^iters times and d14's sf1
+    // legs spilled >60 GB under the matrix config. Materialized, each
+    // round computes once; every CTE here is k- or N-row bounded.
     if (includeQe) sb.append(
-      s"""qe AS (
+      s"""qe AS MATERIALIZED (
          |  SELECT vec_id,
          |    list_transform(range(1, len(embedding) + 1), i ->
          |      CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $quantScale) AS BIGINT)) AS qv
          |  FROM $src
          |), """.stripMargin)
     sb.append(
-      s"""${p}c0 AS (
+      s"""${p}c0 AS MATERIALIZED (
          |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
          |    qv AS cv
          |  FROM qe
@@ -228,7 +235,7 @@ object Clustering {
          |)""".stripMargin
     for (t <- 1 to lloydIters) {
       sb.append(s""",
-         |${assign(s"${p}a$t", s"${p}c${t - 1}")}, ${p}b$t AS (
+         |${assign(s"${p}a$t", s"${p}c${t - 1}")}, ${p}b$t AS MATERIALIZED (
          |  SELECT vec_id, cid, d FROM (
          |    SELECT vec_id, cid, d,
          |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
@@ -245,14 +252,14 @@ object Clustering {
          |      FROM qe e JOIN ${p}b$t b USING (vec_id))
          |    GROUP BY cid, i)
          |  GROUP BY cid
-         |), ${p}c$t AS (
+         |), ${p}c$t AS MATERIALIZED (
          |  SELECT p.cid, COALESCE(u.cv, p.cv) AS cv
          |  FROM ${p}c${t - 1} p LEFT JOIN ${p}u$t u USING (cid)
          |)""".stripMargin)
     }
     val T = lloydIters
     sb.append(s""",
-       |${assign(s"${p}afin", s"${p}c$T")}, ${p}fin AS (
+       |${assign(s"${p}afin", s"${p}c$T")}, ${p}fin AS MATERIALIZED (
        |  SELECT vec_id, cid AS cluster, CAST(d AS BIGINT) AS dist2 FROM (
        |    SELECT vec_id, cid, d,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn

@@ -1452,7 +1452,7 @@ object Dedup {
 
   val semanticDedupSql: String = {
     val dot = Similarity.duckDot("x.embedding", "y.embedding")
-    s"""WITH RECURSIVE aug AS (
+    s"""WITH RECURSIVE aug AS MATERIALIZED (
        |  SELECT v.vec_id,
        |    CASE WHEN v.vec_id % 10 IN (7, 9) THEN
        |      list_transform(range(1, ${semDim + 1}), i ->
@@ -1471,11 +1471,11 @@ object Dedup {
              // silent hash divergence above it (round-12 advice)
              s"(SELECT GREATEST(${Clustering.kClusters}, " +
                s"COUNT(*) // $semCellTarget) FROM embeddings)")},
-       |n AS (
+       |n AS MATERIALIZED (
        |  SELECT a.vec_id, a.embedding, f.cluster,
        |    sqrt(${Similarity.duckDot("a.embedding", "a.embedding")}) AS nrm
        |  FROM aug a JOIN fin f USING (vec_id)
-       |), p AS (
+       |), p AS MATERIALIZED (
        |  SELECT x.vec_id AS d1, y.vec_id AS d2
        |  FROM n x JOIN n y
        |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
