@@ -437,13 +437,28 @@ object Pipeline {
     val mount = manifest.agg(min("lang").as("lang")).first().getString(0)
     val maxShard = manifest.filter(col("lang") === mount)
       .agg(max("shard")).first().getLong(0)
-    val resume = maxShard / 2
-    val rt = shards.filter(col("lang") === lit(mount))
+    consumeVerify(shards, manifest, Seq(mount), maxShard / 2)
+  }
+
+  /** The read-time verification core over an arbitrary mounted
+    * artifact — e07 (one lang, mid-stream resume) and e09 (two-lang
+    * union mount) share it, and PipelineSpec drives it against a
+    * TAMPERED copy of the artifact to pin the negative path: a single
+    * flipped id in one chunk's payload must flip that shard's
+    * checksum_ok (and only that shard's), a dropped id must
+    * additionally flip payload/token accounting — corruption is
+    * DETECTED and surfaced in the verdict row, never silently
+    * consumed.
+    */
+  private[graft] def consumeVerify(
+      shards: DataFrame, manifest: DataFrame,
+      langs: Seq[String], resume: Long): DataFrame = {
+    val rt = shards.filter(col("lang").isin(langs: _*))
       .withColumn("shard", expr(Packing.shardExprOn("chunk_id")))
       .filter(col("shard") >= lit(resume))
       .withColumn("chunk_fp", Text.fp64(
         expr("array_join(transform(ids, i -> CAST(i AS STRING)), ',')")))
-      .groupBy("shard")
+      .groupBy("lang", "shard")
       .agg(
         count(lit(1)).as("n_chunks"),
         sum("n_tokens").as("n_tokens"),
@@ -452,13 +467,13 @@ object Pipeline {
         expr("bit_xor(chunk_fp)").as("checksum"),
         expr("bool_and(n_tokens = size(ids))").as("payload_ok"))
     val man = manifest
-      .filter(col("lang") === lit(mount) && col("shard") >= lit(resume))
-      .select(col("shard"),
+      .filter(col("lang").isin(langs: _*) && col("shard") >= lit(resume))
+      .select(col("lang"), col("shard"),
         col("n_chunks").as("m_chunks"), col("n_tokens").as("m_tokens"),
         col("min_chunk").as("m_min"), col("max_chunk").as("m_max"),
         col("checksum").as("m_checksum"))
-    rt.join(broadcast(man), Seq("shard"))
-      .select(lit(mount).as("lang"), col("shard"),
+    rt.join(broadcast(man), Seq("lang", "shard"))
+      .select(col("lang"), col("shard"),
         col("n_chunks"), col("n_tokens"),
         col("min_chunk"), col("max_chunk"), col("checksum"),
         (col("checksum") === col("m_checksum")).as("checksum_ok"),
@@ -467,7 +482,24 @@ object Pipeline {
         (col("min_chunk") === col("m_min") &&
           col("max_chunk") === col("m_max")).as("range_ok"),
         col("payload_ok"))
-      .orderBy("shard")
+      .orderBy("lang", "shard")
+  }
+
+  /** e09 — TWO-LANG UNION MOUNT (round-18, VERDICT "next" 5): the
+    * consumer over the two lexicographically-first langs at once,
+    * from shard 0 — the multi-corpus training mount. The union is ONE
+    * scan whose partition filter carries both literals, so the
+    * columnar read still touches exactly the two `lang=` directories
+    * (PlanAuditSpec extends the e07 pin to the two-lang file set);
+    * verification is per (lang, shard) against the manifest exactly
+    * as e07. On a single-lang corpus the mount degrades to one lang —
+    * both engines take LIMIT 2 of the ordered distinct langs.
+    */
+  def consumeShardsMulti(spark: SparkSession, dir: String): DataFrame = {
+    val (shards, manifest) = shardArtifacts(spark, dir)
+    val langs = manifest.select("lang").distinct().orderBy("lang")
+      .limit(2).collect().map(_.getString(0)).toSeq
+    consumeVerify(shards, manifest, langs, 0L)
   }
 
   val consumeShardsSql: String =
@@ -492,6 +524,30 @@ object Pipeline {
        |WHERE s.shard >= res.r
        |GROUP BY s.lang, s.shard
        |ORDER BY shard""".stripMargin
+
+  /** e09's oracle — the same raw-document shard recompute joined to
+    * the TWO lexicographically-first langs, full shard range.
+    */
+  val consumeShardsMultiSql: String =
+    s"""WITH RECURSIVE $shardChunkCtesSql, shardrow AS MATERIALIZED (
+       |  SELECT lang, ${Packing.shardExprOn("chunk_id")} AS shard,
+       |    chunk_id, n_tokens, chunk_fp
+       |  FROM chunk
+       |), mount AS (
+       |  SELECT lang FROM (SELECT DISTINCT lang FROM shardrow)
+       |  ORDER BY lang LIMIT 2
+       |)
+       |SELECT s.lang, s.shard,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(s.n_tokens) AS BIGINT) AS n_tokens,
+       |  MIN(s.chunk_id) AS min_chunk,
+       |  MAX(s.chunk_id) AS max_chunk,
+       |  BIT_XOR(s.chunk_fp) AS checksum,
+       |  TRUE AS checksum_ok, TRUE AS tokens_ok, TRUE AS range_ok,
+       |  TRUE AS payload_ok
+       |FROM shardrow s JOIN mount m ON s.lang = m.lang
+       |GROUP BY s.lang, s.shard
+       |ORDER BY s.lang, s.shard""".stripMargin
 
   // ---------------------------------------------------------------
   /** e06 — STREAMED INGEST, END TO END (round-15 verdict "next" 4):
@@ -1291,7 +1347,8 @@ object Pipeline {
     "e05_publish_shards" -> publishShards _,
     "e06_stream_ingest" -> streamIngest _,
     "e07_consume_shards" -> consumeShards _,
-    "e08_increment_chain" -> incrementAppendChain _
+    "e08_increment_chain" -> incrementAppendChain _,
+    "e09_consume_multilang" -> consumeShardsMulti _
   )
 
   def oracles: Map[String, String] = Map(
@@ -1304,6 +1361,7 @@ object Pipeline {
     // streamed chain must reproduce the batch append exactly
     "e06_stream_ingest" -> incrementAppendSql,
     "e07_consume_shards" -> consumeShardsSql,
-    "e08_increment_chain" -> incrementAppendChainSql
+    "e08_increment_chain" -> incrementAppendChainSql,
+    "e09_consume_multilang" -> consumeShardsMultiSql
   )
 }

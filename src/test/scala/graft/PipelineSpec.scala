@@ -199,6 +199,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(root.contains("/lang="), s"not partitioned: $root")
   }
 
+  // ----- round-18: e07/e09 corrupted-shard negative path -----
+
+  test("consumer detects a tampered shard: flipped id, dropped id, clean control") {
+    import org.apache.spark.sql.functions.{col, expr, min, when}
+    val (shards, manifest) = Pipeline.shardArtifacts(spark, sfDir)
+    val mount = manifest.agg(min("lang")).first().getString(0)
+    val target = shards.filter(col("lang") === mount)
+      .selectExpr("chunk_id", s"${Packing.shardExprOn("chunk_id")} AS shard")
+      .orderBy("chunk_id").first()
+    val (targetChunk, targetShard) = (target.getLong(0), target.getLong(1))
+    def verdicts(s: org.apache.spark.sql.DataFrame) =
+      Pipeline.consumeVerify(s, manifest, Seq(mount), 0L)
+        .collect().map(r => (r.getLong(1),
+          r.getBoolean(7), r.getBoolean(8), r.getBoolean(9), r.getBoolean(10)))
+    // clean control: every verdict column TRUE — the booleans are
+    // earned comparisons, so the negative assertions below are
+    // meaningful
+    val clean = verdicts(shards)
+    assert(clean.nonEmpty)
+    assert(clean.forall { case (_, c, t, g, p) => c && t && g && p })
+    // tamper 1: flip ONE id in ONE chunk (+1) — same length, same
+    // declared n_tokens, so ONLY that shard's checksum flips
+    val flipped = shards.withColumn("ids",
+      when(col("lang") === mount && col("chunk_id") === targetChunk,
+        expr("concat(array(ids[0] + 1), slice(ids, 2, size(ids) - 1))"))
+        .otherwise(col("ids")))
+    val v1 = verdicts(flipped)
+    assert(v1.filter(!_._2).map(_._1).toSeq === Seq(targetShard),
+      s"flipped id must flip exactly shard $targetShard's checksum")
+    assert(v1.forall { case (_, _, t, g, p) => t && g && p },
+      "a value flip must not disturb count/range/payload accounting")
+    // tamper 2: DROP one id — the chunk's declared n_tokens no longer
+    // matches its payload (payload_ok false) and the checksum flips
+    val dropped = shards.withColumn("ids",
+      when(col("lang") === mount && col("chunk_id") === targetChunk,
+        expr("slice(ids, 2, size(ids) - 1)"))
+        .otherwise(col("ids")))
+    val v2 = verdicts(dropped)
+    val bad = v2.filter(r => !r._2 || !r._5).map(_._1).toSeq
+    assert(bad === Seq(targetShard),
+      s"dropped id must surface on exactly shard $targetShard")
+    val row = v2.find(_._1 == targetShard).get
+    assert(!row._2 && !row._5,
+      "dropped id must flip BOTH checksum_ok and payload_ok")
+  }
+
   // ----- round-18: multi-increment append chain (e08) -----
 
   test("e08 chain: one continuous per-lang token stream across both appends") {

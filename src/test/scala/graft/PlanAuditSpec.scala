@@ -480,4 +480,53 @@ class PlanAuditSpec extends AnyFunSuite {
           s"(${langs.mkString(", ")}) — partition pruning broke")
     }
   }
+
+  test("e09 consumer: the two-lang union mount still prunes at the scan") {
+    // round-18 extension of the e07 pin: a union mount must be ONE
+    // scan whose partition filter carries BOTH lang literals — the
+    // selected file set is exactly the two mounted lang= directories,
+    // never the corpus, and never a per-lang scan pair unioned above
+    // the exchange
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val df = Pipeline.consumeShardsMulti(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val mounted = Pipeline.consumeShardsMulti(spark, sfDir)
+      .agg(countDistinct(col("lang"))).head().getLong(0)
+    val plan = Pipeline.consumeShardsMulti(spark, sfDir)
+      .queryExecution.executedPlan
+    val scans = scala.collection.mutable.Buffer
+      .empty[org.apache.spark.sql.execution.FileSourceScanExec]
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.exists(rp =>
+              rp.toString.contains("training_shards") &&
+                !rp.toString.contains("manifest")) =>
+          scans += s
+        case _ =>
+      }
+      p.children.foreach(walk)
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(s.plan)
+        case _ =>
+      }
+    }
+    walk(plan)
+    assert(scans.nonEmpty, "no training_shards chunk scan found")
+    scans.foreach { s =>
+      assert(s.partitionFilters.exists(_.references.exists(
+        _.name == "lang")),
+        s"chunk scan carries no lang partition filter: ${s.simpleString(5)}")
+      val langs = s.selectedPartitions.toPartitionArray
+        .map(_.urlEncodedPath)
+        .flatMap("lang=([^/]+)".r.findFirstMatchIn(_))
+        .map(_.group(1)).distinct
+      assert(langs.length.toLong === mounted,
+        s"union-mount scan selected ${langs.length} langs " +
+          s"(${langs.mkString(", ")}) but the mount is $mounted")
+    }
+  }
 }
