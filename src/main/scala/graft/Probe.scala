@@ -369,6 +369,46 @@ object Probe {
         val n = Tables.documents(spark, dir).count()
         val c = Dedup.lshCandidates(spark, dir).count()
         println(s"PROBE docs $n cands $c per_doc ${c.toDouble / n}")
+      case "bpedist" =>
+        // bank the executor-side trainer at vocabulary stress
+        // (round-18 "next" 1): full 32k train through BOTH paths on
+        // the same pruned dictionary, bit-identity asserted on the
+        // whole result, wall + driver-retained state printed for
+        // SCALE.md. SPARK_GRAFT_PROBE_MF picks the pruning regime
+        // (default 1 = exact); SPARK_GRAFT_PROBE_SKIP_DRIVER=1 skips
+        // the in-memory leg (for corpora where the driver number is
+        // already banked and only the distributed wall is wanted).
+        import org.apache.spark.sql.functions.col
+        val vocab = Text.bpeVocab(spark, dir)
+        vocab.write.format("noop").mode("overwrite").save()
+        val mf = sys.env.getOrElse("SPARK_GRAFT_PROBE_MF", "1").toLong
+        val pruned = vocab.filter(col("freq") >= mf).select("freq", "sym")
+        val nDict = pruned.count()
+        println(s"PROBE bpedist dict_rows $nDict minFreq $mf")
+        val rounds = Text.bpeProdVocabTarget - 256
+        val ck = Text.bpeLargeVocabTarget - 256
+        var t0 = System.nanoTime()
+        val dist = BpeDist.train(spark, pruned, rounds, checkpointRound = ck)
+        val distSec = (System.nanoTime() - t0) / 1e9
+        println(f"PROBE bpedist dist_train $distSec%.1f s " +
+          s"merges ${dist.merges.length} steps ${BpeDist.lastSteps} " +
+          s"exhausted ${dist.exhausted} " +
+          s"tokens_final ${dist.tokensFinal}")
+        if (!sys.env.get("SPARK_GRAFT_PROBE_SKIP_DRIVER").contains("1")) {
+          t0 = System.nanoTime()
+          val dict = pruned.collect()
+            .map(r => (r.getLong(0), r.getString(1))).toSeq
+          val collectSec = (System.nanoTime() - t0) / 1e9
+          t0 = System.nanoTime()
+          val drv = Text.bpeTrainDriver(dict, rounds, checkpointRound = ck)
+          val drvSec = (System.nanoTime() - t0) / 1e9
+          println(f"PROBE bpedist driver_collect $collectSec%.1f s " +
+            f"driver_train $drvSec%.1f s merges ${drv.merges.length}")
+          val same = dist == drv
+          println(s"PROBE bpedist bit_identical $same")
+          require(same, "distributed train diverged from the driver trainer")
+        }
+
       case "retrcurve" =>
         // recall-vs-candidate-volume curve for the IVF retrieval
         // (round-18 "next" 3): sweep nprobe at the default shortlist,

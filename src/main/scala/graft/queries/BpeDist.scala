@@ -259,13 +259,34 @@ object BpeDist {
     * and the token totals initially / after `checkpointRound` merges
     * / at the end.
     */
+  /** Dictionary rows per shard partition — sizes the per-step task
+    * count to the dictionary (floor 1, cap defaultParallelism): a
+    * 32k-round train runs 32k+ jobs, so a 100k-word dictionary on 32
+    * near-empty partitions pays 32× the task overhead per step for no
+    * parallelism it can use, while a 1e8-row dictionary keeps the
+    * full width.
+    */
+  private val rowsPerShard = 100000L
+
+  /** Step (job) count of the most recent [[train]] on this driver —
+    * diagnostics for Probe's `bpedist` bank (steps ≈ merges ÷ mean
+    * batch size; the step count, not the merge count, is what the
+    * per-job overhead multiplies).
+    */
+  @volatile private[graft] var lastSteps: Int = 0
+
   private[graft] def train(
       spark: SparkSession, dict: DataFrame,
       rounds: Int, checkpointRound: Int = 0): Text.BpeDriverTrain = {
     val sc = spark.sparkContext
-    val base: RDD[(Long, String)] = dict
+    val raw: RDD[(Long, String)] = dict
       .select(col("freq").cast("long"), col("sym"))
       .rdd.map(r => (r.getLong(0), r.getString(1)))
+    val nRows = dict.count()
+    val nParts = math.max(1L, math.min(
+      sc.defaultParallelism.toLong, nRows / rowsPerShard + 1)).toInt
+    val base = (if (raw.getNumPartitions > nParts) raw.coalesce(nParts)
+                else raw)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val trainId = java.util.UUID.randomUUID().toString
 
@@ -341,6 +362,7 @@ object BpeDist {
     }
 
     // init: build shards, pull the full initial counts + token total
+    var steps = 1
     val tokensInitial = step(Array.empty, emitInitial = true)
     var tokensLast = tokensInitial
     var tokensCk = if (checkpointRound == 0) tokensInitial else -1L
@@ -406,6 +428,7 @@ object BpeDist {
         }
         tokensLast = step(batch.map(b => (b._1, b._2)).toArray,
           emitInitial = false)
+        steps += 1
         mergesDone += batch.length
         if (mergesDone == checkpointRound) tokensCk = tokensLast
       }
@@ -418,6 +441,7 @@ object BpeDist {
     }, preservesPartitioning = true).count()
     base.unpersist(blocking = false)
     rulesBc.destroy()
+    lastSteps = steps
 
     Text.BpeDriverTrain(out.toList, exhausted, tokensInitial, tokensCk,
       tokensLast)
