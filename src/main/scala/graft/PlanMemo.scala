@@ -131,6 +131,13 @@ object PlanMemo {
       if (df != null) df.unpersist(blocking = true)
     }
 
+  // NOT tmpfs: a round-18 attempt to move this root to /dev/shm (the
+  // streaming-scratch rationale) measured a 2× WARM-READ regression on
+  // every artifact consumer (same-session solo A/B at sf0.1: e03
+  // 3.75→7.86 s, e04 2.35→4.90 s, all reps) — the artifact parquet
+  // re-reads are slower from tmpfs than from the page cache over
+  // java.io.tmpdir here. Measured twice, reverted (guide §1.1: the
+  // empirical loop beats the "ideal" reasoning).
   private lazy val publishRoot: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft_published")
     graft.TempArtifacts.register(p)

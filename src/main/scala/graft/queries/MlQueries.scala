@@ -112,7 +112,9 @@ object MlQueries {
     */
   private def persist(name: String, model: PipelineModel,
                       metrics: Seq[(String, Double)]): String = {
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_models/$name"
+    // tmpfs-backed scratch — see Reports.csvRoundTrip
+    val dir = TempArtifacts.stableScratchDir("graft_models")
+      .resolve(name).toString
     model.write.overwrite().save(s"$dir/model")
     val json = metrics
       .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")

@@ -1034,12 +1034,16 @@ object Pipeline {
       baseFpsArtifact(spark, dir), baseTotalsArtifact(spark, dir), inc1Q)
       .localCheckpoint()
     val kept1 = baseKept.select("doc_id").union(p1.select("doc_id"))
+    // no .distinct() on the rolled-forward fingerprint set: its only
+    // consumer is the RIGHT side of appendAgainst's left_anti join,
+    // where duplicates are semantics-free — the dedup was a full
+    // shuffle of the base∪inc1 fingerprint set (a corpus-sized
+    // exchange at production scale) bought for nothing (guide §2.4)
     val fps1 = baseFpsArtifact(spark, dir)
       .union(docs
         .join(p1.select("doc_id").hint("shuffle_hash"),
           Seq("doc_id"), "left_semi")
         .select(expr("optimizer_barrier(md5(text))").as("fp")))
-      .distinct()
     val totals1 = baseTotalsArtifact(spark, dir).as("b")
       .join(p1.groupBy("lang")
         .agg(sum("n_tok").cast("long").as("inc_tok")).as("i"),

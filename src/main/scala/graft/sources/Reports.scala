@@ -179,8 +179,12 @@ object IoQueries {
     * must be lossless (types, timestamps, quoted JSON strings).
     */
   def csvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = TempArtifacts.register(java.nio.file.Paths.get(
-      s"${sys.props("java.io.tmpdir")}/graft_csv/events_sample")).toString
+    // tmpfs-backed scratch (guide §6): the round-trip CONTRACT is the
+    // sink format + losslessness, not the medium — same rationale as
+    // the round-11 streaming scratch move; production writes point at
+    // durable storage exactly as before
+    val out = TempArtifacts.stableScratchDir("graft_csv")
+      .resolve("events_sample").toString
     val sample = Tables.events(spark, dir).filter(col("user_id") < 50)
     Reports.writeCsvSample(sample, out, limit = 1000000)
     Sources.readCsv(spark, out, "yyyy-MM-dd HH:mm:ss.SSSSSS")
@@ -269,8 +273,9 @@ object IoQueries {
     * or source infidelity breaks the hash.
     */
   def jsonlRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = TempArtifacts.register(java.nio.file.Paths.get(
-      s"${sys.props("java.io.tmpdir")}/graft_jsonl/documents")).toString
+    // tmpfs-backed scratch — see csvRoundTrip
+    val out = TempArtifacts.stableScratchDir("graft_jsonl")
+      .resolve("documents").toString
     val docs = Tables.documents(spark, dir)
       .select("doc_id", "lang", "source", "n_chars", "text")
     docs.coalesce(1).write.mode("overwrite").json(out)
@@ -344,8 +349,9 @@ object IoQueries {
     * group-by (one row per event type).
     */
   def orcRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = TempArtifacts.register(java.nio.file.Paths.get(
-      s"${sys.props("java.io.tmpdir")}/graft_orc/events")).toString
+    // tmpfs-backed scratch — see csvRoundTrip
+    val out = TempArtifacts.stableScratchDir("graft_orc")
+      .resolve("events").toString
     Tables.events(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value")
       .write.mode("overwrite").partitionBy("event_type").orc(out)

@@ -209,8 +209,8 @@ class IoSpec extends AnyFunSuite {
 
   test("c08 ORC round-trip: hive-partitioned layout, lossless content") {
     IoQueries.orcRoundTrip(spark, sfDir).collect() // runs the write
-    val out = new java.io.File(
-      s"${sys.props("java.io.tmpdir")}/graft_orc/events")
+    val out = TempArtifacts.stableScratchDir("graft_orc")
+      .resolve("events").toFile
     val partDirs = out.listFiles().filter(_.isDirectory)
       .filter(_.getName.startsWith("event_type="))
     assert(partDirs.nonEmpty, "expected hive event_type= partition dirs")
