@@ -255,6 +255,75 @@ object Probe {
         time("d19_verify") { run(Dedup.prefixJaccard(spark, dir)) }
         spark.catalog.clearCache()
         time("d19_full_cold") { run(Dedup.prefixJaccard(spark, dir)) }
+      case "e03parts" =>
+        import org.apache.spark.sql.functions._
+        // time appendAgainst's INTERNAL frames exactly as the query
+        // spells them (published pairs artifact, increment screens,
+        // checkpoint, CC, accounting, placement) under the bench's
+        // per-rep clearCache contract — e03cold's ladder used the
+        // REBUILD pairs path, which the query does not pay.
+        run(Pipeline.incrementAppend(spark, dir)) // warm artifacts
+        spark.catalog.clearCache()
+        val sid = Dedup.incrementalSplitId(spark, dir)
+        val docs = Tables.documents(spark, dir)
+        val baseKept = Pipeline.baseKeptDocs(spark, dir)
+        val incQ = PlanMemo.publishedParquet(spark, dir,
+            "t23_quality_classifier")(Text.qualityClassifier(spark, dir))
+          .filter(col("pred") === 1 && col("doc_id") >= sid).select("doc_id")
+        val fpx = expr("optimizer_barrier(md5(text))")
+        val incNoExact = docs
+          .join(incQ.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), fpx.as("fp"))
+          .join(Pipeline.baseFpsArtifact(spark, dir).hint("shuffle_hash"),
+            Seq("fp"), "left_anti")
+          .select("doc_id")
+        time("incNoExact") { run(incNoExact) }
+        val pairsP = PlanMemo.cached(spark, s"pipeline.pairsArtifact:$dir")(
+          PlanMemo.publishedParquet(spark, dir, "d03_ngram_jaccard")(
+            Dedup.ngramJaccard(spark, dir))).select("d1", "d2")
+        time("pairs_published_read") { run(pairsP) }
+        val crossLosers = pairsP
+          .join(baseKept.select(col("doc_id").as("d1")).hint("shuffle_hash"),
+            Seq("d1"), "left_semi")
+          .select(col("d2").as("doc_id"))
+          .union(pairsP
+            .join(baseKept.select(col("doc_id").as("d2")).hint("shuffle_hash"),
+              Seq("d2"), "left_semi")
+            .select(col("d1").as("doc_id")))
+          .distinct()
+        time("crossLosers") { run(crossLosers) }
+        var incScreened: DataFrame = null
+        time("incScreened_checkpoint") {
+          incScreened = incNoExact
+            .join(crossLosers.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+            .localCheckpoint()
+        }
+        val incPairs = pairsP
+          .join(incScreened.select(col("doc_id").as("d1"))
+            .hint("shuffle_hash"), Seq("d1"), "left_semi")
+          .join(incScreened.select(col("doc_id").as("d2"))
+            .hint("shuffle_hash"), Seq("d2"), "left_semi")
+        time("ccIncrement") { run(Dedup.connectedComponents(incPairs)) }
+        val dict = Text.bpeEncodeDict(
+          Text.bpeMerges(spark, dir), Text.bpeVocab(spark, dir))
+        val incDocs = docs.join(incScreened.hint("shuffle_hash"),
+          Seq("doc_id"), "left_semi")
+        val incCounts = incDocs
+          .select(col("doc_id"), explode_outer(Text.bpeWords(col("text")))
+            .as("word"))
+          .filter(col("word").isNotNull)
+          .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+          .join(dict.hint("shuffle_hash"), "word")
+          .groupBy("doc_id")
+          .agg(sum(col("cnt") * col("ntok")).cast("long").as("nt"))
+        time("incCounts") { run(incCounts) }
+        val incBase = incDocs.select(col("lang"), col("doc_id"))
+          .join(incCounts.hint("shuffle_hash"), Seq("doc_id"), "left")
+          .select(col("lang"), col("doc_id"),
+            coalesce(col("nt"), lit(0L)).as("n_tok"))
+        time("placement") { run(Packing.placed(incBase)) }
+        spark.catalog.clearCache()
+        time("e03_full_cleared") { run(Pipeline.incrementAppend(spark, dir)) }
       case "e03stages" =>
         import org.apache.spark.sql.functions._
         // stage ladder for the incremental append: localize warm cost

@@ -680,7 +680,38 @@ object Pipeline {
   private[graft] def incrementAppendFrom(
       spark: SparkSession, dir: String, incQ: DataFrame): DataFrame =
     appendAgainst(spark, dir, baseKeptDocs(spark, dir),
-      baseFpsArtifact(spark, dir), baseTotalsArtifact(spark, dir), incQ)
+      baseFpsArtifact(spark, dir), baseTotalsArtifact(spark, dir), incQ,
+      crossLosersPre = Some(baseCrossLosersArtifact(spark, dir)))
+
+  /** Published artifact (round-18 optimization): the docs that
+    * near-dup-pair with a FROZEN-BASE-kept doc — the near screen's
+    * right side. Pure shipped state (verified-pair artifact × kept-set
+    * artifact, nothing increment-dependent), so a weekly pipeline
+    * computes it ONCE when the base freezes instead of re-deriving the
+    * two pair semi-joins + dedup on every append (guide §1.2: don't
+    * recompute what a consumer only reads; the bench's per-rep
+    * clearCache re-paid it 3× per e03/e06/e08 entry). The artifact is
+    * distinct-ed once at write; consumers anti-join it, where
+    * duplicates would be semantics-free anyway.
+    */
+  private[graft] def baseCrossLosersArtifact(
+      spark: SparkSession, dir: String): DataFrame =
+    PlanMemo.cached(spark, s"pipeline.baseCrossLosers:$dir")(
+      PlanMemo.publishedParquet(spark, dir, "pipeline_base_crosslosers") {
+        val pairs = PlanMemo.publishedParquet(spark, dir,
+          "d03_ngram_jaccard")(Dedup.ngramJaccard(spark, dir))
+          .select("d1", "d2")
+        val baseKept = baseKeptDocs(spark, dir)
+        pairs
+          .join(baseKept.select(col("doc_id").as("d1"))
+            .hint("shuffle_hash"), Seq("d1"), "left_semi")
+          .select(col("d2").as("doc_id"))
+          .union(pairs
+            .join(baseKept.select(col("doc_id").as("d2"))
+              .hint("shuffle_hash"), Seq("d2"), "left_semi")
+            .select(col("d1").as("doc_id")))
+          .distinct()
+      })
 
   /** Published artifact: the base-kept fingerprint set is one of the
     * compact artifacts a pipeline KEEPS between increments (d13's
@@ -733,7 +764,8 @@ object Pipeline {
     */
   private[graft] def appendAgainst(
       spark: SparkSession, dir: String, kept: DataFrame, fps: DataFrame,
-      totals: DataFrame, incQ: DataFrame): DataFrame = {
+      totals: DataFrame, incQ: DataFrame,
+      crossLosersPre: Option[DataFrame] = None): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val baseKept = kept
     val baseFps = fps
@@ -761,15 +793,20 @@ object Pipeline {
     val pairs = PlanMemo.cached(spark, s"pipeline.pairsArtifact:$dir")(
       PlanMemo.publishedParquet(spark, dir, "d03_ngram_jaccard")(
         Dedup.ngramJaccard(spark, dir))).select("d1", "d2")
-    val crossLosers = pairs
+    // frozen-base callers pass the PUBLISHED cross-losers screen
+    // ([[baseCrossLosersArtifact]]); the live spelling (rolled-forward
+    // kept sets, e08's second append) skips the .distinct() the
+    // artifact build pays — this set's only consumer is the anti
+    // join's right side, where duplicates are semantics-free
+    // (guide §2.4, the same argument as e08's fps₁)
+    val crossLosers = crossLosersPre.getOrElse(pairs
       .join(baseKept.select(col("doc_id").as("d1")).hint("shuffle_hash"),
         Seq("d1"), "left_semi")
       .select(col("d2").as("doc_id"))
       .union(pairs
         .join(baseKept.select(col("doc_id").as("d2")).hint("shuffle_hash"),
           Seq("d2"), "left_semi")
-        .select(col("d1").as("doc_id")))
-      .distinct()
+        .select(col("d1").as("doc_id"))))
     // localCheckpoint (eager, lineage-truncating): incScreened is
     // consumed THREE times (both incPairs orientations + admitted),
     // and its build chain (increment md5 + exact/near screens) would
@@ -799,6 +836,14 @@ object Pipeline {
     // increment counts: the same accounting shape per doc (the
     // increment ships ids via e02's machinery when the shards are
     // cut; the APPEND manifest needs counts only)
+    // NOTE (round-18 measurement): a single-word-exchange respelling
+    // (repartition(word) feeding both the rollup and the dict join —
+    // 3 exchanges → 2) measured NEUTRAL at sf0.1 (e03 3.44 vs 3.64,
+    // e06 3.64 vs 3.48 — rep noise) and is the WORSE scale shape: it
+    // drops the (doc_id, word) partial map-side aggregation and lands
+    // raw occurrences on a word-keyed exchange, zipf-skew-exposed.
+    // The 3-exchange spelling with partial agg stands (guide §2.3
+    // "aggregate before you shuffle" outranks one fewer exchange).
     val incCounts = incDocs
       .select(col("doc_id"), explode_outer(Text.bpeWords(col("text")))
         .as("word"))
@@ -1031,7 +1076,8 @@ object Pipeline {
     // (kept₁, fps₁, totals₁, the output union) — without it the whole
     // first append would re-execute per consumer. Increment-sized.
     val p1 = appendAgainst(spark, dir, baseKept,
-      baseFpsArtifact(spark, dir), baseTotalsArtifact(spark, dir), inc1Q)
+      baseFpsArtifact(spark, dir), baseTotalsArtifact(spark, dir), inc1Q,
+      crossLosersPre = Some(baseCrossLosersArtifact(spark, dir)))
       .localCheckpoint()
     val kept1 = baseKept.select("doc_id").union(p1.select("doc_id"))
     // no .distinct() on the rolled-forward fingerprint set: its only
