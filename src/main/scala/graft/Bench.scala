@@ -86,8 +86,14 @@ object Bench {
     // memoized index this query pays for and later queries reuse) —
     // their rep-1 time includes the build, so min-of-n usually hides
     // it, but a standalone SPARK_GRAFT_ONLY run of such a query reads
-    // slower than its slot in a full run. Recorded as "memo_cold".
+    // slower than its slot in a full run. Recorded as "memo_cold",
+    // and (round-18 verdict "next" 3) their rep-1 seconds — the cost
+    // INCLUDING the artifact/memo build min-of-n would otherwise hide
+    // — are recorded as "cold_sec" so artifact-driven warm-read wins
+    // are never invisible precomputation. Additive field: the driver's
+    // total/queries contract is untouched.
     var memoCold = List.empty[String]
+    var coldSec = Map.empty[String, Double]
     val results = headline.map { case (name, fn) =>
       val builds0 = PlanMemo.builds
       val times = (1 to reps).map { _ =>
@@ -105,7 +111,10 @@ object Bench {
         spark.catalog.clearCache()
         (System.nanoTime() - t0) / 1e9
       }
-      if (PlanMemo.builds > builds0) memoCold ::= name
+      if (PlanMemo.builds > builds0) {
+        memoCold ::= name
+        coldSec += name -> times.head
+      }
       val sec = times.min
       System.err.println(
         f"[bench] $name%-28s $sec%8.2f s" +
@@ -125,8 +134,13 @@ object Bench {
       val fs = failed.reverse
       val fails = fs.take(maxFails).map("\"" + _ + "\"").mkString("[", ",", "]")
       val cold = memoCold.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+      // rep-1 seconds for the entries SHOWN that paid a memo/artifact
+      // build — the printed map shrinks with the shown set so the tail
+      // budget holds; bench_local.json always carries the full map
+      val cs = entries.collect { case (k, _) if coldSec.contains(k) =>
+        "\"" + k + "\":" + f"${coldSec(k)}%.3f" }.mkString("{", ",", "}")
       val total = results.map(_._2).sum
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"load_avg":[$loadStart%.2f,$loadEnd%.2f],"memo_cold":$cold,"queries":$qs,$extra"failed":$fails,"failed_count":${fs.length},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"load_avg":[$loadStart%.2f,$loadEnd%.2f],"memo_cold":$cold,"cold_sec":$cs,"queries":$qs,$extra"failed":$fails,"failed_count":${fs.length},"sf":"$sfDir"}"""
     }
     // Full per-query map → bench_local.json (committed; the per-round
     // audit trail). The PRINTED line must stay short: the driver

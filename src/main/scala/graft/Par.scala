@@ -13,19 +13,43 @@ package graft
   */
 object Par {
 
-  /** Run the thunks as concurrent jobs; returns results in order.
-    * The first failure propagates (same contract as running them
-    * sequentially — Bench charges the elapsed time either way).
+  /** At most this many jobs in flight (round-18 verdict "next" 2):
+    * guide §2.6's own caveat — "2-3 jobs in flight is plenty: enough
+    * to fill the tail, not so many that they fight for executors".
+    * An UNBOUNDED pool (one thread per thunk) measured anti-scaling
+    * at full width on local[32] (driver PERF r18: t29 3.05 s @32 vs
+    * 1.06 s @8 — N concurrent jobs × cpus-sized stages oversubscribe
+    * the scheduler exactly when every core is already busy).
+    */
+  private val maxInFlight = 2
+
+  /** Run the thunks as concurrent jobs ([[maxInFlight]] at a time,
+    * FIFO — later thunks back-fill the tail of earlier ones); returns
+    * results in order. The first failure propagates (same contract as
+    * running them sequentially — Bench charges the elapsed time
+    * either way); on failure the pool is shut down immediately so
+    * queued thunks never submit their jobs (in-flight Spark jobs
+    * still drain — callers own job-group cancellation if they need
+    * hard interruption).
+    *
+    * Callers MUST materialize any SHARED persisted frame before
+    * fanning out (one count() — see PlanMemo.cachedEager's doc):
+    * concurrent jobs racing on a persisted-but-unmaterialized
+    * relation each recompute the whole build pipeline (cache blocks
+    * dedupe only after the fact; d19 measured 164 s racing vs 22 s
+    * materialized at GenData sf10).
     */
   def jobs[T](thunks: (() => T)*): Seq[T] = {
     if (thunks.lengthCompare(2) < 0) return thunks.map(_()).toSeq
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.length)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(thunks.length, maxInFlight))
     try {
       import scala.concurrent.duration.Duration
       import scala.concurrent.{Await, ExecutionContext, Future}
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       val fs = thunks.map(t => Future(t())).toSeq
-      fs.map(Await.result(_, Duration.Inf))
+      try fs.map(Await.result(_, Duration.Inf))
+      catch { case e: Throwable => pool.shutdownNow(); throw e }
     } finally pool.shutdown()
   }
 }

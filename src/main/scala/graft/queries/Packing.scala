@@ -41,11 +41,20 @@ object Packing {
   /** The ONE spelling of concat-and-chunk placement over a
     * (lang, doc_id, n_tok) frame — shared by p01 (whitespace tokens)
     * and p07 (real BPE token ids) so the two packings cannot drift.
+    *
+    * `sorted = false` (round 19, guide §2.4 "an orderBy used only to
+    * make output deterministic"): callers that AGGREGATE the
+    * placement order-insensitively (e02's chunk assembly collects
+    * into an array_sort) or re-establish the total order themselves
+    * after further joins (appendAgainst's shifted-offset output)
+    * skip the trailing global sort — one range Exchange + Sort of
+    * the full placement table removed per call, with the VALUES
+    * untouched (tok_offset comes from the window, not the orderBy).
     */
-  private[graft] def placed(base: DataFrame): DataFrame = {
+  private[graft] def placed(base: DataFrame, sorted: Boolean = true): DataFrame = {
     val w = Window.partitionBy("lang").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-    base
+    val out = base
       .withColumn("tok_offset", coalesce(sum("n_tok").over(w), lit(0L)))
       .withColumn("first_chunk", floor(col("tok_offset") / chunkTokens))
       .withColumn("last_chunk",
@@ -54,7 +63,7 @@ object Packing {
       .withColumn("spans", (col("last_chunk") - col("first_chunk") + 1))
       .select("lang", "doc_id", "n_tok", "tok_offset",
         "first_chunk", "last_chunk", "spans")
-      .orderBy("lang", "doc_id")
+    if (sorted) out.orderBy("lang", "doc_id") else out
   }
 
   def packChunks(spark: SparkSession, dir: String): DataFrame =

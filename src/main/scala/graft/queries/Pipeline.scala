@@ -184,11 +184,15 @@ object Pipeline {
     // found in the DuckDB oracles
     val seqs = PlanMemo.cached(spark, s"pipeline.keptSeqs:$dir")(
       Text.bpeTokenIdSeqsOn(spark, dir, docs))
+    // sorted = false: the only consumer is the boundary-slice explode
+    // + (lang, chunk_id) groupBy below, which collects segments into
+    // an array_sort — order-insensitive by construction (guide §2.4)
     val placedDf = Packing.placed(docs.select(col("lang"), col("doc_id"))
       .join(seqs.select(col("doc_id"), size(col("ids")).as("nt"))
         .hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("lang"), col("doc_id"),
-        coalesce(col("nt"), lit(0)).cast("long").as("n_tok")))
+        coalesce(col("nt"), lit(0)).cast("long").as("n_tok")),
+      sorted = false)
     // No size(ids) > 0 filter here: the INNER join already excludes
     // id-less documents (a doc gets a seqs row only with ≥1 word,
     // hence ≥1 id — PipelineSpec's conservation pin would catch a
@@ -861,8 +865,10 @@ object Pipeline {
     // prefix sum; the base totals (a LANG-sized frame — genuinely
     // bounded, the one broadcast here) shift it, and the chunk
     // columns re-derive from the shifted offset with placed()'s
-    // exact formulas
-    Packing.placed(incBase)
+    // exact formulas. sorted = false: this path re-orders itself
+    // after the totals join (guide §2.4 — the intermediate sort was
+    // pure overhead, one range Exchange + Sort per append removed)
+    Packing.placed(incBase, sorted = false)
       .select("lang", "doc_id", "n_tok", "tok_offset")
       .join(broadcast(baseTotals), Seq("lang"), "left")
       .withColumn("tok_offset",
@@ -1097,7 +1103,30 @@ object Pipeline {
       .select(col("lang"),
         (coalesce(col("base_tok"), lit(0L)) +
           coalesce(col("inc_tok"), lit(0L))).as("base_tok"))
-    val p2 = appendAgainst(spark, dir, kept1, fps1, totals1, inc2Q)
+    // cross-losers screen for the SECOND append (round 19, guide
+    // §1.2/§2.4): kept₁ = baseKept ∪ admitted₁ and the semi join
+    // distributes over the union, so the screen decomposes into the
+    // PUBLISHED frozen-base cross-losers artifact (computed once per
+    // corpus) plus the two pair semi-joins against the
+    // increment-sized admitted₁ set — instead of re-scanning the pair
+    // artifact against the full base∪inc1 kept set twice per run.
+    // Duplicates across the three legs are semantics-free (the only
+    // consumer is the anti join's right side), and baseKept/admitted₁
+    // are disjoint id ranges anyway.
+    val pairsArt = PlanMemo.cached(spark, s"pipeline.pairsArtifact:$dir")(
+      PlanMemo.publishedParquet(spark, dir, "d03_ngram_jaccard")(
+        Dedup.ngramJaccard(spark, dir))).select("d1", "d2")
+    val crossLosers2 = baseCrossLosersArtifact(spark, dir)
+      .union(pairsArt
+        .join(p1.select(col("doc_id").as("d1")).hint("shuffle_hash"),
+          Seq("d1"), "left_semi")
+        .select(col("d2").as("doc_id")))
+      .union(pairsArt
+        .join(p1.select(col("doc_id").as("d2")).hint("shuffle_hash"),
+          Seq("d2"), "left_semi")
+        .select(col("d1").as("doc_id")))
+    val p2 = appendAgainst(spark, dir, kept1, fps1, totals1, inc2Q,
+      crossLosersPre = Some(crossLosers2))
     p1.withColumn("inc", lit(1))
       .unionByName(p2.withColumn("inc", lit(2)))
       .orderBy("lang", "doc_id")

@@ -154,8 +154,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // round-13: t22's encode — both the dictionary join and the
     // doc-coverage left join must stay shuffle_hash (dict and perDoc
     // are corpus-vocabulary / docs-sized; broadcast appearing here
-    // means an unbounded side got a driver hash relation)
-    "t22_bpe_encode" -> ((6, 4, 1, 0)),
+    // means an unbounded side got a driver hash relation).
+    // round-19 re-pin (t22/t24/t28): the published bpe_vocab artifact
+    // replaced the in-plan vocab tokenize+groupBy — one hash exchange
+    // (the word groupBy) and two roundrobin (the balanced() rebalance
+    // of the corpus scan feeding it) left each printed plan
+    "t22_bpe_encode" -> ((5, 2, 1, 0)),
     // round-14 (round-13 verdict "next" 4): the remaining bench
     // movers and the new entries. t21's warm plan is the published
     // merge ARTIFACT rendered driver-side + the presentation sort —
@@ -174,7 +178,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // are broadcast-free by contract (dictionary and doc sides are
     // both unbounded).
     "d20_substring_removal" -> ((23, 22, 1, 0)),
-    "t28_bpe_decode" -> ((5, 4, 1, 0)),
+    "t28_bpe_decode" -> ((4, 2, 1, 0)),
     // t23: the counts include every printed copy of the cached
     // labels/features build plans (the p06 overstatement note above);
     // the 11 broadcasts are all BOUNDED sides — 1-row med/totals
@@ -184,7 +188,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // t24: dictionary join (shuffle_hash) + per-doc order reassembly
     // + coverage left join; 0 broadcasts — the vocabulary-sized id
     // dictionary must never become a driver hash relation
-    "t24_bpe_token_ids" -> ((5, 4, 1, 0)),
+    "t24_bpe_token_ids" -> ((4, 2, 1, 0)),
     // round-15: the composed pipeline entries. Their printed plans
     // embed the cached keptDocs/t23/pair relations' build plans (the
     // p06 overstatement note), so the counts fingerprint the whole
