@@ -278,9 +278,7 @@ object Probe {
             Seq("fp"), "left_anti")
           .select("doc_id")
         time("incNoExact") { run(incNoExact) }
-        val pairsP = PlanMemo.cached(spark, s"pipeline.pairsArtifact:$dir")(
-          PlanMemo.publishedParquet(spark, dir, "d03_ngram_jaccard")(
-            Dedup.ngramJaccard(spark, dir))).select("d1", "d2")
+        val pairsP = Pipeline.pairsArtifact(spark, dir)
         time("pairs_published_read") { run(pairsP) }
         val crossLosers = pairsP
           .join(baseKept.select(col("doc_id").as("d1")).hint("shuffle_hash"),
@@ -324,6 +322,87 @@ object Probe {
         time("placement") { run(Packing.placed(incBase)) }
         spark.catalog.clearCache()
         time("e03_full_cleared") { run(Pipeline.incrementAppend(spark, dir)) }
+      case "e08parts" =>
+        import org.apache.spark.sql.functions._
+        // localize the two-append chain's per-rep cost under the
+        // bench's clearCache contract: first append (p1, checkpoint),
+        // state rollforward (fps1 md5 scan), second append's screens /
+        // CC / accounting, full query. Mirrors incrementAppendChain's
+        // spelling (see the appendAgainst probe-sync note).
+        run(Pipeline.incrementAppendChain(spark, dir)) // warm artifacts
+        spark.catalog.clearCache()
+        val (sid1, sid2) = Pipeline.chainSplitIds(spark, dir)
+        val docs = Tables.documents(spark, dir)
+        val qc = PlanMemo.publishedParquet(spark, dir,
+            "t23_quality_classifier")(Text.qualityClassifier(spark, dir))
+          .filter(col("pred") === 1)
+        val inc1Q = qc
+          .filter(col("doc_id") >= sid1 && col("doc_id") < sid2)
+          .select("doc_id")
+        val inc2Q = qc.filter(col("doc_id") >= sid2).select("doc_id")
+        var p1: DataFrame = null
+        time("p1_append_checkpoint") {
+          p1 = Pipeline.appendAgainst(spark, dir,
+            Pipeline.baseKeptDocs(spark, dir),
+            Pipeline.baseFpsArtifact(spark, dir),
+            Pipeline.baseTotalsArtifact(spark, dir), inc1Q,
+            crossLosersPre =
+              Some(Pipeline.baseCrossLosersArtifact(spark, dir)))
+            .localCheckpoint()
+        }
+        val fps1 = Pipeline.baseFpsArtifact(spark, dir)
+          .union(docs
+            .join(p1.select("doc_id").hint("shuffle_hash"),
+              Seq("doc_id"), "left_semi")
+            .select(expr("optimizer_barrier(md5(text))").as("fp")))
+        time("fps1") { run(fps1) }
+        val totals1 = Pipeline.baseTotalsArtifact(spark, dir).as("b")
+          .join(p1.groupBy("lang")
+            .agg(sum("n_tok").cast("long").as("inc_tok")).as("i"),
+            Seq("lang"), "full")
+          .select(col("lang"),
+            (coalesce(col("base_tok"), lit(0L)) +
+              coalesce(col("inc_tok"), lit(0L))).as("base_tok"))
+        time("totals1") { run(totals1) }
+        val pairsArt = Pipeline.pairsArtifact(spark, dir)
+        val crossLosers2 = Pipeline.baseCrossLosersArtifact(spark, dir)
+          .union(pairsArt
+            .join(p1.select(col("doc_id").as("d1")).hint("shuffle_hash"),
+              Seq("d1"), "left_semi")
+            .select(col("d2").as("doc_id")))
+          .union(pairsArt
+            .join(p1.select(col("doc_id").as("d2")).hint("shuffle_hash"),
+              Seq("d2"), "left_semi")
+            .select(col("d1").as("doc_id")))
+        time("crossLosers2") { run(crossLosers2) }
+        val incNoExact2 = docs
+          .join(inc2Q.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"),
+            expr("optimizer_barrier(md5(text))").as("fp"))
+          .join(fps1.hint("shuffle_hash"), Seq("fp"), "left_anti")
+          .select("doc_id")
+        time("incNoExact2") { run(incNoExact2) }
+        var incScreened2: DataFrame = null
+        time("incScreened2_checkpoint") {
+          incScreened2 = incNoExact2
+            .join(crossLosers2.hint("shuffle_hash"), Seq("doc_id"),
+              "left_anti")
+            .localCheckpoint()
+        }
+        val incPairs2 = pairsArt
+          .join(incScreened2.select(col("doc_id").as("d1"))
+            .hint("shuffle_hash"), Seq("d1"), "left_semi")
+          .join(incScreened2.select(col("doc_id").as("d2"))
+            .hint("shuffle_hash"), Seq("d2"), "left_semi")
+        time("cc2") { run(Dedup.connectedComponents(incPairs2)) }
+        spark.catalog.clearCache()
+        time("e08_full_cleared") {
+          run(Pipeline.incrementAppendChain(spark, dir))
+        }
+        spark.catalog.clearCache()
+        time("e08_full_cleared2") {
+          run(Pipeline.incrementAppendChain(spark, dir))
+        }
       case "e03stages" =>
         import org.apache.spark.sql.functions._
         // stage ladder for the incremental append: localize warm cost

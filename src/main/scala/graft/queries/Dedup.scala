@@ -1266,11 +1266,18 @@ object Dedup {
     */
   val incrementalFraction = 0.2
 
-  private[graft] def incrementalSplitId(spark: SparkSession, dir: String): Long = {
-    val maxId = Tables.documents(spark, dir)
-      .agg(max("doc_id")).head().getLong(0)
-    math.ceil((maxId + 1) * (1.0 - incrementalFraction)).toLong
-  }
+  private[graft] def incrementalSplitId(spark: SparkSession, dir: String): Long =
+    // driver-value memo (round 19): every incremental query (d13/d17/
+    // w10/e03/e06/e08) re-ran this max() scan as its own job per
+    // invocation — O(1) metadata a pipeline derives once per corpus.
+    // Keyed by the content fingerprint (the bpeMerges discipline) so
+    // an in-place corpus mutation recomputes, never serves stale ids.
+    PlanMemo.cachedValue(spark,
+      s"dedup.splitId:$dir:${PlanMemo.corpusFingerprint(dir)}") {
+      val maxId = Tables.documents(spark, dir)
+        .agg(max("doc_id")).head().getLong(0)
+      math.ceil((maxId + 1) * (1.0 - incrementalFraction)).toLong
+    }
 
   /** Published artifact (round-18 optimization): the frozen BASE
     * side's content-fingerprint set at the d13 increment boundary —
