@@ -403,6 +403,29 @@ object Probe {
         time("e08_full_cleared2") {
           run(Pipeline.incrementAppendChain(spark, dir))
         }
+      case "d16ab" =>
+        // round-18 verdict "next" 8: what the para_hash_index artifact
+        // buys at GenData scale — d16 per-rep (clearCache) via the
+        // published artifact vs the inline tokenize+chunk+md5 pass.
+        // Measured at gensf1: artifact 0.74–1.06 s vs inline
+        // 0.56–0.57 s — the artifact LOST and inline is now the
+        // default (see Dedup.paraHashes).
+        spark.conf.set("spark.graft.paraIndexPublish", "true")
+        try {
+          run(Dedup.sourceOverlap(spark, dir)) // publish + warm memo
+          spark.catalog.clearCache()
+          time("d16_artifact_rep1") { run(Dedup.sourceOverlap(spark, dir)) }
+          spark.catalog.clearCache()
+          time("d16_artifact_rep2") { run(Dedup.sourceOverlap(spark, dir)) }
+        } finally {
+          spark.conf.set("spark.graft.paraIndexPublish", "false")
+          PlanMemo.drop(spark, s"dedup.paraHashes:$dir")
+        }
+        run(Dedup.sourceOverlap(spark, dir)) // build the inline memo
+        spark.catalog.clearCache()
+        time("d16_inline_rep1") { run(Dedup.sourceOverlap(spark, dir)) }
+        spark.catalog.clearCache()
+        time("d16_inline_rep2") { run(Dedup.sourceOverlap(spark, dir)) }
       case "e03stages" =>
         import org.apache.spark.sql.functions._
         // stage ladder for the incremental append: localize warm cost

@@ -2166,10 +2166,27 @@ object Dedup {
   // them back through the tokenize+chunk+md5 corpus pass. Builder
   // output is hash-gated through d15/d16; reading the written bytes
   // cannot change any answer.
-  private def paraHashes(spark: SparkSession, dir: String): DataFrame =
-    PlanMemo.cached(spark, s"dedup.paraHashes:$dir")(
-      PlanMemo.publishedParquet(spark, dir, "para_hash_index")(
-        buildParaHashes(spark, dir)))
+  // INLINE by default (round 19, reverting the round-18 artifact):
+  // the para_hash_index disk artifact was kept in r18 on a
+  // plausible-at-scale posture after measuring NEUTRAL at sf0.1; the
+  // round-19 gensf1 A/B (Probe d16ab, 10× the bench corpus) measured
+  // it a LOSS — d16 per-rep 0.74–1.06 s reading the artifact vs
+  // 0.56–0.57 s recomputing inline: the chunk+md5 pass is cheap,
+  // scan-parallel and page-cached, while the index read adds I/O
+  // without removing any exchange. Guide §1.1 — the empirical loop
+  // beats the posture argument; SCALE.md banks the row.
+  // spark.graft.paraIndexPublish=true re-enables the artifact (the
+  // A/B lever). Memo keys diverge per regime so a forced run never
+  // serves the other path's cached plan (the PlanMemo.drop
+  // discipline).
+  private[graft] def paraHashes(spark: SparkSession, dir: String): DataFrame =
+    if (spark.conf.get("spark.graft.paraIndexPublish", "false").toBoolean)
+      PlanMemo.cached(spark, s"dedup.paraHashes:$dir")(
+        PlanMemo.publishedParquet(spark, dir, "para_hash_index")(
+          buildParaHashes(spark, dir)))
+    else
+      PlanMemo.cached(spark, s"dedup.paraHashes:$dir:inline")(
+        buildParaHashes(spark, dir))
 
   private def buildParaHashes(spark: SparkSession, dir: String): DataFrame =
       (Tables.documents(spark, dir)
